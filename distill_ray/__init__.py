@@ -1,0 +1,35 @@
+"""distill_ray — a Ray-Data-native near-duplicate detection + clustering engine.
+
+A from-scratch rebuild of the query/data-processing capabilities of the
+reference engine (CrazyForks/distill, Go, single process) as idiomatic Ray
+Data pipelines over Arrow batches:
+
+- semantic dedup: MinHash/LSH candidate generation + SimHash + exact cosine
+  verification + hash-min connected components + per-component exact
+  agglomerative refinement (reference semantics: pkg/contextlab/cluster.go)
+- exact dedup: normalized-text hashing with first-wins tie-breaks
+  (reference: pkg/session/sqlite.go:692-705, pkg/memory/sqlite.go:136-151)
+- compression: extractive / pruner / placeholder chains (pkg/compress)
+- hierarchical summarization (pkg/summarize)
+- importance / sensitivity scoring (pkg/summarize/importance.go,
+  pkg/sensitivity)
+- memory recall ranking, K-Means dedup engine, MMR re-rank, top-k selection
+
+The package is layered:
+
+- ``kernels``  — pure-Python/NumPy ports of the reference's per-record
+  semantics (exact tie-break and edge-rule parity); no Ray imports.
+- ``oracle``   — exact small-N reference algorithms (agglomerative
+  clustering, selector, MMR, K-Means) used both inside ``map_groups`` on
+  candidate groups and as conformance oracles in tests.
+- ``stages``   — Ray Data stage builders (map_batches / groupby functions).
+- ``pipelines``— end-to-end composed pipelines.
+- ``sources``  — readers + deterministic synthetic transcript generation.
+- ``state``    — checkpoint manifests for resumable runs.
+
+Nothing in this package calls ``ray.init``; callers own the Ray session.
+"""
+
+__version__ = "0.1.0"
+
+from distill_ray.config import DedupConfig  # noqa: F401

@@ -1,0 +1,78 @@
+"""Pipeline configuration.
+
+``DedupConfig`` pins the shingle/signature config the north rule requires:
+the reference's dedup defaults (threshold 0.15 cosine distance, average
+linkage, MMR lambda 0.5 — /root/reference/pkg/config/config.go:94-100), the
+K-Means dedup threshold 0.05 (/root/reference/pkg/dedup/kmeans.go:35-41),
+and the memory-store dedup/conflict thresholds 0.15/0.35
+(/root/reference/pkg/memory/store.go:261-271), plus the MinHash/LSH
+parameters of the scale path (ours to design; the reference has no sketching).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- reference-pinned semantic contract ---
+    threshold: float = 0.15          # max cosine distance to merge (cluster.go:33)
+    linkage: str = "average"         # single | complete | average (cluster.go:27-37)
+    mmr_lambda: float = 0.5          # relevance/diversity tradeoff (mmr.go:21-26)
+    mmr_target_k: int = 8            # MMR output size (mmr.go:21-26)
+    kmeans_threshold: float = 0.05   # K-Means prune threshold (kmeans.go:35-41)
+    conflict_threshold: float = 0.35 # memory conflict band (store.go:261-271)
+    select_strategy: str = "score"   # representative selection (selector.go:45-52)
+
+    # --- scale-path (MinHash/LSH/SimHash) parameters, ours to design ---
+    shingle_k: int = 3               # word n-gram shingle size over the M6 tokenizer
+    num_perm: int = 128              # MinHash permutations
+    lsh_bands: int = 32              # b bands of r = num_perm // b rows
+    simhash_bits: int = 64
+    simhash_hamming_max: int = 6     # cheap pre-verify gate before exact cosine
+    embed_dim: int = 64              # deterministic feature-hash embedding dim
+    band_group_cap: int = 512        # max rows considered per (band, hash) group (hot-band cap)
+    pair_sample_salt: int = 0x9E3779B97F4A7C15
+
+    # --- execution knobs (sized for multi-node; tested single-node) ---
+    batch_size: int = 4096
+    signer_concurrency: int = 8      # MinHash/SimHash actor pool size
+    max_component_size: int = 4096   # split pathological components beyond this
+
+    def config_hash(self) -> str:
+        """Stable hash of the config for checkpoint manifests."""
+        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
+    @property
+    def lsh_rows(self) -> int:
+        return self.num_perm // self.lsh_bands
+
+
+@dataclass(frozen=True)
+class SummarizeConfig:
+    """Hierarchical summarizer options (pkg/summarize/summarize.go:39-74)."""
+
+    max_tokens: int = 0
+    preserve_recent: int = 10
+    importance_threshold: float = 0.7
+    # (age_seconds, max_level) — 30 m → paragraph, 2 h → sentence, 24 h → keywords
+    age_levels: tuple = ((1800, 1), (7200, 2), (86400, 3))
+
+
+@dataclass(frozen=True)
+class MemoryConfig:
+    """Memory store semantics (pkg/memory/store.go:230-271)."""
+
+    dedup_threshold: float = 0.15
+    conflict_threshold: float = 0.35
+    summary_age_h: float = 24.0
+    keywords_age_h: float = 168.0
+    evict_age_h: float = 720.0
+    recency_weight: float = 0.3
+
+
+DEFAULT_CONFIG = DedupConfig()

@@ -1,0 +1,5 @@
+"""Pure per-record kernels: exact ports of the reference's semantics.
+
+No Ray imports here — everything is NumPy / pure Python so the same code
+runs inside map_batches UDFs, map_groups, the conformance oracle and tests.
+"""

@@ -1,0 +1,269 @@
+"""Compression kernels: extractive, pruner, placeholder, chain.
+
+Ports of /root/reference/pkg/compress/:
+
+- ExtractiveCompressor   extractive.go:28-109 — score sentences, take top
+  until target token budget, restore original order. The reference's sort is
+  a strict-`>` double loop (extractive.go:177-195); we port it literally so
+  tie order matches.
+- Pruner                 pruner.go:26-137 (see kernels.textproc.prune_text)
+- PlaceholderCompressor  placeholder.go:29-271 — JSON/XML/table detection.
+  The reference iterates Go maps for JSON key summaries (nondeterministic
+  order); the rebuild uses document/insertion order, which is deterministic —
+  a documented reference-level nondeterminism.
+- Chain                  compress.go:89-123 — sequential application with
+  merged stats.
+
+All compressors are pure per-row functions: ``compress_many`` maps over a
+list of texts and is what the Ray ``map_batches`` stages call.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+
+from distill_ray.kernels.textproc import (
+    estimate_tokens,
+    prune_text,
+    score_sentence,
+    split_sentences,
+)
+
+
+@dataclass
+class CompressOptions:
+    """compress.go:24-51 defaults."""
+
+    target_reduction: float = 0.5
+    preserve_structure: bool = True
+    min_chunk_length: int = 50
+    max_output_tokens: int = 0
+
+
+@dataclass
+class CompressStats:
+    input_tokens: int = 0
+    output_tokens: int = 0
+    chunks_processed: int = 0
+    chunks_skipped: int = 0
+
+    @property
+    def reduction_percent(self) -> float:
+        if self.input_tokens <= 0:
+            return 0.0
+        return (self.input_tokens - self.output_tokens) / self.input_tokens * 100.0
+
+
+def _sort_by_score_desc(items: list[tuple[str, int, float]]) -> None:
+    """Literal port of the strict-`>` double loop (extractive.go:177-185)."""
+    n = len(items)
+    for i in range(n - 1):
+        for j in range(i + 1, n):
+            if items[j][2] > items[i][2]:
+                items[i], items[j] = items[j], items[i]
+
+
+def _sort_by_index_asc(items: list[tuple[str, int, float]]) -> None:
+    """Literal port of extractive.go:187-195."""
+    n = len(items)
+    for i in range(n - 1):
+        for j in range(i + 1, n):
+            if items[j][1] < items[i][1]:
+                items[i], items[j] = items[j], items[i]
+
+
+def extract_salient_spans(text: str, target_reduction: float) -> str:
+    """extractive.go:63-109."""
+    sentences = split_sentences(text)
+    if len(sentences) <= 1:
+        return text
+    scored = [
+        (s, i, score_sentence(s, i, len(sentences))) for i, s in enumerate(sentences)
+    ]
+    _sort_by_score_desc(scored)
+    target_tokens = int(estimate_tokens(text) * target_reduction)
+    selected: list[tuple[str, int, float]] = []
+    current = 0
+    for item in scored:
+        tokens = estimate_tokens(item[0])
+        if current + tokens > target_tokens and selected:
+            break
+        selected.append(item)
+        current += tokens
+    _sort_by_index_asc(selected)
+    return " ".join(s[0].strip() for s in selected)
+
+
+def compress_extractive(text: str, opts: CompressOptions | None = None) -> str:
+    opts = opts or CompressOptions()
+    if len(text) < opts.min_chunk_length:
+        return text
+    return extract_salient_spans(text, opts.target_reduction)
+
+
+def compress_prune(text: str, opts: CompressOptions | None = None) -> str:
+    opts = opts or CompressOptions()
+    if len(text) < opts.min_chunk_length:
+        return text
+    return prune_text(text)
+
+
+# ---------------------------------------------------------------------------
+# placeholder compressor (placeholder.go)
+
+PRESERVE_KEYS = ("id", "name", "title", "error", "message", "status")
+MAX_ARRAY_ITEMS = 3
+MAX_OBJECT_DEPTH = 2
+
+_OPEN_TAG_RE = re.compile(r"<(\w+)[^>]*>")
+_CLOSE_TAG_RE = re.compile(r"</(\w+)>")
+_ELEMENT_RE = re.compile(r"<(\w+)[^/>]*>")
+
+
+def _compress_json_value(v, depth: int):
+    """placeholder.go:117-153."""
+    if depth >= MAX_OBJECT_DEPTH:
+        return "[...]"
+    if isinstance(v, dict):
+        result = {
+            k: _compress_json_value(val, depth + 1)
+            for k, val in v.items()
+            if k.lower() in PRESERVE_KEYS
+        }
+        if not result and v:
+            return "{...%d keys}" % len(v)
+        return result
+    if isinstance(v, list):
+        if len(v) <= MAX_ARRAY_ITEMS:
+            return [_compress_json_value(item, depth + 1) for item in v]
+        out = [_compress_json_value(item, depth + 1) for item in v[:MAX_ARRAY_ITEMS]]
+        out.append("...+%d more" % (len(v) - MAX_ARRAY_ITEMS))
+        return out
+    return v
+
+
+def _summarize_json(v) -> str:
+    """placeholder.go:167-188 (key order: document order, see module doc)."""
+    if isinstance(v, dict):
+        keys = list(v.keys())
+        if len(keys) > 5:
+            return "[JSON object with %d keys: %s, ...]" % (len(keys), ", ".join(keys[:5]))
+        return "[JSON object with keys: %s]" % ", ".join(keys)
+    if isinstance(v, list):
+        if not v:
+            return "[empty JSON array]"
+        return "[JSON array with %d items]" % len(v)
+    return "[JSON value: %s]" % _go_fmt(v)
+
+
+def _go_fmt(v) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if v is None:
+        return "<nil>"
+    if isinstance(v, float) and v == int(v):
+        return str(int(v))
+    return str(v)
+
+
+def compress_placeholder(text: str, opts: CompressOptions | None = None) -> str:
+    """placeholder.go:73-90 detection cascade: JSON -> XML -> table."""
+    opts = opts or CompressOptions()
+    if len(text) < opts.min_chunk_length:
+        return text
+
+    trimmed = text.strip()
+    # JSON
+    if trimmed.startswith("{") or trimmed.startswith("["):
+        try:
+            data = json.loads(trimmed)
+            parsed = True
+        except (json.JSONDecodeError, ValueError):
+            parsed = False
+        if parsed:
+            if opts.preserve_structure:
+                return json.dumps(
+                    _compress_json_value(data, 0), separators=(",", ":")
+                )
+            return _summarize_json(data)
+
+    # XML
+    if trimmed.startswith("<"):
+        opens = _OPEN_TAG_RE.findall(trimmed)
+        closes = _CLOSE_TAG_RE.findall(trimmed)
+        if opens and closes:
+            counts: dict[str, int] = {}
+            for m in _ELEMENT_RE.finditer(trimmed):
+                counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+            parts = []
+            for i, (elem, count) in enumerate(counts.items()):
+                if i >= 5:
+                    parts.append("...")
+                    break
+                parts.append(f"{elem}(×{count})" if count > 1 else elem)
+            return "[XML with elements: " + ", ".join(parts) + "]"
+
+    # delimiter-separated table (placeholder.go:239-271)
+    lines = text.split("\n")
+    if len(lines) >= 3:
+        for delim in ("\t", "|", ","):
+            cols = lines[0].count(delim)
+            if cols >= 2:
+                consistent = all(
+                    line.count(delim) == cols
+                    for line in lines[1:]
+                    if line.strip() != ""
+                )
+                if consistent:
+                    headers = [h.strip() for h in lines[0].split(delim)]
+                    return "[Table with %d rows, columns: %s]" % (
+                        len(lines) - 1,
+                        ", ".join(headers),
+                    )
+
+    return text
+
+
+# ---------------------------------------------------------------------------
+# chain
+
+_COMPRESSORS = {
+    "extractive": compress_extractive,
+    "prune": compress_prune,
+    "placeholder": compress_placeholder,
+}
+
+
+def compress_chain(
+    text: str, modes: tuple[str, ...], opts: CompressOptions | None = None
+) -> str:
+    """Sequential application (compress.go:101-123)."""
+    opts = opts or CompressOptions()
+    for mode in modes:
+        text = _COMPRESSORS[mode](text, opts)
+    return text
+
+
+def compress_many(
+    texts, mode: str = "extractive", opts: CompressOptions | None = None
+) -> tuple[list[str], CompressStats]:
+    """Batch map used by the Ray stage; returns texts + merged stats."""
+    opts = opts or CompressOptions()
+    fn = _COMPRESSORS[mode]
+    stats = CompressStats()
+    out = []
+    for t in texts:
+        inp = estimate_tokens(t)
+        stats.input_tokens += inp
+        if len(t) < opts.min_chunk_length:
+            stats.chunks_skipped += 1
+            stats.output_tokens += inp
+            out.append(t)
+            continue
+        c = fn(t, opts)
+        stats.chunks_processed += 1
+        stats.output_tokens += estimate_tokens(c)
+        out.append(c)
+    return out, stats

@@ -1,0 +1,98 @@
+"""Deterministic feature-hash embeddings.
+
+The reference calls network embedding providers (pkg/embedding/); this
+sandbox has no network, so the rebuild's embedder is a deterministic
+feature-hashing embedder: tokens (the canonical M6 tokenizer) are hashed to
+``dim`` buckets with a ±1 sign hash, counts accumulated and L2-normalized to
+a float32 unit vector. Deterministic across processes/machines (SipHash with
+pandas' fixed key + splitmix finalizer), vectorized end-to-end.
+
+Near-duplicate texts (few token substitutions) map to high-cosine vectors,
+which is what the dedup contract needs: the exact cosine-threshold (0.15)
+verification and the oracle clustering both run on these embeddings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from distill_ray.kernels.hashing import mix64, stable_hash64
+from distill_ray.kernels.textproc import _TRIM_CHARS
+
+
+def tokenize_series(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized M6 tokenization of a string Series.
+
+    Returns (token_hashes uint64, doc_lengths int64): the concatenated token
+    hash stream and per-doc token counts. Token semantics identical to
+    kernels.textproc.tokenize_words (split -> strip punct -> lower -> drop
+    empty).
+    """
+    s = texts.fillna("").astype(str).reset_index(drop=True)
+    tokens = s.str.split()
+    exploded = tokens.explode()
+    mask = exploded.notna()
+    exploded = exploded[mask].str.strip(_TRIM_CHARS).str.lower()
+    keep = exploded.str.len() > 0
+    exploded = exploded[keep]
+    counts = exploded.groupby(level=0).size()
+    doc_lengths = np.zeros(len(s), dtype=np.int64)
+    if len(counts):
+        doc_lengths[counts.index.to_numpy()] = counts.to_numpy()
+    if len(exploded):
+        token_hashes = stable_hash64(exploded.to_numpy())
+    else:
+        token_hashes = np.empty(0, dtype=np.uint64)
+    return token_hashes, doc_lengths
+
+
+def embed_from_token_hashes(
+    token_hashes: np.ndarray, doc_lengths: np.ndarray, dim: int = 64
+) -> np.ndarray:
+    """(n, dim) float32 L2-normalized feature-hash embeddings.
+
+    Empty docs get the zero vector (cosine distance 2.0 to everything under
+    the reference edge rules — i.e. never merged, matching 'no embedding').
+    """
+    n = len(doc_lengths)
+    out = np.zeros((n, dim), dtype=np.float64)
+    if len(token_hashes):
+        doc_ids = np.repeat(np.arange(n), doc_lengths)
+        idx = (token_hashes % np.uint64(dim)).astype(np.int64)
+        sign = np.where(
+            (mix64(token_hashes) >> np.uint64(63)).astype(bool), 1.0, -1.0
+        )
+        np.add.at(out, (doc_ids, idx), sign)
+    norms = np.sqrt(np.einsum("ij,ij->i", out, out))
+    nz = norms > 0
+    out[nz] /= norms[nz, None]
+    return out.astype(np.float32)
+
+
+def embed_texts(texts, dim: int = 64) -> np.ndarray:
+    """Convenience scalar-ish path used in tests and small groups."""
+    s = texts if isinstance(texts, pd.Series) else pd.Series(list(texts))
+    s = s.reset_index(drop=True)
+    token_hashes, doc_lengths = tokenize_series(s)
+    return embed_from_token_hashes(token_hashes, doc_lengths, dim)
+
+
+class DeterministicEmbedder:
+    """Actor-pool UDF: embeds a batch's ``text`` column into ``embedding``.
+
+    Mirrors the reference's provider registry usage (pkg/embedding/
+    interface.go:18-31) as a stateful map_batches class — per-actor setup in
+    __init__, per-batch work in __call__.
+    """
+
+    def __init__(self, dim: int = 64, text_col: str = "text", out_col: str = "embedding"):
+        self.dim = dim
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        embs = embed_texts(batch[self.text_col], self.dim)
+        batch = batch.copy()
+        batch[self.out_col] = list(embs)
+        return batch

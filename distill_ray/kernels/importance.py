@@ -1,0 +1,49 @@
+"""Turn importance scoring — port of /root/reference/pkg/summarize/importance.go:18-74.
+
+system role -> 1.0; baseline 0.5; code block or tab +0.4; error keyword +0.3;
+decision keyword +0.2; tool role +0.2; < 50 runes -> -0.1; clamp to [0, 1].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+ERROR_KEYWORDS = (
+    "error", "exception", "panic", "fatal", "failed", "failure",
+    "crash", "bug", "traceback", "stack trace", "nil pointer",
+    "segfault", "timeout", "deadlock",
+)
+
+DECISION_KEYWORDS = (
+    "decided", "decision", "conclusion", "therefore", "we will",
+    "we should", "let's use", "going with", "chosen", "agreed",
+    "final answer", "solution is", "approach is",
+)
+
+
+def score_importance(content: str, role: str) -> float:
+    if role == "system":
+        return 1.0
+    score = 0.5
+    lower = content.lower()
+    if "```" in content or "\t" in content:
+        score += 0.4
+    if any(kw in lower for kw in ERROR_KEYWORDS):
+        score += 0.3
+    if any(kw in lower for kw in DECISION_KEYWORDS):
+        score += 0.2
+    if role == "tool":
+        score += 0.2
+    if len(content) < 50:
+        score -= 0.1
+    return min(1.0, max(0.0, score))
+
+
+def score_importance_batch(contents, roles) -> np.ndarray:
+    """Vectorized-enough batch form for map_batches (short-circuit keyword
+    scans per row; the keyword lists are tiny)."""
+    return np.fromiter(
+        (score_importance(c, r) for c, r in zip(contents, roles)),
+        dtype=np.float64,
+        count=len(contents),
+    )

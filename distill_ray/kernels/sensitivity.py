@@ -1,0 +1,59 @@
+"""Sensitivity classification — port of /root/reference/pkg/sensitivity/sensitivity.go.
+
+Pattern-based, no LLM. Levels: 0 none, 1 PII, 2 internal, 3 credentials.
+The returned level is the max across matches (sensitivity.go:110-136).
+Patterns are RE2-compatible, so the same expressions run under DuckDB's
+regexp_matches for the SQL oracle.
+"""
+
+from __future__ import annotations
+
+import re
+
+NONE, PII, INTERNAL, CREDENTIALS = 0, 1, 2, 3
+
+LEVEL_NAMES = {NONE: "none", PII: "pii", INTERNAL: "internal", CREDENTIALS: "credentials"}
+
+# (name, pattern, level) — sensitivity.go:75-93, same order
+BUILTIN_PATTERNS: tuple[tuple[str, str, int], ...] = (
+    ("aws_access_key", r"AKIA[0-9A-Z]{16}", CREDENTIALS),
+    ("openai_api_key", r"sk-[a-zA-Z0-9_-]{20,}", CREDENTIALS),
+    ("github_token", r"ghp_[a-zA-Z0-9]{36}", CREDENTIALS),
+    ("github_token_old", r"gh[pousr]_[a-zA-Z0-9]{36}", CREDENTIALS),
+    ("slack_token", r"xox[baprs]-[a-zA-Z0-9-]+", CREDENTIALS),
+    ("generic_secret", r"(?i)(password|secret|token|api_key|apikey)\s*[:=]\s*\S+", CREDENTIALS),
+    ("email_address", r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}", PII),
+    ("phone_number", r"(?:\+?1[-.\s]?)?\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4}", PII),
+    ("credit_card", r"\b(?:\d[ -]*?){13,19}\b", PII),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", PII),
+)
+
+INTERNAL_DOMAINS = (".internal", ".corp", ".local")
+
+_COMPILED = [(name, re.compile(expr), level) for name, expr, level in BUILTIN_PATTERNS]
+
+
+def classify(text: str) -> tuple[int, list[tuple[str, int]]]:
+    """Returns (max_level, [(pattern_name, level), ...])."""
+    matches: list[tuple[str, int]] = []
+    max_level = NONE
+    for name, rx, level in _COMPILED:
+        if rx.search(text):
+            matches.append((name, level))
+            max_level = max(max_level, level)
+    lower = text.lower()
+    for domain in INTERNAL_DOMAINS:
+        if domain in lower:
+            matches.append(("internal_domain", INTERNAL))
+            max_level = max(max_level, INTERNAL)
+            break
+    return max_level, matches
+
+
+def classify_level(text: str) -> int:
+    return classify(text)[0]
+
+
+def classify_batch(texts) -> list[int]:
+    """ClassifyBatch (sensitivity.go:140-150) — per-text levels."""
+    return [classify_level(t) for t in texts]

@@ -1,0 +1,189 @@
+"""MinHash / LSH-band / SimHash sketching kernels (vectorized).
+
+The scale-path candidate generators the north rule names. The reference has
+no sketching (its all-pairs algorithms are O(N^2..3), FAQ.md:73); these
+kernels generate candidate pairs whose verified ≤-threshold graph reproduces
+the reference's cluster output (see pipelines/dedup.py).
+
+Design:
+
+- shingles: word ``k``-gram hashes over the canonical M6 tokenizer stream
+  (polynomial combine of consecutive token hashes). Documents shorter than
+  ``k`` tokens contribute their whole token sequence as a single shingle.
+- MinHash family: h_i(s) = splitmix64(s XOR seed_i) for ``num_perm`` fixed
+  seeds (a seeded random-oracle family; equivalent guarantees to the affine
+  (a*s+b) mod p family and exactly vectorizable in wrapping uint64).
+- LSH: signature split into ``b`` bands of ``r`` rows; band key = polynomial
+  hash of the band's row values. P(candidate | jaccard s) = 1-(1-s^r)^b.
+  With the default 32x4, a pair at s=0.7 is missed with p < 2e-4 — margin
+  for the 0.99 dup-pair recall bar.
+- SimHash: 64-bit sign-of-sum over token-hash bit columns; hamming distance
+  as a cheap pre-verification gate.
+
+All functions take/return NumPy arrays; per-batch wrappers live in stages/.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from distill_ray.kernels.hashing import mix64
+
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+_POLY = np.uint64(0x100000001B3)  # FNV prime as the polynomial base
+
+
+def minhash_seeds(num_perm: int, seed: int = 0x5EED) -> np.ndarray:
+    """Deterministic seed vector for the MinHash family."""
+    rng = np.random.default_rng(seed)
+    return rng.integers(1, 1 << 63, size=num_perm, dtype=np.uint64)
+
+
+def shingle_hashes(
+    token_hashes: np.ndarray, doc_lengths: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """k-gram shingle hashes from a concatenated token-hash stream.
+
+    Returns (shingle_hashes uint64, shingles_per_doc int64). Docs with
+    0 tokens yield 0 shingles; docs with 1..k-1 tokens yield 1 shingle
+    (the polynomial hash of all their tokens).
+    """
+    n = len(doc_lengths)
+    doc_lengths = np.asarray(doc_lengths, dtype=np.int64)
+    total = int(doc_lengths.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(n, dtype=np.int64)
+
+    starts = np.concatenate(([0], np.cumsum(doc_lengths)[:-1]))
+    # shingles per doc: max(len - k + 1, 1) for len>0 ; 0 for len==0
+    full = doc_lengths - k + 1
+    n_shingles = np.where(doc_lengths == 0, 0, np.maximum(full, 1)).astype(np.int64)
+
+    out = np.empty(int(n_shingles.sum()), dtype=np.uint64)
+    out_starts = np.concatenate(([0], np.cumsum(n_shingles)[:-1]))
+
+    th = np.asarray(token_hashes, dtype=np.uint64)
+
+    with np.errstate(over="ignore"):
+        # full k-gram shingles, vectorized across all docs with len >= k:
+        # for each in-doc shingle position p, polynomial-combine tokens
+        # p..p+k-1. Build a global index of shingle start positions.
+        long_mask = doc_lengths >= k
+        if long_mask.any():
+            counts = full[long_mask]
+            doc_start = starts[long_mask]
+            # global start index of each shingle
+            shingle_doc = np.repeat(np.arange(n)[long_mask], counts)
+            within = np.concatenate([np.arange(c) for c in counts])
+            gstart = starts[shingle_doc] + within
+            acc = np.zeros(len(gstart), dtype=np.uint64)
+            for j in range(k):
+                acc = acc * _POLY + th[gstart + j]
+            acc = mix64(acc)
+            dest = out_starts[shingle_doc] + within
+            out[dest] = acc
+
+        # short docs (0 < len < k): one shingle = polynomial over all tokens
+        short_mask = (doc_lengths > 0) & (doc_lengths < k)
+        if short_mask.any():
+            for d in np.flatnonzero(short_mask):
+                acc = np.uint64(0)
+                for j in range(int(doc_lengths[d])):
+                    acc = acc * _POLY + th[starts[d] + j]
+                out[out_starts[d]] = mix64(np.array([acc], dtype=np.uint64))[0]
+
+    return out, n_shingles
+
+
+def minhash_signatures(
+    shingles: np.ndarray, shingles_per_doc: np.ndarray, seeds: np.ndarray
+) -> np.ndarray:
+    """(n_docs, num_perm) uint64 MinHash signatures.
+
+    Docs with zero shingles get all-ones (u64 max) signatures — they never
+    collide in any band because band keys are salted with a per-doc empty
+    marker downstream (empty docs are handled by exact dedup instead).
+    """
+    n = len(shingles_per_doc)
+    num_perm = len(seeds)
+    sig = np.full((n, num_perm), _U64_MAX, dtype=np.uint64)
+    if len(shingles) == 0:
+        return sig
+    offsets = np.concatenate(([0], np.cumsum(shingles_per_doc)[:-1]))
+    nonempty = shingles_per_doc > 0
+    ne_offsets = offsets[nonempty]
+    sh = np.asarray(shingles, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, seed in enumerate(seeds):
+            hv = mix64(sh ^ seed)
+            mins = np.minimum.reduceat(hv, ne_offsets)
+            sig[nonempty, i] = mins
+    return sig
+
+
+def lsh_band_keys(signatures: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, bands) uint64 band keys (polynomial hash of each band's rows)."""
+    n, num_perm = signatures.shape
+    r = num_perm // bands
+    sig = signatures[:, : bands * r].reshape(n, bands, r)
+    with np.errstate(over="ignore"):
+        acc = np.zeros((n, bands), dtype=np.uint64)
+        for j in range(r):
+            acc = acc * _POLY + sig[:, :, j]
+        # fold the band index in so identical row-values in different bands
+        # don't collide into one group
+        acc = mix64(acc + np.arange(bands, dtype=np.uint64)[None, :] * _POLY)
+    return acc
+
+
+def simhash64(token_hashes: np.ndarray, doc_lengths: np.ndarray) -> np.ndarray:
+    """(n_docs,) uint64 SimHash over the token-hash multiset.
+
+    bit_j(doc) = sign of sum over tokens of (2*bit_j(token_hash) - 1).
+    Empty docs get 0.
+    """
+    n = len(doc_lengths)
+    out = np.zeros(n, dtype=np.uint64)
+    th = np.asarray(token_hashes, dtype=np.uint64)
+    if len(th) == 0:
+        return out
+    doc_lengths = np.asarray(doc_lengths, dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(doc_lengths)[:-1]))
+    nonempty = doc_lengths > 0
+    # (T, 64) bit matrix -> ±1 contributions
+    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
+    contrib = 2 * bits - 1
+    sums = np.add.reduceat(contrib, offsets[nonempty], axis=0)
+    sim_bits = (sums >= 0).astype(np.uint64)
+    packed = np.zeros(sim_bits.shape[0], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(64):
+            packed |= sim_bits[:, j] << np.uint64(j)
+    out[nonempty] = packed
+    return out
+
+
+_POPCOUNT_TABLE = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def hamming_distance64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized popcount(a XOR b) for uint64 arrays."""
+    x = (np.asarray(a, dtype=np.uint64) ^ np.asarray(b, dtype=np.uint64)).view(np.uint8)
+    x = x.reshape(-1, 8)
+    return _POPCOUNT_TABLE[x].sum(axis=1).astype(np.int64)
+
+
+def jaccard_shingles(tokens_a: list, tokens_b: list, k: int) -> float:
+    """Exact n-gram Jaccard (reference-free verification aid / tests)."""
+    def grams(toks):
+        if not toks:
+            return set()
+        if len(toks) < k:
+            return {tuple(toks)}
+        return {tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    ga, gb = grams(tokens_a), grams(tokens_b)
+    if not ga and not gb:
+        return 1.0
+    union = len(ga | gb)
+    return len(ga & gb) / union if union else 1.0

@@ -1,0 +1,214 @@
+"""Hierarchical turn summarization — port of /root/reference/pkg/summarize/.
+
+Levels (summarize.go:18-24): 0 full, 1 paragraph, 2 sentence, 3 keywords,
+4 evicted. Age buckets (summarize.go:63-74): 30 m -> paragraph, 2 h ->
+sentence, 24 h -> keywords. PreserveRecent=10 newest turns stay full;
+importance >= 0.7 resists compression beyond paragraph. A second pass
+enforces MaxTokens with eviction (hierarchy.go:122-172).
+
+Pure per-conversation function: callers pass an explicit ``now`` (no wall
+clock) and turns in stable (conv_id, turn_idx) order. This is the
+``groupby(conv_id).map_groups`` kernel of the Ray stage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+from distill_ray.config import SummarizeConfig
+from distill_ray.kernels.textproc import (
+    estimate_tokens_nonspace,
+    extract_keywords,
+    split_sentences,
+)
+
+LEVEL_FULL, LEVEL_PARAGRAPH, LEVEL_SENTENCE, LEVEL_KEYWORDS, LEVEL_EVICTED = range(5)
+
+
+@dataclass
+class Turn:
+    id: str
+    role: str
+    content: str
+    original: str = ""
+    ts_epoch_s: float = 0.0
+    level: int = LEVEL_FULL
+    importance: float = 0.0
+    token_count: int = 0
+
+
+def _truncate(s: str, max_runes: int) -> str:
+    """hierarchy.go:305-311."""
+    if len(s) <= max_runes:
+        return s
+    return s[:max_runes] + "…"
+
+
+def strip_code_blocks(text: str) -> str:
+    """hierarchy.go:270-284 — drops fenced blocks, keeps a trailing newline
+    per kept line exactly as the Go builder does."""
+    out = []
+    in_code = False
+    for line in text.split("\n"):
+        if line.startswith("```"):
+            in_code = not in_code
+            continue
+        if not in_code:
+            out.append(line)
+    return "\n".join(out) + ("\n" if out or not text else "")
+
+
+def extract_paragraph_summary(text: str) -> str:
+    """First paragraph + fenced code blocks (hierarchy.go:205-233)."""
+    lines = text.split("\n")
+    out: list[str] = []
+    in_code = False
+    paragraph_done = False
+    for line in lines:
+        if line.startswith("```"):
+            in_code = not in_code
+            out.append(line)
+            continue
+        if in_code:
+            out.append(line)
+            continue
+        if not paragraph_done:
+            out.append(line)
+            if line == "" and len(out) > 1:
+                paragraph_done = True
+    result = "\n".join(out).strip()
+    if result == "":
+        return _truncate(text, 300)
+    return result
+
+
+def extract_sentence_summary(text: str) -> str:
+    """First 1-2 sentences, code stripped (hierarchy.go:236-247)."""
+    text = strip_code_blocks(text)
+    sentences = split_sentences(text)
+    if not sentences:
+        return _truncate(text, 150)
+    if len(sentences) == 1:
+        return sentences[0]
+    return sentences[0] + " " + sentences[1]
+
+
+def extract_keyword_summary(text: str) -> str:
+    """Top-12 keywords joined with ", " (hierarchy.go:250-268)."""
+    return ", ".join(extract_keywords(strip_code_blocks(text), cap=12))
+
+
+_COMPRESS_FNS = {
+    LEVEL_PARAGRAPH: extract_paragraph_summary,
+    LEVEL_SENTENCE: extract_sentence_summary,
+    LEVEL_KEYWORDS: extract_keyword_summary,
+}
+
+
+def compress_to(turn: Turn, target: int) -> Turn:
+    """hierarchy.go:187-202 — compress in place, preserve original."""
+    original = turn.original or turn.content
+    content = _COMPRESS_FNS.get(target, lambda t: t)(original)
+    return replace(turn, original=original, content=content, level=target)
+
+
+def _max_level_for_age(age_s: float, age_levels) -> int:
+    """hierarchy.go:175-183."""
+    max_level = LEVEL_FULL
+    for after_s, level in age_levels:
+        if age_s >= after_s and level > max_level:
+            max_level = level
+    return max_level
+
+
+def summarize_turns(
+    turns: list[Turn], cfg: SummarizeConfig, now_epoch_s: float
+) -> tuple[list[Turn], dict]:
+    """hierarchy.go:27-172. Input order = stable turn order (oldest first)."""
+    preserve_recent = cfg.preserve_recent if cfg.preserve_recent >= 0 else 10
+    importance_threshold = (
+        cfg.importance_threshold if cfg.importance_threshold > 0 else 0.7
+    )
+    age_levels = cfg.age_levels or ((1800, 1), (7200, 2), (86400, 3))
+
+    result = [replace(t) for t in turns]
+    input_tokens = 0
+    for t in result:
+        if t.importance == 0:
+            from distill_ray.kernels.importance import score_importance
+
+            t.importance = score_importance(t.content, t.role)
+        t.token_count = estimate_tokens_nonspace(t.content)
+        input_tokens += t.token_count
+
+    stats = {
+        "input_turns": len(result),
+        "input_tokens": input_tokens,
+        "compressed_turns": 0,
+        "preserved_turns": 0,
+    }
+
+    recent_cutoff = max(0, len(result) - preserve_recent)
+
+    for i, t in enumerate(result):
+        if preserve_recent > 0 and i >= recent_cutoff:
+            stats["preserved_turns"] += 1
+            continue
+        max_level = _max_level_for_age(now_epoch_s - t.ts_epoch_s, age_levels)
+        if t.importance >= importance_threshold and max_level > LEVEL_PARAGRAPH:
+            max_level = LEVEL_PARAGRAPH
+        if max_level <= t.level:
+            stats["preserved_turns"] += 1
+            continue
+        result[i] = compress_to(t, max_level)
+        result[i].token_count = estimate_tokens_nonspace(result[i].content)
+        stats["compressed_turns"] += 1
+
+    if cfg.max_tokens > 0:
+        result = _enforce_token_budget(
+            result, cfg.max_tokens, preserve_recent, importance_threshold, recent_cutoff
+        )
+
+    output_tokens = sum(t.token_count for t in result)
+    stats["output_turns"] = len(result)
+    stats["output_tokens"] = output_tokens
+    stats["reduction_pct"] = (
+        (input_tokens - output_tokens) / input_tokens * 100.0 if input_tokens else 0.0
+    )
+    return result, stats
+
+
+def _enforce_token_budget(
+    turns: list[Turn],
+    max_tokens: int,
+    preserve_recent: int,
+    importance_threshold: float,
+    recent_cutoff: int,
+) -> list[Turn]:
+    """Second pass, oldest-first through all levels incl. eviction
+    (hierarchy.go:122-172)."""
+    total = sum(t.token_count for t in turns)
+    if total <= max_tokens:
+        return turns
+
+    level = LEVEL_PARAGRAPH
+    while level <= LEVEL_EVICTED and total > max_tokens:
+        for i, t in enumerate(turns):
+            if preserve_recent > 0 and i >= recent_cutoff:
+                break
+            if t.level >= level:
+                continue
+            if t.importance >= importance_threshold and level > LEVEL_PARAGRAPH:
+                continue
+            before = t.token_count
+            if level == LEVEL_EVICTED:
+                turns[i] = replace(t, level=LEVEL_EVICTED, content="", token_count=0)
+            else:
+                turns[i] = compress_to(t, level)
+                turns[i].token_count = estimate_tokens_nonspace(turns[i].content)
+            total -= before - turns[i].token_count
+            if total <= max_tokens:
+                break
+        level += 1
+
+    return [t for t in turns if t.level != LEVEL_EVICTED]

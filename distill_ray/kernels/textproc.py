@@ -1,0 +1,174 @@
+"""Text-processing kernels: tokenizer, sentence split, token estimate, pruner.
+
+Exact ports of the reference semantics:
+
+- token estimator       /root/reference/pkg/compress/extractive.go:198-203
+  (bytes+3)//4, with the non-whitespace-runes variant of
+  pkg/summarize/importance.go:77-86 / pkg/pipeline/pipeline.go:180-192
+- sentence splitter     pkg/compress/extractive.go:112-133 (split on `.!?`,
+  trim, keep trailing fragment) — also the summarizer's twin
+  pkg/summarize/hierarchy.go:286-303
+- sentence scorer       pkg/compress/extractive.go:136-169
+- keyword extractor     pkg/summarize/hierarchy.go:250-268 (strings.Fields ->
+  trim punctuation -> lowercase -> len>=4 -> stopword filter -> first-seen
+  dedup -> cap)
+- word tokenizer        the Fields+trim+lower step of the keyword extractor,
+  which SURVEY.md pins as the canonical MinHash shingle tokenizer
+- pruner / normalizer   pkg/compress/pruner.go:26-137, including the exact
+  pattern application ORDER (`\\s+` collapses newlines before `\\n{3,}` could
+  ever match — faithful to the Go list order)
+"""
+
+from __future__ import annotations
+
+import re
+
+# ---------------------------------------------------------------------------
+# token estimation
+
+def estimate_tokens(text: str) -> int:
+    """(byte_len + 3) // 4 — extractive.go:198-203 (Go len() is bytes)."""
+    n = len(text.encode("utf-8")) if not text.isascii() else len(text)
+    if n == 0:
+        return 0
+    return (n + 3) // 4
+
+
+def estimate_tokens_nonspace(text: str) -> int:
+    """Counts non-whitespace runes only — importance.go:77-86."""
+    n = sum(1 for ch in text if not ch.isspace())
+    return (n + 3) // 4
+
+
+# ---------------------------------------------------------------------------
+# sentence split / score
+
+_SENT_SPLIT_RE = re.compile(r"(?<=[.!?])")
+
+
+def split_sentences(text: str) -> list[str]:
+    """Split on `.!?` keeping the delimiter, trim, drop empties, keep the
+    trailing fragment (extractive.go:112-133)."""
+    out = []
+    for seg in _SENT_SPLIT_RE.split(text):
+        seg = seg.strip()
+        if seg:
+            out.append(seg)
+    return out
+
+
+_DIGIT_RE = re.compile(r"\d")
+
+
+def score_sentence(sentence: str, index: int, total: int) -> float:
+    """Position/length/keyword/digit additive score (extractive.go:136-169)."""
+    score = 0.0
+    if index == 0:
+        score += 2.0
+    elif index == total - 1:
+        score += 1.0
+    words = len(sentence.split())
+    if 5 <= words <= 25:
+        score += 1.0
+    lower = sentence.lower()
+    if "important" in lower or "key" in lower or "must" in lower or "should" in lower:
+        score += 1.5
+    if _DIGIT_RE.search(sentence):
+        score += 0.5
+    return score
+
+
+# ---------------------------------------------------------------------------
+# tokenizer / keywords
+
+STOP_WORDS = frozenset(
+    {
+        "the", "and", "for", "that", "this", "with", "from", "have",
+        "will", "been", "were", "they", "their", "there", "when",
+        "what", "which", "would", "could", "should", "about", "into",
+        "more", "also", "some", "than", "then", "just", "like",
+    }
+)
+
+_TRIM_CHARS = '.,;:!?"\'()[]{}'
+
+
+def tokenize_words(text: str) -> list[str]:
+    """Whitespace split -> trim punctuation -> lowercase -> drop empties.
+
+    The canonical shingle tokenizer (the Fields/trim/lower step of
+    hierarchy.go:250-268, without the length/stopword filters).
+    """
+    out = []
+    for w in text.split():
+        w = w.strip(_TRIM_CHARS)
+        if w:
+            out.append(w.lower())
+    return out
+
+
+def extract_keywords(text: str, cap: int = 12) -> list[str]:
+    """Keyword extraction with first-seen dedup and cap
+    (hierarchy.go:250-268; caller caps 12/15/20)."""
+    keywords: list[str] = []
+    seen: set[str] = set()
+    for w in text.split():
+        w = w.strip(_TRIM_CHARS)
+        lower = w.lower()
+        if len(w) < 4 or lower in STOP_WORDS or lower in seen:
+            continue
+        seen.add(lower)
+        keywords.append(w)
+        if len(keywords) >= cap:
+            break
+    return keywords
+
+
+# ---------------------------------------------------------------------------
+# pruner / normalizer (M8)
+
+FILLER_PHRASES = (
+    "as mentioned earlier", "as we discussed", "it is important to note that",
+    "it should be noted that", "please note that", "in order to",
+    "for the purpose of", "at this point in time", "at the present time",
+    "in the event that", "due to the fact that", "in light of the fact that",
+    "it goes without saying", "needless to say", "as a matter of fact",
+    "in actual fact", "basically", "essentially", "fundamentally",
+    "literally", "actually", "obviously", "clearly", "of course",
+    "as you know", "as you can see", "it is worth mentioning",
+    "i would like to point out", "let me explain", "allow me to",
+)
+
+_FILLER_RES = [
+    re.compile(r"(?i)\b" + re.escape(p) + r"\b[,]?\s*") for p in FILLER_PHRASES
+]
+# Applied in the reference's list order (pruner.go:59-64,114-125): the `\s+`
+# collapse runs FIRST, so the `\n{3,}` and `\.{2,}` rules see single-spaced
+# text — `\n{3,}` can never match. We reproduce that order exactly.
+_WS_RE = re.compile(r"\s+")
+_DOTS_RE = re.compile(r"\.{2,}")
+_NL_RE = re.compile(r"\n{3,}")
+_INTENSIFIER_RE = re.compile(r"(?i)\b(very|really|quite)\s+")
+_DOUBLE_SPACE_RE = re.compile(r"\s{2,}")
+_PUNCT_SPACE_RE = re.compile(r"\s+([.,;:!?])")
+
+
+def prune_text(text: str) -> str:
+    """Remove filler phrases + redundant patterns (pruner.go:105-137)."""
+    result = text
+    for rx in _FILLER_RES:
+        result = rx.sub("", result)
+    result = _WS_RE.sub(" ", result)
+    result = _DOTS_RE.sub(".", result)
+    result = _NL_RE.sub("\n\n", result)
+    result = _INTENSIFIER_RE.sub("", result)
+    result = _DOUBLE_SPACE_RE.sub(" ", result)
+    result = _PUNCT_SPACE_RE.sub(r"\1", result)
+    return result.strip()
+
+
+def normalize_for_dedup(text: str) -> str:
+    """The rebuild's exact-dedup normalization = the pruner's whitespace/
+    punctuation invariants. Two turns that differ only by filler phrases,
+    whitespace runs or punctuation spacing normalize to equal strings."""
+    return prune_text(text)

@@ -1,0 +1,126 @@
+"""Vector math with the reference's exact edge rules.
+
+Port of /root/reference/pkg/math/simd.go:10-69 (CosineDistance):
+
+- empty input (either side)  -> distance 2.0
+- length mismatch            -> truncate both to the shorter length
+- zero norm (either side)    -> distance 2.0
+- similarity clamped to [-1, 1]
+- float64 accumulation over float32 inputs
+
+These edge rules shape cluster output near the 0.15 threshold, so both the
+scalar and the vectorized forms reproduce them bit-for-bit (float64 sums over
+float32 values; summation order differences are below the clamp/threshold
+noise floor for the dimensions used here).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def cosine_distance(a, b) -> float:
+    """Scalar cosine distance in [0, 2] with reference edge rules."""
+    a = np.asarray(a, dtype=np.float32)
+    b = np.asarray(b, dtype=np.float32)
+    if a.size == 0 or b.size == 0:
+        return 2.0
+    n = min(a.size, b.size)
+    a64 = a[:n].astype(np.float64)
+    b64 = b[:n].astype(np.float64)
+    dot = float(np.dot(a64, b64))
+    mag = float(np.dot(a64, a64)) * float(np.dot(b64, b64))
+    denom = np.sqrt(mag)
+    if denom == 0.0:
+        return 2.0
+    sim = dot / denom
+    sim = min(1.0, max(-1.0, sim))
+    return 1.0 - sim
+
+
+def cosine_similarity(a, b) -> float:
+    """1 - cosine_distance (simd.go:73-75)."""
+    return 1.0 - cosine_distance(a, b)
+
+
+def pairwise_cosine_distance(embs: list[np.ndarray] | np.ndarray) -> np.ndarray:
+    """Full symmetric N x N cosine-distance matrix with edge rules.
+
+    Port of pkg/contextlab/cluster.go:216-242: a missing (empty) embedding on
+    either side gives distance 2.0 for that pair; the diagonal stays 0.
+
+    ``embs`` may be a list of 1-D arrays (possibly ragged/empty) or a 2-D
+    array. The fast path (uniform non-empty rows) is a single matmul.
+    """
+    if isinstance(embs, np.ndarray) and embs.ndim == 2:
+        mat = embs.astype(np.float64, copy=False)
+        empty_mask = np.zeros(len(mat), dtype=bool)
+    else:
+        lens = {len(np.atleast_1d(e)) for e in embs if np.atleast_1d(e).size > 0}
+        empty_mask = np.array([np.atleast_1d(e).size == 0 for e in embs], dtype=bool)
+        if len(lens) > 1:
+            # ragged non-empty rows: truncate to the shortest (simd.go:14-21)
+            n = min(lens)
+            mat = np.stack(
+                [
+                    np.zeros(n)
+                    if empty_mask[i]
+                    else np.asarray(embs[i][:n], dtype=np.float32).astype(np.float64)
+                    for i in range(len(embs))
+                ]
+            )
+        else:
+            dim = next(iter(lens)) if lens else 1
+            mat = np.stack(
+                [
+                    np.zeros(dim)
+                    if empty_mask[i]
+                    else np.asarray(embs[i], dtype=np.float32).astype(np.float64)
+                    for i in range(len(embs))
+                ]
+            )
+
+    norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+    dots = mat @ mat.T
+    denom = np.outer(norms, norms)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = np.where(denom > 0, dots / np.where(denom == 0, 1.0, denom), 0.0)
+    sims = np.clip(sims, -1.0, 1.0)
+    dist = 1.0 - sims
+    # zero-norm rows -> 2.0 against everything (simd.go:54-57)
+    zero = norms == 0
+    dist[zero, :] = 2.0
+    dist[:, zero] = 2.0
+    # empty embeddings -> 2.0 against everything (cluster.go:229-234)
+    dist[empty_mask, :] = 2.0
+    dist[:, empty_mask] = 2.0
+    np.fill_diagonal(dist, 0.0)
+    return dist
+
+
+def cosine_distance_to_query(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Vectorized distances of N rows against one query, with edge rules."""
+    q = np.asarray(q, dtype=np.float32).astype(np.float64)
+    if q.size == 0 or mat.size == 0:
+        return np.full(len(mat), 2.0)
+    m = mat.astype(np.float64, copy=False)
+    n = min(m.shape[1], q.size)
+    m = m[:, :n]
+    q = q[:n]
+    qn = float(np.dot(q, q))
+    norms2 = np.einsum("ij,ij->i", m, m)
+    denom = np.sqrt(norms2 * qn)
+    dots = m @ q
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = np.where(denom > 0, dots / np.where(denom == 0, 1.0, denom), 0.0)
+    sims = np.clip(sims, -1.0, 1.0)
+    dist = 1.0 - sims
+    dist[denom == 0] = 2.0
+    return dist
+
+
+def mean_vector(vectors: np.ndarray) -> np.ndarray:
+    """Centroid = arithmetic mean, float64 accumulate -> float32
+    (cluster.go:295-311, kmeans.go:249-275)."""
+    acc = np.asarray(vectors, dtype=np.float64).sum(axis=0)
+    return (acc / len(vectors)).astype(np.float32)

@@ -1,0 +1,16 @@
+"""Exact small-N reference algorithms (the conformance oracle).
+
+These are faithful re-implementations of the reference's clustering /
+selection / re-ranking kernels including their tie-break rules. They serve
+two roles:
+
+1. inside ``groupby(...).map_groups`` on bounded candidate groups (the
+   scale pipeline runs the exact algorithm within each connected component,
+   which reproduces the reference's global output — merges never cross
+   components under average linkage at a fixed threshold), and
+2. as the conformance oracle the tests measure dup-pair recall against.
+"""
+
+from distill_ray.oracle.cluster import agglomerative_cluster  # noqa: F401
+from distill_ray.oracle.selector import select_representative  # noqa: F401
+from distill_ray.oracle.mmr import mmr_rerank  # noqa: F401

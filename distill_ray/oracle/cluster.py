@@ -1,0 +1,187 @@
+"""Agglomerative clustering — exact port of /root/reference/pkg/contextlab/cluster.go:65-214.
+
+Semantics preserved (the judged invariant):
+
+- start singletons; repeatedly merge the globally closest active pair under
+  the configured linkage (single/complete/average, default average);
+- stop when min distance > threshold (default 0.15) or Min/MaxClusters hit;
+- determinism: the pair scan is i<j ascending with strict `<`
+  (cluster.go:149-167) so ties resolve to the lowest (i, j); cluster j is
+  merged INTO i (the lower index keeps the identity); final cluster IDs are
+  assigned in ascending original-index order of surviving nodes
+  (cluster.go:186-206);
+- member order within a cluster is append order (founder first, merged
+  members appended) — the selector's first-max tie-break depends on it;
+- no embeddings at all -> every chunk its own cluster (cluster.go:105-122);
+- missing embedding on either side of a pair -> distance 2.0;
+- centroid = float64-accumulated arithmetic mean (cluster.go:295-311).
+
+Implementation note: average linkage is maintained as a pairwise SUM matrix
+updated on merge (S[i] += S[j]), mathematically identical to the reference's
+fresh re-summation over members; float64 summation-order differences are the
+only deviation and sit far below the 0.15 threshold granularity.
+
+Complexity is O(N^2) per merge via a vectorized scan — the oracle is only
+ever run on bounded groups (connected components / test fixtures), never on
+the full table; the scale path (stages/) generates the candidate groups.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from distill_ray.kernels.vmath import pairwise_cosine_distance
+
+
+@dataclass
+class ClusterResult:
+    # cluster_ids[i] = cluster id of input row i
+    cluster_ids: np.ndarray
+    # clusters[cid] = list of input row indices in reference member order
+    members: list[list[int]]
+    # centroids[cid] = float32 mean embedding (None when no embeddings)
+    centroids: list[np.ndarray | None]
+
+
+def agglomerative_cluster(
+    embeddings,
+    threshold: float = 0.15,
+    linkage: str = "average",
+    min_clusters: int = 0,
+    max_clusters: int = 0,
+    dist_matrix: np.ndarray | None = None,
+) -> ClusterResult:
+    """Cluster rows by embedding. ``embeddings`` is a list of 1-D float
+    arrays (empty arrays = missing embedding) or a 2-D array."""
+    n = len(embeddings)
+    if n == 0:
+        return ClusterResult(np.empty(0, dtype=np.int64), [], [])
+
+    embs = [np.asarray(e, dtype=np.float32) for e in embeddings]
+
+    if n == 1:
+        return ClusterResult(
+            np.zeros(1, dtype=np.int64),
+            [[0]],
+            [embs[0] if embs[0].size else None],
+        )
+
+    has_embeddings = any(e.size > 0 for e in embs)
+    if not has_embeddings:
+        # cluster.go:105-122 — every chunk its own cluster, IDs by position
+        return ClusterResult(
+            np.arange(n, dtype=np.int64), [[i] for i in range(n)], [None] * n
+        )
+
+    D = dist_matrix if dist_matrix is not None else pairwise_cosine_distance(embs)
+    D = np.asarray(D, dtype=np.float64)
+
+    active = np.ones(n, dtype=bool)
+    members: list[list[int]] = [[i] for i in range(n)]
+
+    if linkage == "average":
+        # S[i, j] = sum of pairwise distances between members; counts via sizes
+        S = D.copy()
+        sizes = np.ones(n, dtype=np.float64)
+    elif linkage in ("single", "complete"):
+        M = D.copy()
+    else:
+        S = D.copy()
+        sizes = np.ones(n, dtype=np.float64)
+        linkage = "average"
+
+    active_count = n
+    BIG = np.inf
+    while active_count > 1:
+        if min_clusters > 0 and active_count <= min_clusters:
+            break
+
+        idx = np.flatnonzero(active)  # ascending original order
+        if linkage == "average":
+            sub = S[np.ix_(idx, idx)] / np.outer(sizes[idx], sizes[idx])
+        else:
+            sub = M[np.ix_(idx, idx)]
+        # scan upper triangle i<j in row-major order; first occurrence of the
+        # min == the reference's strict-< ascending scan (cluster.go:149-167)
+        iu = np.triu_indices(len(idx), k=1)
+        vals = sub[iu]
+        # reference starts minDist at 2.0 and uses strict < — a pair at
+        # exactly 2.0 never gets selected
+        pos = int(np.argmin(vals)) if vals.size else -1
+        if pos < 0:
+            break
+        min_dist = float(vals[pos])
+        if min_dist >= 2.0:
+            break
+        if min_dist > threshold:
+            break
+        i = int(idx[iu[0][pos]])
+        j = int(idx[iu[1][pos]])
+
+        # merge j into i (cluster.go:174-177, 290-311)
+        members[i].extend(members[j])
+        if linkage == "average":
+            S[i, :] += S[j, :]
+            S[:, i] += S[:, j]
+            sizes[i] += sizes[j]
+        elif linkage == "single":
+            np.minimum(M[i, :], M[j, :], out=M[i, :])
+            M[:, i] = M[i, :]
+        else:  # complete
+            np.maximum(M[i, :], M[j, :], out=M[i, :])
+            M[:, i] = M[i, :]
+        active[j] = False
+        active_count -= 1
+
+        if max_clusters > 0 and active_count <= max_clusters:
+            break
+
+    # assign IDs in ascending original-index order of survivors
+    cluster_ids = np.empty(n, dtype=np.int64)
+    out_members: list[list[int]] = []
+    centroids: list[np.ndarray | None] = []
+    cid = 0
+    for i in range(n):
+        if not active[i]:
+            continue
+        for m in members[i]:
+            cluster_ids[m] = cid
+        out_members.append(members[i])
+        member_embs = [embs[m] for m in members[i] if embs[m].size > 0]
+        if member_embs:
+            dim = len(member_embs[0])
+            acc = np.zeros(dim, dtype=np.float64)
+            count = 0
+            for m in members[i]:
+                e = embs[m]
+                if e.size >= dim:
+                    acc += e[:dim].astype(np.float64)
+                elif e.size > 0:
+                    acc[: e.size] += e.astype(np.float64)
+                count += 1
+            # reference divides by member count including missing embeddings
+            # (cluster.go:300-311 iterates all members)
+            centroids.append((acc / max(count, 1)).astype(np.float32))
+        else:
+            centroids.append(None)
+        cid += 1
+
+    return ClusterResult(cluster_ids, out_members, centroids)
+
+
+def dup_pairs_from_labels(ids, labels) -> set[tuple]:
+    """All unordered same-cluster pairs — the recall measurement unit."""
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for rid, lbl in zip(ids, labels):
+        groups[lbl].append(rid)
+    pairs = set()
+    for grp in groups.values():
+        grp = sorted(grp)
+        for a in range(len(grp)):
+            for b in range(a + 1, len(grp)):
+                pairs.add((grp[a], grp[b]))
+    return pairs

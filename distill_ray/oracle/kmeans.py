@@ -1,0 +1,124 @@
+"""K-Means dedup engine — semantics of /root/reference/pkg/dedup/kmeans.go.
+
+- K = floor(sqrt(N / 2)), min 1, capped at N (kmeans.go:86-93)
+- seeded random centroid init via a permutation (kmeans.go:168-180);
+  documented deviation: the reference uses Go's math/rand stream, the
+  rebuild a seeded NumPy PCG64 — both deterministic under a fixed seed,
+  bit-different permutations. Behavioral invariants (exact dups pruned,
+  distinct vectors kept, medoid always kept) are seed-independent and are
+  what the tests assert.
+- <= max_iterations Lloyd iterations; converged when no assignment changed
+  after the first iteration (kmeans.go:135-152)
+- nearest centroid by cosine distance with the reference edge rules, strict
+  `<` -> first min wins (kmeans.go:233-246)
+- centroid update: float64 accumulate, empty clusters keep their old
+  centroid (kmeans.go:249-275)
+- prune per cluster: medoid (closest to centroid, first-min) always kept;
+  other members kept iff cosine_distance(member, medoid) >= threshold
+  (default 0.05) (kmeans.go:311-351)
+- output order: deterministic cluster-index-then-member order (the
+  reference merges goroutine results under a mutex — nondeterministic; the
+  rebuild is the sorted refinement of that).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from distill_ray.kernels.vmath import cosine_distance
+
+
+def _distances_to_centroids(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """(n, k) cosine distances with edge rules (zero norm -> 2.0)."""
+    m = mat.astype(np.float64, copy=False)
+    c = centroids.astype(np.float64, copy=False)
+    mn = np.sqrt(np.einsum("ij,ij->i", m, m))
+    cn = np.sqrt(np.einsum("ij,ij->i", c, c))
+    dots = m @ c.T
+    denom = np.outer(mn, cn)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = np.where(denom > 0, dots / np.where(denom == 0, 1.0, denom), 0.0)
+    sims = np.clip(sims, -1.0, 1.0)
+    dist = 1.0 - sims
+    dist[np.outer(mn == 0, np.ones(len(c), dtype=bool))] = 2.0
+    dist[:, cn == 0] = 2.0
+    return dist
+
+
+@dataclass
+class KMeansDedupResult:
+    unique_indices: list[int]
+    assignments: np.ndarray
+    centroids: np.ndarray
+    duplicate_count: int
+    cluster_count: int
+
+
+def kmeans_dedup(
+    vectors,
+    threshold: float = 0.05,
+    k: int = 0,
+    max_iterations: int = 10,
+    seed: int = 42,
+) -> KMeansDedupResult:
+    mat = np.asarray(vectors, dtype=np.float32)
+    n = len(mat)
+    if n == 0:
+        return KMeansDedupResult([], np.empty(0, dtype=np.int64), np.empty((0, 0)), 0, 0)
+
+    if k <= 0:
+        k = max(1, int(math.sqrt(n / 2)))
+    k = min(k, n)
+
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    centroids = mat[perm[:k]].astype(np.float64).copy()
+
+    assignments = np.zeros(n, dtype=np.int64)
+    for it in range(max_iterations):
+        dist = _distances_to_centroids(mat, centroids)
+        new_assign = np.argmin(dist, axis=1)  # first-min == strict `<` scan
+        changed = bool(np.any(new_assign != assignments))
+        assignments = new_assign
+        if not changed and it > 0:
+            break
+        # update step — empty clusters keep their centroid (kmeans.go:266-275)
+        for c in range(k):
+            mask = assignments == c
+            if mask.any():
+                centroids[c] = mat[mask].astype(np.float64).mean(axis=0)
+
+    unique: list[int] = []
+    for c in range(k):
+        members = np.flatnonzero(assignments == c)
+        if members.size == 0:
+            continue
+        if members.size == 1:
+            unique.append(int(members[0]))
+            continue
+        # medoid: member closest to centroid, first-min (kmeans.go:320-330)
+        cvec = centroids[c].astype(np.float32)
+        dists = [cosine_distance(mat[m], cvec) for m in members]
+        medoid_pos = 0
+        for p in range(1, len(dists)):
+            if dists[p] < dists[medoid_pos]:
+                medoid_pos = p
+        medoid = int(members[medoid_pos])
+        unique.append(medoid)
+        medoid_vec = mat[medoid]
+        for m in members:
+            if int(m) == medoid:
+                continue
+            if cosine_distance(mat[m], medoid_vec) >= threshold:
+                unique.append(int(m))
+
+    return KMeansDedupResult(
+        unique_indices=unique,
+        assignments=assignments,
+        centroids=centroids.astype(np.float32),
+        duplicate_count=n - len(unique),
+        cluster_count=k,
+    )

@@ -1,0 +1,120 @@
+"""MMR re-ranking — port of /root/reference/pkg/contextlab/mmr.go.
+
+MMR = lambda * relevance - (1 - lambda) * max_similarity_to_selected
+(mmr.go:168-189). Scores normalized to [0, 1]; all-equal scores -> all 1.0
+(mmr.go:122-133). Input of size <= target_k passes through (mmr.go:55-57).
+
+Documented deviation: the reference iterates candidates over a Go MAP
+(mmr.go:77) so ties between equal MMR scores resolve nondeterministically.
+The rebuild iterates in ascending index order — deterministic, and one of
+the orders the reference can produce.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from distill_ray.kernels.vmath import pairwise_cosine_distance
+
+
+def _similarity_matrix(embs) -> np.ndarray:
+    """mmr.go:139-166: sim = 1 - dist; missing embeddings -> 0; diagonal 1."""
+    embs = [np.asarray(e, dtype=np.float32) for e in embs]
+    n = len(embs)
+    dist = pairwise_cosine_distance(embs)
+    sim = 1.0 - dist
+    empty = np.array([e.size == 0 for e in embs], dtype=bool)
+    sim[empty, :] = 0.0
+    sim[:, empty] = 0.0
+    np.fill_diagonal(sim, 1.0)
+    return sim
+
+
+def normalize_scores(scores) -> np.ndarray:
+    """mmr.go:103-136."""
+    s = np.asarray(scores, dtype=np.float64)
+    if s.size == 0:
+        return s
+    lo, hi = float(s.min()), float(s.max())
+    if hi - lo == 0:
+        return np.ones_like(s)
+    return (s - lo) / (hi - lo)
+
+
+def mmr_rerank(
+    scores, embeddings, lam: float = 0.5, target_k: int = 8
+) -> list[int]:
+    """Returns selected ORIGINAL indices in selection order (mmr.go:50-100)."""
+    n = len(scores)
+    if n == 0:
+        return []
+    lam = min(1.0, max(0.0, lam))
+    if target_k <= 0:
+        target_k = 8
+    if n <= target_k:
+        return list(range(n))
+
+    rel = normalize_scores(scores)
+    sim = _similarity_matrix(embeddings)
+
+    selected: list[int] = []
+    remaining = set(range(n))
+    while len(selected) < target_k and remaining:
+        best_idx = -1
+        best_mmr = -2.0
+        for idx in sorted(remaining):  # deterministic candidate order
+            if not selected:
+                m = lam * rel[idx]
+            else:
+                max_sim = 0.0
+                for s in selected:
+                    if sim[idx][s] > max_sim:
+                        max_sim = sim[idx][s]
+                m = lam * rel[idx] - (1 - lam) * max_sim
+            if m > best_mmr:
+                best_mmr = m
+                best_idx = idx
+        if best_idx < 0:
+            break
+        selected.append(best_idx)
+        remaining.discard(best_idx)
+    return selected
+
+
+def rerank_with_query(embeddings, query_embedding, lam: float = 0.5, target_k: int = 8):
+    """mmr.go:193-205 — scores overwritten with query similarity, then MMR.
+    Returns (selected_indices, scores)."""
+    from distill_ray.kernels.vmath import cosine_distance
+
+    q = np.asarray(query_embedding, dtype=np.float32)
+    if len(embeddings) == 0 or q.size == 0:
+        return list(range(len(embeddings))), [0.0] * len(embeddings)
+    scores = [1.0 - cosine_distance(e, q) for e in embeddings]
+    return mmr_rerank(scores, embeddings, lam, target_k), scores
+
+
+def diversity_score(embeddings) -> float:
+    """Average pairwise distance of the selection (mmr.go:216-238)."""
+    n = len(embeddings)
+    if n < 2:
+        return 0.0
+    dist = pairwise_cosine_distance([np.asarray(e, dtype=np.float32) for e in embeddings])
+    iu = np.triu_indices(n, k=1)
+    return float(dist[iu].mean())
+
+
+def coverage_score(selected_embs, original_embs) -> float:
+    """Average min-distance original -> selected (mmr.go:243-262)."""
+    from distill_ray.kernels.vmath import cosine_distance
+
+    if not len(selected_embs) or not len(original_embs):
+        return 0.0
+    total = 0.0
+    for orig in original_embs:
+        best = 2.0
+        for sel in selected_embs:
+            d = cosine_distance(orig, sel)
+            if d < best:
+                best = d
+        total += best
+    return total / len(original_embs)

@@ -1,0 +1,131 @@
+"""Representative selection — port of /root/reference/pkg/contextlab/selector.go.
+
+Strategies (selector.go:11-26): score (default), centroid, length, hybrid.
+Tie-breaks preserved: strict `>` / `<` comparisons mean the FIRST max/min in
+member order wins (selector.go:112-150); member order is the cluster's
+reference member order (founder first, merged appended).
+
+SelectTopK (selector.go:241-262): the reference's strict-`>` double-loop sort
+is ported literally so tie order matches, then [:k].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from distill_ray.kernels.vmath import cosine_distance
+
+
+def select_representative(
+    member_indices: list[int],
+    scores,
+    texts,
+    embeddings,
+    centroid,
+    strategy: str = "score",
+    score_weight: float = 0.7,
+    centroid_weight: float = 0.3,
+    length_weight: float = 0.0,
+) -> int:
+    """Returns the selected member's ORIGINAL row index.
+
+    ``member_indices`` is the cluster's member list in reference order;
+    ``scores``/``texts``/``embeddings`` are indexed by original row index.
+    """
+    if not member_indices:
+        raise ValueError("empty cluster")
+    if len(member_indices) == 1:
+        return member_indices[0]
+
+    if strategy == "centroid":
+        return _select_by_centroid(member_indices, scores, embeddings, centroid)
+    if strategy == "length":
+        return _select_by_length(member_indices, texts)
+    if strategy == "hybrid":
+        return _select_by_hybrid(
+            member_indices, scores, texts, embeddings, centroid,
+            score_weight, centroid_weight, length_weight,
+        )
+    return _select_by_score(member_indices, scores)
+
+
+def _select_by_score(member_indices, scores) -> int:
+    """Strict `>`: first max in member order wins (selector.go:112-120)."""
+    best = member_indices[0]
+    for m in member_indices[1:]:
+        if scores[m] > scores[best]:
+            best = m
+    return best
+
+
+def _select_by_centroid(member_indices, scores, embeddings, centroid) -> int:
+    """Strict `<`: first min wins (selector.go:123-139)."""
+    if centroid is None or np.asarray(centroid).size == 0:
+        return _select_by_score(member_indices, scores)
+    best = member_indices[0]
+    best_dist = cosine_distance(embeddings[best], centroid)
+    for m in member_indices[1:]:
+        d = cosine_distance(embeddings[m], centroid)
+        if d < best_dist:
+            best_dist = d
+            best = m
+    return best
+
+
+def _select_by_length(member_indices, texts) -> int:
+    """Longest text, strict `>` (selector.go:142-150)."""
+    best = member_indices[0]
+    for m in member_indices[1:]:
+        if len(texts[m]) > len(texts[best]):
+            best = m
+    return best
+
+
+def _select_by_hybrid(
+    member_indices, scores, texts, embeddings, centroid,
+    score_weight, centroid_weight, length_weight,
+) -> int:
+    """selector.go:153-238 — normalized weighted combination, strict `>`."""
+    if centroid is None or np.asarray(centroid).size == 0:
+        return _select_by_score(member_indices, scores)
+    total = score_weight + centroid_weight + length_weight
+    if total == 0:
+        return _select_by_score(member_indices, scores)
+    sw, cw, lw = score_weight / total, centroid_weight / total, length_weight / total
+
+    member_scores = [float(scores[m]) for m in member_indices]
+    dists = [cosine_distance(embeddings[m], centroid) for m in member_indices]
+    lens = [len(texts[m]) for m in member_indices]
+
+    min_s, max_s = min(member_scores), max(member_scores)
+    # reference initializes minDist=2.0 / maxDist=0.0 then folds (selector.go:170)
+    min_d, max_d = min([2.0] + dists), max([0.0] + dists)
+    min_l, max_l = min(lens), max(lens)
+
+    s_range, d_range, l_range = max_s - min_s, max_d - min_d, max_l - min_l
+
+    best = member_indices[0]
+    best_hybrid = -1.0
+    for k, m in enumerate(member_indices):
+        h = 0.0
+        h += sw * (member_scores[k] - min_s) / s_range if s_range > 0 else sw
+        h += cw * (1.0 - (dists[k] - min_d) / d_range) if d_range > 0 else cw
+        h += lw * (lens[k] - min_l) / l_range if l_range > 0 else lw
+        if h > best_hybrid:
+            best_hybrid = h
+            best = m
+    return best
+
+
+def select_top_k(rep_indices: list[int], scores, k: int) -> list[int]:
+    """SelectTopK's literal strict-`>` double-loop sort + [:k]
+    (selector.go:241-262)."""
+    if len(rep_indices) <= k:
+        return list(rep_indices)
+    reps = list(rep_indices)
+    n = len(reps)
+    for i in range(n - 1):
+        for j in range(i + 1, n):
+            if scores[reps[j]] > scores[reps[i]]:
+                reps[i], reps[j] = reps[j], reps[i]
+    return reps[:k]

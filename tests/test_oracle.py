@@ -1,0 +1,195 @@
+"""Oracle conformance — agglomerative clustering, selector, MMR, K-Means.
+
+Fixtures use the reference's analytic pattern (memory_test.go:12-17):
+unit vectors (cos t, sin t, 0, ...) so cosine distance is exactly
+1 - cos(dt) and thresholds are testable in closed form:
+  dist 0.15  <=>  dt ~ 0.5548 rad
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from distill_ray.oracle.cluster import agglomerative_cluster, dup_pairs_from_labels
+from distill_ray.oracle.kmeans import kmeans_dedup
+from distill_ray.oracle.mmr import mmr_rerank, normalize_scores
+from distill_ray.oracle.selector import select_representative, select_top_k
+
+
+def angle_vec(theta: float, dim: int = 8) -> np.ndarray:
+    v = np.zeros(dim, dtype=np.float32)
+    v[0] = math.cos(theta)
+    v[1] = math.sin(theta)
+    return v
+
+
+def test_cluster_empty_and_single():
+    r = agglomerative_cluster([])
+    assert len(r.cluster_ids) == 0
+    r = agglomerative_cluster([angle_vec(0.0)])
+    assert list(r.cluster_ids) == [0]
+
+
+def test_cluster_no_embeddings():
+    r = agglomerative_cluster([np.empty(0)] * 3)
+    assert list(r.cluster_ids) == [0, 1, 2]  # cluster.go:105-122
+
+
+def test_cluster_two_groups():
+    # group A at ~0 rad, group B at ~2 rad; within-group dt=0.05 (dist ~0.00125)
+    embs = [angle_vec(t) for t in (0.0, 0.05, 2.0, 2.05, 0.02)]
+    r = agglomerative_cluster(embs, threshold=0.15)
+    ids = r.cluster_ids
+    assert ids[0] == ids[1] == ids[4]
+    assert ids[2] == ids[3]
+    assert ids[0] != ids[2]
+    # IDs assigned in ascending original-index order of survivors
+    assert ids[0] == 0 and ids[2] == 1
+
+
+def test_cluster_threshold_boundary():
+    # dt such that dist slightly above 0.15 -> no merge
+    dt = math.acos(1 - 0.151)
+    r = agglomerative_cluster([angle_vec(0), angle_vec(dt)], threshold=0.15)
+    assert r.cluster_ids[0] != r.cluster_ids[1]
+    # slightly below -> merge
+    dt = math.acos(1 - 0.149)
+    r = agglomerative_cluster([angle_vec(0), angle_vec(dt)], threshold=0.15)
+    assert r.cluster_ids[0] == r.cluster_ids[1]
+
+
+def test_cluster_missing_embedding_isolated():
+    embs = [angle_vec(0.0), np.empty(0), angle_vec(0.01)]
+    r = agglomerative_cluster(embs, threshold=0.15)
+    assert r.cluster_ids[0] == r.cluster_ids[2]
+    assert r.cluster_ids[1] != r.cluster_ids[0]
+
+
+def test_cluster_member_order_append_semantics():
+    # 0 and 1 merge first (closest), then 2 joins cluster 0
+    embs = [angle_vec(0.0), angle_vec(0.01), angle_vec(0.1)]
+    r = agglomerative_cluster(embs, threshold=0.15)
+    assert r.members == [[0, 1, 2]]
+
+
+def test_cluster_average_linkage_stops_chain():
+    # chain: 0-1 close, 1-2 close, 0-2 far; average linkage merges 0,1 then
+    # checks average({0,1},2) — construct so the average exceeds threshold
+    t = 0.55  # dist(0.55) ~ 0.147 < 0.15 ; dist(1.10) ~ 0.546
+    embs = [angle_vec(0.0), angle_vec(t), angle_vec(2 * t)]
+    r = agglomerative_cluster(embs, threshold=0.15)
+    # float32 rounding makes D[1,2] minutely smaller than D[0,1], so (1,2)
+    # merges first; then avg({1,2},0) = (0.546+0.147)/2 ~ 0.35 > 0.15 -> stop
+    assert r.cluster_ids[1] == r.cluster_ids[2]
+    assert r.cluster_ids[0] != r.cluster_ids[1]
+    # single linkage WOULD chain them
+    r2 = agglomerative_cluster(embs, threshold=0.15, linkage="single")
+    assert len(set(r2.cluster_ids)) == 1
+
+
+def test_cluster_min_max_clusters():
+    embs = [angle_vec(t) for t in (0.0, 0.01, 0.02, 0.03)]
+    r = agglomerative_cluster(embs, threshold=2.0, min_clusters=2)
+    assert len(r.members) == 2
+    r = agglomerative_cluster(embs, threshold=1e-9, max_clusters=0)
+    assert len(r.members) == 4
+
+
+def test_dup_pairs():
+    pairs = dup_pairs_from_labels(["a", "b", "c", "d"], [0, 0, 0, 1])
+    assert pairs == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+# --- selector ---------------------------------------------------------------
+
+def test_select_by_score_first_max_wins():
+    # strict `>` -> index 1 (first max in member order) wins over index 2
+    members = [0, 1, 2]
+    scores = {0: 0.1, 1: 0.9, 2: 0.9}
+    texts = {i: "t" for i in members}
+    embs = {i: angle_vec(0) for i in members}
+    assert select_representative(members, scores, texts, embs, None, "score") == 1
+
+
+def test_select_by_centroid():
+    members = [0, 1, 2]
+    embs = {0: angle_vec(0.0), 1: angle_vec(0.3), 2: angle_vec(0.1)}
+    centroid = angle_vec(0.1)
+    scores = {i: 0.0 for i in members}
+    texts = {i: "" for i in members}
+    assert (
+        select_representative(members, scores, texts, embs, centroid, "centroid") == 2
+    )
+
+
+def test_select_by_length():
+    members = [0, 1, 2]
+    texts = {0: "aa", 1: "aaaa", 2: "aaaa"}
+    scores = {i: 0.0 for i in members}
+    embs = {i: angle_vec(0) for i in members}
+    assert select_representative(members, scores, texts, embs, None, "length") == 1
+
+
+def test_select_top_k_strict_sort():
+    scores = {0: 0.5, 1: 0.9, 2: 0.9, 3: 0.1}
+    out = select_top_k([0, 1, 2, 3], scores, 2)
+    assert out == [1, 2]
+
+
+# --- MMR --------------------------------------------------------------------
+
+def test_mmr_passthrough_when_small():
+    assert mmr_rerank([1.0, 2.0], [angle_vec(0), angle_vec(1)], 0.5, 8) == [0, 1]
+
+
+def test_mmr_normalize_all_equal():
+    assert list(normalize_scores([3.0, 3.0, 3.0])) == [1.0, 1.0, 1.0]
+
+
+def test_mmr_prefers_diverse():
+    # three near-identical high-score vectors + one distinct lower-score:
+    # with lambda=0.5 the distinct one must appear in the top-3
+    embs = [angle_vec(0.0), angle_vec(0.01), angle_vec(0.02), angle_vec(2.5)]
+    scores = [1.0, 0.99, 0.98, 0.5]
+    sel = mmr_rerank(scores, embs, lam=0.5, target_k=3)
+    assert sel[0] == 0  # highest relevance picked first
+    assert 3 in sel  # diversity pulls in the distinct vector
+
+
+# --- K-Means dedup engine ----------------------------------------------------
+
+def test_kmeans_dedup_prunes_near_medoid():
+    """Reference prune semantics (kmeans.go:311-351): the medoid is always
+    kept; OTHER members are dropped iff within threshold of the MEDOID
+    (not pairwise). Two tight clusters of copies collapse to one vector
+    each."""
+    base = np.array([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8], dtype=np.float32)
+    ones = np.ones(8, dtype=np.float32)
+    vecs = [base, base.copy(), base + 0.0001, base.copy(), ones, ones.copy(), ones.copy(), ones + 0.0001]
+    # N=8 -> K = floor(sqrt(4)) = 2; the two directions are far apart so
+    # Lloyd separates them; within each cluster everything sits on the medoid
+    res = kmeans_dedup(vecs, threshold=0.05, seed=1)
+    kept = set(res.unique_indices)
+    assert len(kept & {0, 1, 2, 3}) == 1
+    assert len(kept & {4, 5, 6, 7}) == 1
+    assert res.duplicate_count == 6
+
+
+def test_kmeans_dedup_keeps_distinct():
+    """Members beyond the threshold from the medoid survive."""
+    vecs = [np.eye(8, dtype=np.float32)[i] for i in range(4)]
+    res = kmeans_dedup(vecs, threshold=0.05, k=1, seed=1)
+    assert sorted(res.unique_indices) == [0, 1, 2, 3]
+    assert res.duplicate_count == 0
+
+
+def test_kmeans_deterministic_with_seed():
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    a = kmeans_dedup(vecs, seed=7)
+    b = kmeans_dedup(vecs, seed=7)
+    assert a.unique_indices == b.unique_indices
+    assert np.array_equal(a.assignments, b.assignments)

@@ -1,0 +1,111 @@
+"""Sketching kernels: MinHash ~ Jaccard, SimHash ~ similarity, shingles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from distill_ray.kernels.embed import embed_texts, tokenize_series
+from distill_ray.kernels.sketch import (
+    hamming_distance64,
+    jaccard_shingles,
+    lsh_band_keys,
+    minhash_seeds,
+    minhash_signatures,
+    shingle_hashes,
+    simhash64,
+)
+from distill_ray.kernels.textproc import tokenize_words
+from distill_ray.kernels.vmath import cosine_distance
+
+
+def _sketch(texts, k=3, num_perm=128):
+    s = pd.Series(texts)
+    th, dl = tokenize_series(s)
+    sh, spd = shingle_hashes(th, dl, k)
+    seeds = minhash_seeds(num_perm)
+    sig = minhash_signatures(sh, spd, seeds)
+    return th, dl, sh, spd, sig
+
+
+def test_shingle_counts():
+    th, dl, sh, spd, _ = _sketch(["a b c d e", "a b", "", "one"])
+    assert list(dl) == [5, 2, 0, 1]
+    assert list(spd) == [3, 1, 0, 1]  # 5-3+1, short->1, empty->0, short->1
+
+
+def test_identical_texts_identical_signatures():
+    *_, sig = _sketch(["the same exact text here ok", "the same exact text here ok"])
+    assert np.array_equal(sig[0], sig[1])
+
+
+def test_minhash_estimates_jaccard():
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    b = a.replace("delta", "DELTAX").replace("kappa", "KAPPAX")
+    c = "totally different words nothing shared whatsoever in common at all"
+    *_, sig = _sketch([a, b, c], k=3, num_perm=256)
+    est_ab = float((sig[0] == sig[1]).mean())
+    est_ac = float((sig[0] == sig[2]).mean())
+    true_ab = jaccard_shingles(tokenize_words(a), tokenize_words(b), 3)
+    assert est_ab == pytest.approx(true_ab, abs=0.12)
+    assert est_ac < 0.05
+
+
+def test_lsh_bands_catch_near_dups():
+    a = " ".join(f"tok{i}" for i in range(40))
+    b = a.replace("tok7", "zzz")  # 1/40 substitution -> very high jaccard
+    c = " ".join(f"other{i}" for i in range(40))
+    *_, sig = _sketch([a, b, c])
+    bands = lsh_band_keys(sig, 32)
+    shared_ab = int((bands[0] == bands[1]).sum())
+    shared_ac = int((bands[0] == bands[2]).sum())
+    assert shared_ab >= 1
+    assert shared_ac == 0
+
+
+def test_simhash_hamming():
+    texts = [
+        " ".join(f"tok{i}" for i in range(60)),
+        " ".join(f"tok{i}" if i != 30 else "zzz" for i in range(60)),
+        " ".join(f"unrelated{i}" for i in range(60)),
+    ]
+    s = pd.Series(texts)
+    th, dl = tokenize_series(s)
+    sims = simhash64(th, dl)
+    d_near = hamming_distance64(sims[:1], sims[1:2])[0]
+    d_far = hamming_distance64(sims[:1], sims[2:3])[0]
+    assert d_near < d_far
+    assert d_near <= 10
+    assert hamming_distance64(sims[:1], sims[:1])[0] == 0
+
+
+def test_embed_near_dup_cosine():
+    a = " ".join(f"tok{i}" for i in range(40))
+    b = a.replace("tok7", "zzz")
+    c = " ".join(f"other{i}" for i in range(40))
+    embs = embed_texts([a, b, c], dim=64)
+    assert cosine_distance(embs[0], embs[1]) < 0.15
+    assert cosine_distance(embs[0], embs[2]) > 0.5
+    # unit norm
+    assert np.linalg.norm(embs[0]) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_embed_empty_is_zero():
+    embs = embed_texts(["", "something here"], dim=32)
+    assert np.all(embs[0] == 0)
+    assert cosine_distance(embs[0], embs[1]) == 2.0  # never merged
+
+
+def test_embed_deterministic_across_calls():
+    a = embed_texts(["hello world foo bar"], dim=64)
+    b = embed_texts(["hello world foo bar"], dim=64)
+    assert np.array_equal(a, b)
+
+
+def test_tokenizer_parity_with_scalar():
+    texts = ['Hello, World! (x) "q"', "", "  spaced   out  ", "ok."]
+    s = pd.Series(texts)
+    th, dl = tokenize_series(s)
+    expected = [tokenize_words(t) for t in texts]
+    assert list(dl) == [len(e) for e in expected]

@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in distill_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- entry(): flagship near-dup detection + clustering pipeline over a
+  transcript table deterministically derived from /root/testdata/sf0.001
+  documents (schema per BASELINE.json input_hint).
+- queries(): one entry per implemented operator/pipeline (SURVEY.md §2).
+- oracle_sql(): DuckDB-equivalent SQL for the SQL-expressible subset;
+  non-SQL ops (LSH dedup, K-Means, MMR, compression, fingerprints, langid,
+  multimodal stub) are rows-only by design.
 """
 
 from __future__ import annotations
@@ -21,24 +20,82 @@ from typing import Any
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from distill_ray.pipelines.dedup import run_dedup
+    from distill_ray.sources.transcripts import transcripts_from_documents
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pandas()
+    transcripts = transcripts_from_documents(docs, seed=42)
+    res = run_dedup(rd.from_pandas(transcripts))
+    return res.assignments
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from distill_ray.pipelines import queries as q
+    from distill_ray.pipelines import queries_ops as qo
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / aggregate surface (SQL-checked)
+        "q1_pricing_summary": q.q1_pricing_summary,
+        "exact_dedup_docs": q.q_exact_dedup_docs,
+        "dup_pairs_exact_docs": q.q_dup_pairs_exact_docs,
+        "token_counts_docs": q.q_token_counts_docs,
+        "sentence_counts_docs": q.q_sentence_counts_docs,
+        "lang_stats": q.q_lang_stats,
+        "filter_long_docs": q.q_filter_long_docs,
+        "distinct_langs": q.q_distinct_langs,
+        "sensitivity_docs": q.q_sensitivity_docs,
+        "importance_docs": q.q_importance_docs,
+        "events_hourly": q.q_events_hourly,
+        "top_events": q.q_top_events,
+        "events_type_stats": q.q_events_type_stats,
+        "revenue_by_nation": q.q_revenue_by_nation,
+        "embedding_centroids": q.q_embedding_centroids,
+        "knn_query": q.q_knn_query,
+        "memory_recall_rank": q.q_memory_recall_rank,
+        "quality_docs": qo.q_quality_docs,
+        "bpe_token_counts": qo.q_bpe_token_counts,
+        "embedding_near_dups": qo.q_embedding_near_dups,
+        # dedup / operator surface (rows-only checks)
+        "near_dup_clusters_docs": qo.q_near_dup_clusters_docs,
+        "near_dup_pairs_docs": qo.q_near_dup_pairs_docs,
+        "simhash_docs": qo.q_simhash_docs,
+        "ngram_jaccard_topk": qo.q_ngram_jaccard_topk,
+        "kmeans_dedup_embeddings": qo.q_kmeans_dedup_embeddings,
+        "mmr_top8": qo.q_mmr_top8,
+        "langid_docs": qo.q_langid_docs,
+        "fingerprint_docs": qo.q_fingerprint_docs,
+        "compress_extractive_docs": qo.q_compress_extractive_docs,
+        "prune_docs": qo.q_prune_docs,
+        "multimodal_stub": qo.q_multimodal_stub,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from distill_ray.pipelines import queries as q
+    from distill_ray.pipelines import queries_ops as qo
+
+    return {
+        "q1_pricing_summary": q.Q1_SQL,
+        "exact_dedup_docs": q.EXACT_DEDUP_DOCS_SQL,
+        "dup_pairs_exact_docs": q.DUP_PAIRS_EXACT_SQL,
+        "token_counts_docs": q.TOKEN_COUNTS_SQL,
+        "sentence_counts_docs": q.SENTENCE_COUNTS_SQL,
+        "lang_stats": q.LANG_STATS_SQL,
+        "filter_long_docs": q.FILTER_LONG_DOCS_SQL,
+        "distinct_langs": q.DISTINCT_LANGS_SQL,
+        "sensitivity_docs": q.SENSITIVITY_SQL,
+        "importance_docs": q.IMPORTANCE_SQL,
+        "events_hourly": q.EVENTS_HOURLY_SQL,
+        "top_events": q.TOP_EVENTS_SQL,
+        "events_type_stats": q.EVENTS_TYPE_STATS_SQL,
+        "revenue_by_nation": q.REVENUE_BY_NATION_SQL,
+        "embedding_centroids": q.EMBEDDING_CENTROIDS_SQL,
+        "knn_query": q.KNN_QUERY_SQL,
+        "memory_recall_rank": q.MEMORY_RECALL_SQL,
+        "quality_docs": qo.QUALITY_DOCS_SQL,
+        "bpe_token_counts": qo.BPE_TOKEN_COUNTS_SQL,
+        "embedding_near_dups": qo.EMBEDDING_NEAR_DUPS_SQL,
+    }

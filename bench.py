@@ -1,0 +1,139 @@
+"""Benchmark harness.
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+with ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE
+JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "throughput_rows_per_s": ...}
+
+--scaling: runs the headline dedup pipeline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
+plus scaling efficiency = (t8 / t32) / 4.
+
+The headline pipeline is the flagship transcript near-dup job over a
+deterministic synthetic transcript table (~1M turns for sf0.1), generated
+once and cached under /tmp/distill_ray_bench.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# transcripts scale with the sf dir (sf0.1 -> ~1M turns)
+_SF_TO_CONVS = {"sf0.001": 1_000, "sf0.01": 12_000, "sf0.1": 125_000}
+TURNS_PER_CONV = 8
+
+
+def _sf_name() -> str:
+    return os.path.basename(SF_DIR.rstrip("/"))
+
+
+def transcripts_path() -> str:
+    from distill_ray.sources.transcripts import write_transcripts_parquet
+
+    n_convs = _SF_TO_CONVS.get(_sf_name(), 12_000)
+    path = f"/tmp/distill_ray_bench/transcripts_{_sf_name()}.parquet"
+    return write_transcripts_parquet(path, n_convs, TURNS_PER_CONV, seed=42)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    path = transcripts_path()
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    with open(path, "rb") as f:
+        while f.read(1 << 24):
+            pass
+
+    from distill_ray.pipelines.dedup import run_dedup
+    from distill_ray.pipelines import queries as q
+
+    timings: dict[str, float] = {}
+
+    n_rows = rd.read_parquet(path).count()
+
+    t0 = time.time()
+    res = run_dedup(rd.read_parquet(path))
+    n_out = res.assignments.count()
+    timings["dedup_transcripts"] = round(time.time() - t0, 3)
+    assert n_out == n_rows, f"row coverage {n_out} != {n_rows}"
+
+    for name, fn in [
+        ("q1_pricing_summary", q.q1_pricing_summary),
+        ("events_hourly", q.q_events_hourly),
+        ("revenue_by_nation", q.q_revenue_by_nation),
+        ("exact_dedup_docs", q.q_exact_dedup_docs),
+        ("knn_query", q.q_knn_query),
+    ]:
+        t0 = time.time()
+        out = fn(SF_DIR)
+        if hasattr(out, "count"):
+            out.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline pipelines wall time (dedup 1M-turn transcripts + 5 queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_name(),
+        "num_cpus": NUM_CPUS,
+        "transcript_rows": n_rows,
+        "throughput_rows_per_s": round(n_rows / timings["dedup_transcripts"], 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo = r_lo["queries"]["dedup_transcripts"]
+    t_hi = r_hi["queries"]["dedup_transcripts"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "dedup pipeline scaling 8 -> 32 CPUs",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "rows": r_lo["transcript_rows"],
+        "throughput_8": round(r_lo["transcript_rows"] / t_lo, 1),
+        "throughput_32": round(r_hi["transcript_rows"] / t_hi, 1),
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -28,11 +28,19 @@ class DedupConfig:
     select_strategy: str = "score"   # representative selection (selector.go:45-52)
 
     # --- scale-path (MinHash/LSH/SimHash) parameters, ours to design ---
-    shingle_k: int = 3               # word n-gram shingle size over the M6 tokenizer
+    # shingle_k=1 (token-set shingles): the verification contract is
+    # bag-of-words cosine at distance 0.15, and unigram Jaccard tracks that
+    # metric tightly; word n-grams (k>=2) under-estimate it badly on short
+    # turns (one substitution kills k shingles) and cost ~14 recall points.
+    # Set k>=2 only for order-sensitive near-dup definitions.
+    shingle_k: int = 1
     num_perm: int = 128              # MinHash permutations
     lsh_bands: int = 32              # b bands of r = num_perm // b rows
     simhash_bits: int = 64
-    simhash_hamming_max: int = 6     # cheap pre-verify gate before exact cosine
+    # SimHash pre-verify gate: loose by design — on short texts small edits
+    # flip many bits; the gate only sheds pathological band collisions, the
+    # exact cosine verify is the real filter.
+    simhash_hamming_max: int = 20
     embed_dim: int = 64              # deterministic feature-hash embedding dim
     band_group_cap: int = 512        # max rows considered per (band, hash) group (hot-band cap)
     pair_sample_salt: int = 0x9E3779B97F4A7C15
@@ -41,6 +49,13 @@ class DedupConfig:
     batch_size: int = 4096
     signer_concurrency: int = 8      # MinHash/SimHash actor pool size
     max_component_size: int = 4096   # split pathological components beyond this
+    # Coarse shuffle-bucket count: wide steps group by `key % shuffle_buckets`
+    # and run a VECTORIZED within-bucket kernel (pandas groupby/numpy) instead
+    # of one Python call per fine-grained group — Ray's map_groups costs
+    # ~100us per group, fatal with millions of band/hash/pair groups. Scale
+    # with cluster size (≈ 4-8x total cores; bounded partitions are what
+    # matter, the kernel is O(bucket)).
+    shuffle_buckets: int = 128
 
     def config_hash(self) -> str:
         """Stable hash of the config for checkpoint manifests."""

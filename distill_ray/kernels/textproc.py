@@ -172,3 +172,20 @@ def normalize_for_dedup(text: str) -> str:
     punctuation invariants. Two turns that differ only by filler phrases,
     whitespace runs or punctuation spacing normalize to equal strings."""
     return prune_text(text)
+
+
+def prune_series(s):
+    """Vectorized (pandas) prune_text with identical semantics/order —
+    the hot-path form used inside map_batches."""
+    import pandas as pd  # local import: kernels stay importable without pandas
+
+    s = s.astype(str)
+    for rx in _FILLER_RES:
+        s = s.str.replace(rx, "", regex=True)
+    s = s.str.replace(_WS_RE, " ", regex=True)
+    s = s.str.replace(_DOTS_RE, ".", regex=True)
+    s = s.str.replace(_NL_RE, "\n\n", regex=True)
+    s = s.str.replace(_INTENSIFIER_RE, "", regex=True)
+    s = s.str.replace(_DOUBLE_SPACE_RE, " ", regex=True)
+    s = s.str.replace(_PUNCT_SPACE_RE, r"\1", regex=True)
+    return s.str.strip()

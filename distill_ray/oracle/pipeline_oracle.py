@@ -1,0 +1,143 @@
+"""End-to-end dedup oracle over a pandas transcript frame.
+
+The judged contract (two-level, mirroring the reference's own pipeline
+composition — SURVEY.md §3.1 / §7.1):
+
+  1. exact dedup: first-wins per NORMALIZED text in stable (conv_id,
+     turn_idx) order (C11/M14 semantics),
+  2. semantic clustering of the canonical rows: the reference agglomerative
+     algorithm (C2) at threshold/linkage on deterministic embeddings,
+  3. exact duplicates inherit their canonical row's cluster.
+
+Two implementations:
+
+- ``oracle_dedup_small``: ONE global agglomerative run — the literal
+  reference semantics; O(N^2) memory / O(N^3)-ish time, small N only.
+- ``oracle_dedup_graph``: exact all-pairs <=threshold graph -> connected
+  components -> per-component agglomerative. Equal output to the global run
+  (merges never cross components under a fixed threshold; see
+  stages/refine.py docstring) but scales to tens of thousands of rows.
+  ``test_dedup_pipeline.py`` asserts the equality on small inputs and then
+  measures the Ray pipeline's dup-pair recall against this oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from distill_ray.config import DedupConfig
+from distill_ray.kernels.embed import embed_texts
+from distill_ray.kernels.textproc import prune_text
+from distill_ray.oracle.cluster import agglomerative_cluster
+from distill_ray.oracle.selector import select_representative
+from distill_ray.stages.dedup_stages import TURN_PAD
+
+
+def _prep_frame(df: pd.DataFrame) -> pd.DataFrame:
+    out = pd.DataFrame(
+        {
+            "rid": df["conv_id"].astype(str)
+            + ":"
+            + df["turn_idx"].astype(int).astype(str).str.zfill(TURN_PAD),
+            "norm_text": [prune_text(t) for t in df["text"].astype(str)],
+        }
+    )
+    return out.sort_values("rid", kind="mergesort").reset_index(drop=True)
+
+
+def _assign(uniques: pd.DataFrame, labels: np.ndarray, members_lists, embs, cfg) -> pd.DataFrame:
+    rids = uniques["rid"].to_numpy()
+    n = len(uniques)
+    cluster_ids = np.empty(n, dtype=object)
+    is_rep = np.zeros(n, dtype=bool)
+    scores = {i: 0.0 for i in range(n)}
+    texts = {i: t for i, t in enumerate(uniques["norm_text"].to_numpy())}
+    embs_map = {i: embs[i] for i in range(n)}
+    for members in members_lists:
+        min_rid = min(rids[m] for m in members)
+        member_embs = [embs[m] for m in members]
+        centroid = (
+            np.mean(np.stack(member_embs).astype(np.float64), axis=0).astype(np.float32)
+            if len(member_embs)
+            else None
+        )
+        rep = select_representative(
+            members, scores, texts, embs_map, centroid, cfg.select_strategy
+        )
+        for m in members:
+            cluster_ids[m] = min_rid
+        is_rep[rep] = True
+    return pd.DataFrame({"rid": rids, "cluster_id": cluster_ids, "is_representative": is_rep})
+
+
+def _fold_dups(prep: pd.DataFrame, unique_assign: pd.DataFrame) -> pd.DataFrame:
+    canon = prep.groupby("norm_text", sort=False)["rid"].transform("first")
+    prep = prep.assign(canon_rid=canon)
+    merged = prep.merge(
+        unique_assign.rename(columns={"rid": "canon_rid"}), on="canon_rid", how="left"
+    )
+    merged.loc[merged["rid"] != merged["canon_rid"], "is_representative"] = False
+    return merged[["rid", "cluster_id", "is_representative"]]
+
+
+def oracle_dedup_small(df: pd.DataFrame, cfg: DedupConfig | None = None) -> pd.DataFrame:
+    cfg = cfg or DedupConfig()
+    prep = _prep_frame(df)
+    uniques = prep.drop_duplicates("norm_text", keep="first").reset_index(drop=True)
+    embs = embed_texts(uniques["norm_text"], cfg.embed_dim)
+    res = agglomerative_cluster(list(embs), threshold=cfg.threshold, linkage=cfg.linkage)
+    unique_assign = _assign(uniques, res.cluster_ids, res.members, embs, cfg)
+    return _fold_dups(prep, unique_assign)
+
+
+def oracle_dedup_graph(df: pd.DataFrame, cfg: DedupConfig | None = None) -> pd.DataFrame:
+    cfg = cfg or DedupConfig()
+    prep = _prep_frame(df)
+    uniques = prep.drop_duplicates("norm_text", keep="first").reset_index(drop=True)
+    n = len(uniques)
+    embs = embed_texts(uniques["norm_text"], cfg.embed_dim)
+
+    # exact <=threshold graph via blocked matmul (embeddings are unit or zero)
+    mat = embs.astype(np.float64)
+    norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+    nz = norms > 0
+    comp = np.arange(n)  # union-find over exact edges
+
+    def find(x):
+        while comp[x] != x:
+            comp[x] = comp[comp[x]]
+            x = comp[x]
+        return x
+
+    block = 2048
+    for s in range(0, n, block):
+        sub = mat[s : s + block]
+        sims = sub @ mat.T
+        with np.errstate(invalid="ignore", divide="ignore"):
+            denom = np.outer(norms[s : s + block], norms)
+            sims = np.where(denom > 0, sims / np.where(denom == 0, 1.0, denom), -1.0)
+        sims = np.clip(sims, -1.0, 1.0)
+        dist = 1.0 - sims
+        ii, jj = np.nonzero(dist <= cfg.threshold)
+        for i, j in zip(ii + s, jj):
+            if i < j and nz[i] and nz[j]:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    comp[max(ri, rj)] = min(ri, rj)
+    roots = np.array([find(i) for i in range(n)])
+
+    # per-component exact agglomerative (rows in rid order within component)
+    all_members: list[list[int]] = []
+    labels = np.empty(n, dtype=np.int64)
+    for root in np.unique(roots):
+        idx = np.flatnonzero(roots == root)  # ascending == rid order
+        if len(idx) == 1:
+            all_members.append([int(idx[0])])
+            continue
+        sub_embs = [embs[i] for i in idx]
+        res = agglomerative_cluster(sub_embs, threshold=cfg.threshold, linkage=cfg.linkage)
+        for members in res.members:
+            all_members.append([int(idx[m]) for m in members])
+    unique_assign = _assign(uniques, labels, all_members, embs, cfg)
+    return _fold_dups(prep, unique_assign)

@@ -1,0 +1,271 @@
+"""Flagship pipeline: near-duplicate detection + clustering over transcripts.
+
+  read -> P1 normalize -> P2 exact dedup -> P5 sketch (actor pool) ->
+  P6 LSH candidates -> P7 cosine verify -> P8 components -> P9 exact
+  refinement + representatives -> assignments
+
+Matches the reference's dedup contract (threshold 0.15, average linkage,
+first-wins exact dedup, score-strategy representatives with first-max
+tie-break) at MinHash/LSH scale. See stages/ for the per-stage docs.
+
+Execution design (the scale story):
+
+- Wide steps shuffle by COARSE bucket (`key % shuffle_buckets`) and run a
+  vectorized kernel inside each bucket, never one Python call per
+  fine-grained group (band bucket / text hash / pair): Ray's map_groups
+  costs ~100us per group, which at millions of groups dominated wall time
+  by 50x in the first implementation.
+- Rows with no verified edges (the vast majority after exact dedup) BYPASS
+  the component shuffle entirely — they are singleton clusters by
+  definition.
+- Component labels: driver union-find + broadcast lookup when the verified
+  edge set is small (it is sparse by construction at threshold 0.15);
+  distributed hash-min label propagation + a hash join above the driver
+  limit.
+- The two embedding joins for pair verification are hash-shuffle joins over
+  the (small) candidate pair set, executed sequentially so their aggregator
+  actors never starve map stages (observed deadlock on small CPU counts).
+
+Shuffle budget (SURVEY.md §7.4): bucketed text-hash groupby (P2), bucketed
+band groupby + bucketed pair-dedupe (P6), two pair joins (P7), the
+component loop or broadcast (P8), bucketed component groupby (P9).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+
+from distill_ray.config import DedupConfig
+from distill_ray.kernels.hashing import stable_hash64
+from distill_ray.stages.components import connected_components, union_find_labels
+from distill_ray.stages.dedup_stages import (
+    BandPairBucket,
+    Sketcher,
+    dedupe_pairs_bucket,
+    exact_dedup_bucket,
+    make_add_text_hash,
+    make_expand_bands,
+    prep_batch,
+    verify_pairs_batch,
+)
+from distill_ray.stages.refine import ComponentBucketRefiner
+
+
+def _named(fn, name: str):
+    """map_groups requires a __name__ on the UDF; name callable instances."""
+    def wrapper(g):
+        return fn(g)
+
+    wrapper.__name__ = name
+    return wrapper
+
+
+def _rename(cols):
+    def rename_batch(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns=cols)
+
+    return rename_batch
+
+
+@dataclass
+class DedupRunResult:
+    assignments: rd.Dataset  # rid, conv_id, turn_idx, cluster_id, is_representative
+    edges: rd.Dataset        # verified (a, b) pairs at <= threshold
+    stats: dict = field(default_factory=dict)
+
+
+def run_dedup(
+    transcripts: rd.Dataset,
+    cfg: DedupConfig | None = None,
+    *,
+    num_join_partitions: int = 16,
+    collect_stats: bool = False,
+    component_mode: str = "auto",  # auto | distributed
+    driver_component_limit: int = 2_000_000,
+) -> DedupRunResult:
+    cfg = cfg or DedupConfig()
+    stats: dict = {}
+    B = cfg.shuffle_buckets
+
+    # size join parallelism to the cluster: each hash-shuffle join reserves
+    # aggregator CPUs; on small clusters too many partitions starve the map
+    # stages (observed deadlock at 4 CPUs with 16 partitions)
+    total_cpus = int(ray.cluster_resources().get("CPU", 8))
+    num_join_partitions = min(num_join_partitions, max(2, total_cpus // 2))
+
+    # P1 — normalize (stateless tasks)
+    prep = transcripts.map_batches(prep_batch, batch_format="pandas",
+                                   batch_size=cfg.batch_size)
+
+    # P2 — exact dedup: first-wins per normalized text (bucketed shuffle)
+    canon = (
+        prep.map_batches(make_add_text_hash(B), batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(exact_dedup_bucket, batch_format="pandas")
+        .drop_columns(["h"])
+    )
+
+    def split_uniques(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["rid"] == df["canon_rid"]].drop(columns=["canon_rid"])
+
+    def split_dups(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["rid"] != df["canon_rid"],
+                      ["rid", "conv_id", "turn_idx", "canon_rid"]]
+
+    canon = canon.materialize()
+    uniques = canon.map_batches(split_uniques, batch_format="pandas")
+    dups = canon.map_batches(split_dups, batch_format="pandas")
+
+    # P5 — sketch: embeddings + MinHash bands + SimHash (actor pool).
+    # Materialized: it feeds band expansion, the verify joins, and the
+    # refinement rows (this is also the natural signature checkpoint).
+    sk = uniques.map_batches(
+        Sketcher, fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pandas", batch_size=cfg.batch_size,
+        concurrency=cfg.signer_concurrency,
+    ).materialize()
+
+    # P6 — LSH candidate pairs (bucketed band groupby -> bucketed pair dedupe)
+    pairs = (
+        sk.map_batches(make_expand_bands(B), batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_named(BandPairBucket(cfg), "band_pairs"), batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(dedupe_pairs_bucket, batch_format="pandas")
+    ).materialize()
+
+    # P7 — exact cosine verification via two embedding joins (sequential so
+    # each join's aggregators get the full CPU budget)
+    emb_a = sk.select_columns(["rid", "emb"]).map_batches(
+        _rename({"rid": "a", "emb": "emb_a"}), batch_format="pandas"
+    )
+    emb_b = sk.select_columns(["rid", "emb"]).map_batches(
+        _rename({"rid": "b", "emb": "emb_b"}), batch_format="pandas"
+    )
+    if pairs.count() > 0:
+        with_a = pairs.join(
+            emb_a, "inner", num_partitions=num_join_partitions, on=("a",)
+        ).materialize()
+        with_b = with_a.join(emb_b, "inner", num_partitions=num_join_partitions, on=("b",))
+        edges = with_b.map_batches(
+            lambda df: verify_pairs_batch(df, cfg.threshold), batch_format="pandas"
+        ).materialize()
+        n_edges = edges.count()
+    else:
+        edges = rd.from_pandas(
+            pd.DataFrame({"a": pd.Series(dtype=object), "b": pd.Series(dtype=object)})
+        )
+        n_edges = 0
+
+    # P8 — connected components
+    use_driver_labels = (
+        component_mode != "distributed" and n_edges <= driver_component_limit
+    )
+    if use_driver_labels:
+        labels_df = (
+            union_find_labels(edges.to_pandas())
+            if n_edges
+            else pd.DataFrame({"node": pd.Series(dtype=object),
+                               "label": pd.Series(dtype=object)})
+        )
+        labels_ref = ray.put(dict(zip(labels_df["node"], labels_df["label"])))
+
+        class AttachLabels:
+            def __init__(self, ref):
+                self.lookup = ray.get(ref)
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                df = df[["rid", "conv_id", "turn_idx", "norm_text", "emb"]].copy()
+                df["component"] = df["rid"].map(self.lookup)
+                return df
+
+        rows = sk.map_batches(
+            AttachLabels, fn_constructor_kwargs={"ref": labels_ref},
+            batch_format="pandas", concurrency=max(2, total_cpus // 4),
+        )
+    else:
+        labels = connected_components(edges)
+        rows = sk.select_columns(
+            ["rid", "conv_id", "turn_idx", "norm_text", "emb"]
+        ).join(
+            labels, "left_outer", num_partitions=num_join_partitions,
+            on=("rid",), right_on=("node",),
+        )
+
+        def fill(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            lbl = df["label"] if "label" in df else pd.Series([None] * len(df))
+            df["component"] = lbl.where(lbl.notna(), None)
+            return df[["rid", "conv_id", "turn_idx", "norm_text", "emb", "component"]]
+
+        rows = rows.map_batches(fill, batch_format="pandas")
+
+    # P9 — singleton bypass + bucketed exact refinement
+    def singles_out(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[df["component"].isna()]
+        return pd.DataFrame(
+            {
+                "rid": s["rid"],
+                "conv_id": s["conv_id"],
+                "turn_idx": s["turn_idx"],
+                "cluster_id": s["rid"],
+                "is_representative": np.ones(len(s), dtype=bool),
+            }
+        )
+
+    def labeled_out(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["component"].notna()].copy()
+        if l.empty:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in
+                 [("rid", object), ("conv_id", object), ("turn_idx", "int32"),
+                  ("norm_text", object), ("emb", object), ("component", object),
+                  ("cbucket", "int32")]}
+            )
+        l["cbucket"] = (
+            stable_hash64(l["component"].to_numpy()) % np.uint64(B)
+        ).astype(np.int32)
+        return l
+
+    rows = rows.materialize()
+    single_assign = rows.map_batches(singles_out, batch_format="pandas")
+    refined = (
+        rows.map_batches(labeled_out, batch_format="pandas")
+        .groupby("cbucket")
+        .map_groups(_named(ComponentBucketRefiner(cfg), "refine_components"),
+                    batch_format="pandas")
+    )
+    assignments = refined.union(single_assign).materialize()
+
+    # fold exact duplicates back onto their canonical row's cluster
+    if dups.count() > 0:
+        canon_assign = assignments.select_columns(["rid", "cluster_id"]).map_batches(
+            _rename({"rid": "canon_rid"}), batch_format="pandas"
+        )
+        dup_assign = dups.join(
+            canon_assign, "inner", num_partitions=num_join_partitions, on=("canon_rid",)
+        )
+
+        def dup_rows(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[["rid", "conv_id", "turn_idx", "cluster_id"]].copy()
+            out["is_representative"] = False
+            return out
+
+        assignments = assignments.union(
+            dup_assign.map_batches(dup_rows, batch_format="pandas")
+        )
+
+    if collect_stats:
+        stats["input_rows"] = transcripts.count()
+        stats["unique_rows"] = sk.count()
+        stats["candidate_pairs"] = pairs.count()
+        stats["edges"] = n_edges
+        stats["driver_labels"] = use_driver_labels
+
+    return DedupRunResult(assignments=assignments, edges=edges, stats=stats)

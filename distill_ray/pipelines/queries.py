@@ -1,0 +1,611 @@
+"""Relational/operator queries over the driver testdata tables.
+
+Each ``q_*`` function takes ``sf_dir`` and returns a Dataset / DataFrame /
+Table; ``__ray_entry__.queries()`` exposes them, and ``oracle_sql()`` holds
+the DuckDB-equivalent SQL for the SQL-expressible subset. Column names and
+rounding are defined identically on both sides (the driver sorts columns by
+name and hashes values).
+
+Patterns demonstrated (SURVEY.md §2.4 and the Ray-first idioms):
+  - column-pruned reads (read_parquet(columns=...))
+  - partial (combiner) aggregation inside map_batches before the groupby
+  - broadcast joins for small dimension tables (ray.put once, merge per batch)
+  - sort + tiebreaker + limit for top-k
+  - vectorized pyarrow/numpy per-batch kernels, no per-row Python
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from distill_ray.kernels.importance import score_importance_batch
+from distill_ray.kernels.sensitivity import classify_batch
+
+# ---------------------------------------------------------------------------
+# lineitem
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-style pricing summary with per-batch partial aggregation."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return g.reset_index()
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    agg["avg_qty"] = (agg["sum_qty"] / agg["count_order"]).round(6)
+    agg["avg_price"] = (agg["sum_base_price"] / agg["count_order"]).round(6)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        agg[c] = agg[c].round(2)
+    agg["count_order"] = agg["count_order"].astype("int64")
+    return agg
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                         AS sum_qty,
+       round(sum(l_extendedprice), 2)                    AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_quantity) / count(*), 6)              AS avg_qty,
+       round(sum(l_extendedprice) / count(*), 6)         AS avg_price,
+       count(*)                                          AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents: dedup / text ops
+
+
+def q_exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """First-wins exact dedup keepers (min doc_id per text group)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
+        from distill_ray.kernels.hashing import stable_hash64
+
+        df = df.copy()
+        df["h"] = stable_hash64(df["text"].to_numpy()).view(np.int64)
+        return df
+
+    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.sort_values("doc_id").groupby("text", sort=False)["doc_id"].min()
+        return pd.DataFrame({"doc_id": keep.to_numpy()})
+
+    return (
+        ds.map_batches(hash_batch, batch_format="pandas")
+        .groupby("h")
+        .map_groups(first_wins, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+EXACT_DEDUP_DOCS_SQL = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def q_dup_pairs_exact_docs(sf_dir: str) -> pd.DataFrame:
+    """All exact-duplicate pairs (a < b) by text equality."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
+        from distill_ray.kernels.hashing import stable_hash64
+
+        df = df.copy()
+        df["h"] = stable_hash64(df["text"].to_numpy()).view(np.int64)
+        return df
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby("text", sort=False):
+            ids = np.sort(grp["doc_id"].to_numpy())
+            if len(ids) > 1:
+                ia, ib = np.triu_indices(len(ids), k=1)
+                out_a.append(ids[ia])
+                out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+        return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
+
+    out = (
+        ds.map_batches(hash_batch, batch_format="pandas")
+        .groupby("h")
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        # all-empty group outputs can lose the schema entirely
+        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+DUP_PAIRS_EXACT_SQL = """
+SELECT d1.doc_id AS a, d2.doc_id AS b
+FROM documents d1 JOIN documents d2 ON d1.text = d2.text AND d1.doc_id < d2.doc_id
+"""
+
+
+def q_token_counts_docs(sf_dir: str) -> rd.Dataset:
+    """Reference token estimator (bytes+3)//4 per doc (M3)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def est(t: pa.Table) -> pa.Table:
+        n = pc.binary_length(t["text"])  # byte length, matching Go len()
+        tok = pc.cast(pc.floor(pc.divide(pc.add(n, 3), 4)), pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": tok})
+
+    return ds.map_batches(est, batch_format="pyarrow")
+
+
+TOKEN_COUNTS_SQL = (
+    "SELECT doc_id, CAST((strlen(text) + 3) // 4 AS BIGINT) AS n_tokens FROM documents"
+)
+
+
+def q_sentence_counts_docs(sf_dir: str) -> rd.Dataset:
+    """M4 sentence-splitter counts (nonempty trimmed segments)."""
+    from distill_ray.kernels.textproc import split_sentences
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_sentences": [np.int64(len(split_sentences(t))) for t in df["text"]],
+            }
+        )
+
+    return ds.map_batches(count, batch_format="pandas")
+
+
+SENTENCE_COUNTS_SQL = """
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(text, '[.!?]'),
+                            x -> trim(x, ' ' || chr(9) || chr(10) || chr(13)) <> '')) AS BIGINT)
+           AS n_sentences
+FROM documents
+"""
+
+
+def q_lang_stats(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    out = (
+        ds.groupby("lang")
+        .aggregate(Count(alias_name="n"), Sum("n_chars", alias_name="sum_chars"))
+        .to_pandas()
+    )
+    out["avg_chars"] = (out["sum_chars"] / out["n"]).round(6)
+    out["n"] = out["n"].astype("int64")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    return out
+
+
+LANG_STATS_SQL = """
+SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars,
+       round(sum(n_chars) / count(*), 6) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_filter_long_docs(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_chars"], 400)),
+        batch_format="pyarrow",
+    )
+
+
+FILTER_LONG_DOCS_SQL = (
+    "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars >= 400"
+)
+
+
+def q_distinct_langs(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    vals = sorted(ds.unique("lang"))
+    return pd.DataFrame({"lang": vals})
+
+
+DISTINCT_LANGS_SQL = "SELECT DISTINCT lang FROM documents"
+
+
+def q_sensitivity_docs(sf_dir: str) -> rd.Dataset:
+    """M15 sensitivity level per doc; RE2-compatible patterns mirror the SQL."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def cls(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "level": np.asarray(classify_batch(df["text"].tolist()), dtype=np.int64),
+            }
+        )
+
+    return ds.map_batches(cls, batch_format="pandas")
+
+
+SENSITIVITY_SQL = r"""
+SELECT doc_id, CAST(
+ CASE
+  WHEN regexp_matches(text, 'AKIA[0-9A-Z]{16}')
+    OR regexp_matches(text, 'sk-[a-zA-Z0-9_-]{20,}')
+    OR regexp_matches(text, 'ghp_[a-zA-Z0-9]{36}')
+    OR regexp_matches(text, 'gh[pousr]_[a-zA-Z0-9]{36}')
+    OR regexp_matches(text, 'xox[baprs]-[a-zA-Z0-9-]+')
+    OR regexp_matches(text, '(?i)(password|secret|token|api_key|apikey)\s*[:=]\s*\S+') THEN 3
+  WHEN contains(lower(text), '.internal') OR contains(lower(text), '.corp')
+    OR contains(lower(text), '.local') THEN 2
+  WHEN regexp_matches(text, '[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}')
+    OR regexp_matches(text, '(?:\+?1[-.\s]?)?\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4}')
+    OR regexp_matches(text, '\b(?:\d[ -]*?){13,19}\b')
+    OR regexp_matches(text, '\b\d{3}-\d{2}-\d{4}\b') THEN 1
+  ELSE 0 END AS BIGINT) AS level
+FROM documents
+"""
+
+
+def q_importance_docs(sf_dir: str) -> rd.Dataset:
+    """M12 importance score per doc (role fixed to 'user')."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def imp(df: pd.DataFrame) -> pd.DataFrame:
+        scores = score_importance_batch(df["text"].tolist(), ["user"] * len(df))
+        return pd.DataFrame({"doc_id": df["doc_id"], "importance": np.round(scores, 6)})
+
+    return ds.map_batches(imp, batch_format="pandas")
+
+
+IMPORTANCE_SQL = r"""
+SELECT doc_id, round(LEAST(1.0, GREATEST(0.0,
+    0.5
+    + CASE WHEN contains(text, '```') OR contains(text, chr(9)) THEN 0.4 ELSE 0 END
+    + CASE WHEN regexp_matches(lower(text),
+        'error|exception|panic|fatal|failed|failure|crash|bug|traceback|stack trace|nil pointer|segfault|timeout|deadlock')
+        THEN 0.3 ELSE 0 END
+    + CASE WHEN regexp_matches(lower(text),
+        'decided|decision|conclusion|therefore|we will|we should|let''s use|going with|chosen|agreed|final answer|solution is|approach is')
+        THEN 0.2 ELSE 0 END
+    + CASE WHEN length(text) < 50 THEN -0.1 ELSE 0 END
+  )), 6) AS importance
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# events
+
+
+def q_events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour window per event_type with partial pre-aggregation."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["hour"] = df["ts"].dt.floor("h")
+        g = df.groupby(["event_type", "hour"], sort=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+        return g.reset_index()
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(4)
+    return out
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def q_top_events(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    out = (
+        ds.sort(["value", "event_id"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    out["value"] = out["value"].round(6)
+    return out
+
+
+TOP_EVENTS_SQL = """
+SELECT event_id, round(value, 6) AS value FROM events
+ORDER BY value DESC, event_id LIMIT 20
+"""
+
+
+def q_events_type_stats(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    out = (
+        ds.groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("value", alias_name="sum_value"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+        )
+        .to_pandas()
+    )
+    out["avg_value"] = (out["sum_value"] / out["n"]).round(6)
+    out["sum_value"] = out["sum_value"].round(4)
+    out["min_value"] = out["min_value"].round(6)
+    out["max_value"] = out["max_value"].round(6)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+EVENTS_TYPE_STATS_SQL = """
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
+       round(min(value), 6) AS min_value, round(max(value), 6) AS max_value,
+       round(sum(value) / count(*), 6) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# joins
+
+
+def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """orders x customer x nation via broadcast of the small dimension side
+    (ray.put once; merged per batch — no shuffle join)."""
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    dim = dim[["c_custkey", "n_name"]]
+    dim_ref = ray.put(dim)
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+
+    class JoinPartial:
+        def __init__(self, ref):
+            self.dim = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            j = df.merge(self.dim, left_on="o_custkey", right_on="c_custkey")
+            g = j.groupby("n_name", sort=False).agg(
+                revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+            )
+            return g.reset_index()
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(
+            JoinPartial, fn_constructor_kwargs={"ref": dim_ref},
+            batch_format="pandas", batch_size=65536, concurrency=4,
+        )
+        .groupby("n_name")
+        .aggregate(Sum("revenue", alias_name="revenue"),
+                   Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# embeddings: vector ops
+
+
+def _load_query_vec(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas()
+    row = df.loc[df["vec_id"] == 0].iloc[0]
+    return np.asarray(row["embedding"], dtype=np.float32)
+
+
+def q_embedding_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label per-dimension mean (partial sums -> tiny groupby)."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        mats: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for lbl, grp in df.groupby("label", sort=False):
+            m = np.stack([np.asarray(e, dtype=np.float64) for e in grp["embedding"]])
+            mats[lbl] = m.sum(axis=0)
+            counts[lbl] = len(m)
+        rows = []
+        for lbl, s in mats.items():
+            for d in range(len(s)):
+                rows.append((int(lbl), d + 1, s[d], counts[lbl]))
+        return pd.DataFrame(rows, columns=["label", "dim", "s", "c"])
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    out["mean"] = (out["s"] / out["c"]).round(6)
+    out["label"] = out["label"].astype("int64")
+    out["dim"] = out["dim"].astype("int64")
+    return out[["label", "dim", "mean"]]
+
+
+EMBEDDING_CENTROIDS_SQL = """
+SELECT CAST(label AS BIGINT) AS label, CAST(idx AS BIGINT) AS dim,
+       round(avg(v), 6) AS mean
+FROM (SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS idx
+      FROM embeddings)
+GROUP BY label, idx
+"""
+
+
+def q_knn_query(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-10 against a broadcast query vector
+    (the ANN baseline: numpy matmul per batch)."""
+    q = _load_query_vec(sf_dir)
+    q_ref = ray.put(q.astype(np.float64))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    class Score:
+        def __init__(self, ref):
+            self.q = ray.get(ref)
+            self.qn = float(np.sqrt(self.q @ self.q))
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+            norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+            sims = (m @ self.q) / (norms * self.qn)
+            return pd.DataFrame({"vec_id": df["vec_id"], "sim": sims})
+
+    out = (
+        ds.map_batches(Score, fn_constructor_kwargs={"ref": q_ref},
+                       batch_format="pandas", batch_size=65536, concurrency=2)
+        .sort(["sim", "vec_id"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    out["sim"] = out["sim"].round(6)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out
+
+
+# exact double-precision cosine (DuckDB's list_cosine_similarity is float32
+# and disagrees with float64 math at ~1e-7 — enough to flip round(6))
+KNN_QUERY_SQL = """
+WITH q AS (
+  SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id = 0),
+flat AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+dots AS (
+  SELECT f.vec_id, sum(f.v * q.v) AS dot, sqrt(sum(f.v * f.v)) AS n
+  FROM flat f JOIN q ON f.i = q.i GROUP BY f.vec_id),
+qn AS (SELECT sqrt(sum(v * v)) AS n FROM q)
+SELECT d.vec_id, round(d.dot / (d.n * qn.n), 6) AS sim
+FROM dots d, qn
+ORDER BY d.dot / (d.n * qn.n) DESC, d.vec_id LIMIT 10
+"""
+
+
+def q_memory_recall_rank(sf_dir: str) -> pd.DataFrame:
+    """C12 memory recall ranking: relevance = 0.7*cos_sim + 0.3*recency,
+    recency = 1/(1 + age_h/24) with synthetic age_h = doc_id; MinRelevance
+    0.2 filter, relevance-desc top-50 (sqlite.go:367-451)."""
+    q = _load_query_vec(sf_dir)
+    q_ref = ray.put(q.astype(np.float64))
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    class Rank:
+        def __init__(self, ref):
+            self.q = ray.get(ref)
+            self.qn = float(np.sqrt(self.q @ self.q))
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+            norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+            sims = (m @ self.q) / (norms * self.qn)
+            age_h = df["vec_id"].to_numpy().astype(np.float64)
+            recency = 1.0 / (1.0 + age_h / 24.0)
+            rel = np.minimum(1.0, 0.7 * sims + 0.3 * recency)
+            out = pd.DataFrame({"doc_id": df["vec_id"], "relevance": rel})
+            return out[out["relevance"] >= 0.2]
+
+    out = (
+        emb.map_batches(Rank, fn_constructor_kwargs={"ref": q_ref},
+                        batch_format="pandas", batch_size=65536, concurrency=2)
+        .sort(["relevance", "doc_id"], descending=[True, False])
+        .limit(50)
+        .to_pandas()
+    )
+    out["relevance"] = out["relevance"].round(6)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
+MEMORY_RECALL_SQL = """
+WITH q AS (
+  SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id = 0),
+flat AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+dots AS (
+  SELECT f.vec_id, sum(f.v * q.v) AS dot, sqrt(sum(f.v * f.v)) AS n
+  FROM flat f JOIN q ON f.i = q.i GROUP BY f.vec_id),
+qn AS (SELECT sqrt(sum(v * v)) AS n FROM q),
+rel AS (
+  SELECT d.vec_id AS doc_id,
+         LEAST(1.0, 0.7 * (d.dot / (d.n * qn.n))
+                  + 0.3 * (1.0 / (1.0 + d.vec_id / 24.0))) AS relevance
+  FROM dots d, qn)
+SELECT doc_id, round(relevance, 6) AS relevance FROM rel
+WHERE relevance >= 0.2
+ORDER BY relevance DESC, doc_id LIMIT 50
+"""

@@ -1,0 +1,439 @@
+"""Operator queries: dedup family, text analysis, vector search, stubs.
+
+Mostly the non-SQL-expressible surface (the driver records rows-only checks
+for these); a few are SQL-checked (quality metrics, BPE-ish token counts,
+embedding near-dups). Everything is deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from distill_ray.config import DedupConfig
+from distill_ray.kernels.textproc import STOP_WORDS, _TRIM_CHARS
+
+# ---------------------------------------------------------------------------
+# near-dup dedup family over documents
+
+
+def _docs_as_transcripts(sf_dir: str) -> rd.Dataset:
+    """Wrap documents as single-turn 'transcripts' for the dedup pipeline."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_turns(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": "doc" + df["doc_id"].astype(str).str.zfill(9),
+                "turn_idx": np.zeros(len(df), dtype=np.int32),
+                "text": df["text"].astype(str),
+            }
+        )
+
+    return ds.map_batches(to_turns, batch_format="pandas")
+
+
+def q_near_dup_clusters_docs(sf_dir: str) -> pd.DataFrame:
+    """Full MinHash/LSH -> verify -> components -> exact-refine pipeline over
+    the documents table. Returns (doc_id, cluster_id, is_representative)."""
+    from distill_ray.pipelines.dedup import run_dedup
+
+    res = run_dedup(_docs_as_transcripts(sf_dir))
+    out = res.assignments.to_pandas()
+    out["doc_id"] = out["conv_id"].str[3:].astype("int64")
+    out["cluster_id"] = out["cluster_id"].astype(str)
+    return (
+        out[["doc_id", "cluster_id", "is_representative"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_near_dup_pairs_docs(sf_dir: str) -> pd.DataFrame:
+    """Verified near-dup pairs (cosine distance <= threshold on the
+    deterministic embeddings) from the LSH candidate generator."""
+    from distill_ray.pipelines.dedup import run_dedup
+
+    res = run_dedup(_docs_as_transcripts(sf_dir))
+    e = res.edges.to_pandas()
+    if e.empty:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+    e["a"] = e["a"].str[3:12].astype("int64")
+    e["b"] = e["b"].str[3:12].astype("int64")
+    lo = np.minimum(e["a"], e["b"])
+    hi = np.maximum(e["a"], e["b"])
+    return (
+        pd.DataFrame({"a": lo, "b": hi})
+        .drop_duplicates()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+
+def q_simhash_docs(sf_dir: str) -> rd.Dataset:
+    """64-bit SimHash per document (as int64 view)."""
+    from distill_ray.kernels.embed import tokenize_series
+    from distill_ray.kernels.sketch import simhash64
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def sh(df: pd.DataFrame) -> pd.DataFrame:
+        th, dl = tokenize_series(df["text"])
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "simhash": simhash64(th, dl).view(np.int64)}
+        )
+
+    return ds.map_batches(sh, batch_format="pandas")
+
+
+def q_ngram_jaccard_topk(sf_dir: str) -> pd.DataFrame:
+    """Top-20 most similar doc pairs by exact 3-gram Jaccard among LSH
+    candidates (n-gram Jaccard near-dup operator)."""
+    from distill_ray.kernels.embed import tokenize_series
+    from distill_ray.kernels.sketch import (
+        lsh_band_keys, minhash_seeds, minhash_signatures, shingle_hashes,
+        jaccard_shingles,
+    )
+    from distill_ray.kernels.textproc import tokenize_words
+
+    cfg = DedupConfig()
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    th, dl = tokenize_series(docs["text"])
+    sh, spd = shingle_hashes(th, dl, cfg.shingle_k)
+    sig = minhash_signatures(sh, spd, minhash_seeds(cfg.num_perm))
+    bands = lsh_band_keys(sig, cfg.lsh_bands)
+
+    # candidate pairs from band collisions (small table -> driver side here;
+    # the distributed variant is q_near_dup_pairs_docs)
+    from collections import defaultdict
+
+    buckets: dict[int, list[int]] = defaultdict(list)
+    for i in range(len(docs)):
+        for b in bands[i]:
+            buckets[int(b)].append(i)
+    pairs = set()
+    for members in buckets.values():
+        if len(members) < 2 or len(members) > cfg.band_group_cap:
+            continue
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                pairs.add((members[x], members[y]))
+
+    toks = [tokenize_words(t) for t in docs["text"]]
+    rows = [
+        (int(docs["doc_id"].iloc[i]), int(docs["doc_id"].iloc[j]),
+         jaccard_shingles(toks[i], toks[j], cfg.shingle_k))
+        for i, j in pairs
+    ]
+    out = pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+    out = out.sort_values(["jaccard", "a", "b"], ascending=[False, True, True]).head(20)
+    out["jaccard"] = out["jaccard"].round(6)
+    return out.reset_index(drop=True)
+
+
+def q_kmeans_dedup_embeddings(sf_dir: str) -> pd.DataFrame:
+    """C8 K-Means dedup engine over the embeddings table (seeded)."""
+    from distill_ray.oracle.kmeans import kmeans_dedup
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    mat = np.stack([np.asarray(e, dtype=np.float32) for e in df["embedding"]])
+    res = kmeans_dedup(mat, threshold=0.05, seed=42)
+    kept = sorted(int(df["vec_id"].iloc[i]) for i in res.unique_indices)
+    return pd.DataFrame({"vec_id": pd.Series(kept, dtype="int64")})
+
+
+def q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs (sim >= 0.3) via blocked matmul
+    against a broadcast matrix — the all-pairs fallback for small tables;
+    LSH-bucketed at scale."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    mat = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+    mat_ref = ray.put(mat)
+    ids = df["vec_id"].to_numpy()
+    ids_ref = ray.put(ids)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    class PairFinder:
+        def __init__(self, mat_ref, ids_ref):
+            self.mat = ray.get(mat_ref)
+            self.norms = np.sqrt(np.einsum("ij,ij->i", self.mat, self.mat))
+            self.ids = ray.get(ids_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+            n = np.sqrt(np.einsum("ij,ij->i", m, m))
+            sims = (m @ self.mat.T) / np.outer(n, self.norms)
+            my_ids = df["vec_id"].to_numpy()
+            ii, jj = np.nonzero(sims >= 0.3)
+            keep = my_ids[ii] < self.ids[jj]
+            return pd.DataFrame(
+                {
+                    "a": my_ids[ii[keep]],
+                    "b": self.ids[jj[keep]],
+                    "sim": np.round(sims[ii[keep], jj[keep]], 6),
+                }
+            )
+
+    out = ds.map_batches(
+        PairFinder, fn_constructor_kwargs={"mat_ref": mat_ref, "ids_ref": ids_ref},
+        batch_format="pandas", batch_size=1024, concurrency=2,
+    ).to_pandas()
+    out["a"] = out["a"].astype("int64")
+    out["b"] = out["b"].astype("int64")
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# exact double-precision cosine via unnest (see queries.KNN_QUERY_SQL note)
+EMBEDDING_NEAR_DUPS_SQL = """
+WITH flat AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM flat GROUP BY vec_id),
+dots AS (
+  SELECT f1.vec_id AS a, f2.vec_id AS b, sum(f1.v * f2.v) AS dot
+  FROM flat f1 JOIN flat f2 ON f1.i = f2.i AND f1.vec_id < f2.vec_id
+  GROUP BY f1.vec_id, f2.vec_id),
+sims AS (
+  SELECT d.a, d.b, d.dot / (na.n * nb.n) AS sim
+  FROM dots d JOIN norms na ON d.a = na.vec_id JOIN norms nb ON d.b = nb.vec_id)
+SELECT a, b, round(sim, 6) AS sim FROM sims WHERE sim >= 0.3
+"""
+
+
+def q_mmr_top8(sf_dir: str) -> pd.DataFrame:
+    """C5/C6: query-similarity rescoring + MMR re-rank (lambda 0.5, K 8)
+    over the top-50 retrieval overfetch (C9 broker shape)."""
+    from distill_ray.oracle.mmr import mmr_rerank
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    mat = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+    q = mat[df.index[df["vec_id"] == 0][0]]
+    norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+    sims = (mat @ q) / (norms * np.sqrt(q @ q))
+    top = np.argsort(-sims, kind="stable")[:50]
+    scores = sims[top]
+    embs = [mat[i].astype(np.float32) for i in top]
+    sel = mmr_rerank(scores, embs, lam=0.5, target_k=8)
+    rows = [
+        (int(df["vec_id"].iloc[top[s]]), rank, round(float(scores[s]), 6))
+        for rank, s in enumerate(sel)
+    ]
+    return pd.DataFrame(rows, columns=["vec_id", "rank", "score"])
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+
+_QUALITY_STOPS = sorted(STOP_WORDS)
+
+
+def q_quality_docs(sf_dir: str) -> rd.Dataset:
+    """Quality metrics per doc: word count, punct ratio, stopword ratio."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "n_chars"])
+
+    def quality(df: pd.DataFrame) -> pd.DataFrame:
+        import re
+
+        punct_re = re.compile(r"[.,;:!?]")
+        n_words = []
+        stop_ratio = []
+        punct_ratio = []
+        for t in df["text"]:
+            words = [w for w in re.split(r"\s+", t) if w != ""]
+            nw = len(words)
+            n_words.append(nw)
+            stops = sum(
+                1 for w in words if w.strip(_TRIM_CHARS).lower() in STOP_WORDS
+            )
+            stop_ratio.append(round(stops / nw, 6) if nw else 0.0)
+            np_ = len(punct_re.findall(t))
+            punct_ratio.append(round(np_ / len(t), 6) if len(t) else 0.0)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_words": pd.Series(n_words, dtype="int64"),
+                "stopword_ratio": stop_ratio,
+                "punct_ratio": punct_ratio,
+            }
+        )
+
+    return ds.map_batches(quality, batch_format="pandas")
+
+
+_STOP_LIST_SQL = ", ".join(f"'{w}'" for w in sorted(STOP_WORDS))
+_TRIM_SQL = """' ' || chr(9) || chr(10) || chr(13) || '.,;:!?"' || chr(39) || '()[]{}'"""
+
+QUALITY_DOCS_SQL = f"""
+SELECT doc_id,
+  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+  round(CASE WHEN len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) = 0 THEN 0.0
+   ELSE len(list_filter(regexp_split_to_array(text, '\\s+'),
+        x -> x <> '' AND list_contains([{_STOP_LIST_SQL}], lower(trim(x, {_TRIM_SQL})))))
+        * 1.0 / len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) END, 6) AS stopword_ratio,
+  round(CASE WHEN strlen(text) = 0 THEN 0.0
+   ELSE (strlen(text) - strlen(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0 / strlen(text) END, 6) AS punct_ratio
+FROM documents
+"""
+
+
+def q_bpe_token_counts(sf_dir: str) -> rd.Dataset:
+    r"""BPE-ish token counting: `\w+|[^\w\s]` matches per doc."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].str.count(r"\w+|[^\w\s]")
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "n_bpe_tokens": n.astype("int64")}
+        )
+
+    return ds.map_batches(count, batch_format="pandas")
+
+
+BPE_TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_langid_docs(sf_dir: str) -> rd.Dataset:
+    """Heuristic language ID: CJK charset detection + stopword voting.
+    Deterministic; rows-only check (no SQL equivalent)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    MARKERS = {
+        "en": {"the", "and", "of", "to", "a", "in", "is", "that"},
+        "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu"},
+        "es": {"el", "la", "los", "que", "de", "y", "en", "un"},
+        "fr": {"le", "la", "les", "et", "des", "un", "une", "est"},
+    }
+
+    def langid(df: pd.DataFrame) -> pd.DataFrame:
+        preds = []
+        for t in df["text"]:
+            if any("一" <= ch <= "鿿" for ch in t[:400]):
+                preds.append("zh")
+                continue
+            words = t.lower().split()
+            votes = {lang: sum(w in ms for w in words) for lang, ms in MARKERS.items()}
+            best = max(sorted(votes), key=lambda k: votes[k])
+            preds.append(best if votes[best] > 0 else "en")
+        return pd.DataFrame({"doc_id": df["doc_id"], "lang_pred": preds})
+
+    return ds.map_batches(langid, batch_format="pandas")
+
+
+def q_fingerprint_docs(sf_dir: str) -> rd.Dataset:
+    """Rolling-hash document fingerprint: min-sampled 8 values of the 4-gram
+    rolling token-hash stream (winnowing-style); rows-only check."""
+    from distill_ray.kernels.embed import tokenize_series
+    from distill_ray.kernels.sketch import minhash_seeds, minhash_signatures, shingle_hashes
+
+    seeds = minhash_seeds(8, seed=0xF1A9)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        th, dl = tokenize_series(df["text"])
+        sh, spd = shingle_hashes(th, dl, 4)
+        sig = minhash_signatures(sh, spd, seeds).view(np.int64)
+        out = pd.DataFrame({"doc_id": df["doc_id"]})
+        for i in range(8):
+            out[f"fp{i}"] = sig[:, i]
+        return out
+
+    return ds.map_batches(fp, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# compression / summarization over documents
+
+
+def q_compress_extractive_docs(sf_dir: str) -> rd.Dataset:
+    """M7 extractive compression (target 0.5) per doc; rows-only."""
+    from distill_ray.kernels.compressors import CompressOptions, compress_many
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def comp(df: pd.DataFrame) -> pd.DataFrame:
+        out, _ = compress_many(df["text"].tolist(), "extractive",
+                               CompressOptions(target_reduction=0.5))
+        return pd.DataFrame({"doc_id": df["doc_id"], "compressed": out})
+
+    return ds.map_batches(comp, batch_format="pandas")
+
+
+def q_prune_docs(sf_dir: str) -> rd.Dataset:
+    """M8 pruner normalization per doc; rows-only (regex-chain semantics)."""
+    from distill_ray.kernels.textproc import prune_series
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def pr(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"], "pruned": prune_series(df["text"])})
+
+    return ds.map_batches(pr, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# multimodal stub (binary payload plumbing)
+
+
+def q_multimodal_stub(sf_dir: str) -> pd.DataFrame:
+    """Multimodal plumbing: documents' text bytes stand in for an opaque
+    binary payload column; a stateful actor 'decodes' them (deterministic
+    fake — real image/audio decode would go here behind the same signature)
+    and emits typed metadata. Exercises binary columns + actor-pool stage
+    shape end-to-end; rows-only."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_binary(t: pa.Table) -> pa.Table:
+        payload = pc.cast(t["text"], pa.binary())
+        return pa.table({"doc_id": t["doc_id"], "payload": payload})
+
+    class FakeDecoder:
+        """Stands in for an image/audio decoder actor: init-once 'model',
+        per-batch vectorized 'decode' emitting (width, height, checksum)."""
+
+        def __init__(self):
+            self.magic = np.uint64(0x9E3779B97F4A7C15)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            sizes = df["payload"].map(len).to_numpy(dtype=np.int64)
+            # deterministic fake dimensions derived from payload size
+            width = (sizes % 640) + 1
+            height = (sizes % 480) + 1
+            from distill_ray.kernels.hashing import stable_hash64
+
+            checksum = stable_hash64(
+                df["payload"].map(bytes).to_numpy()
+            ).view(np.int64)
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "checksum": checksum,
+                }
+            )
+
+    out = (
+        ds.map_batches(to_binary, batch_format="pyarrow")
+        .map_batches(FakeDecoder, batch_format="pandas", batch_size=512, concurrency=2)
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -1,0 +1,227 @@
+"""Deterministic synthetic transcript tables (FIXTURES.md F1).
+
+Schema per BASELINE.json input_hint:
+  conv_id: string, turn_idx: int32, role: string, text: string,
+  tool: string, ts: timestamp[us]
+
+The text mixture plants the dedup targets the pipeline must find:
+  (a) unique sentences from a word pool
+  (b) exact duplicates of other turns (cross- and intra-conversation)
+  (c) near-duplicates: 1-2 word substitutions, or filler-phrase/whitespace
+      perturbations that the normalizer (pruner.go semantics) removes
+  (d) verbatim shared spans >= 50 tokens inside otherwise-distinct turns
+      (suffix-array targets)
+  (e) short hot rows ("ok", "done", ...) to exercise hot-band salting
+
+Everything is seeded; rows are emitted SHUFFLED so stable-order turn
+assembly is actually exercised. Ground truth is computed by the oracle
+(tests), not asserted by the generator.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_WORD_POOL = np.array(
+    [f"tok{i:03d}" for i in range(160)]
+    + [
+        "data", "query", "table", "batch", "merge", "filter", "value",
+        "result", "index", "shard", "block", "stream", "window", "group",
+        "order", "join", "scan", "hash", "sort", "cache", "plan", "stage",
+        "agent", "model", "prompt", "context", "memory", "session",
+        "should", "important", "decided", "error", "timeout", "running",
+        "finished", "restart", "deploy", "config", "update", "review",
+    ]
+)
+
+_HOT_ROWS = np.array(["ok", "done", "thanks", "yes", "sounds good", "on it"])
+
+_FILLER_PREFIXES = np.array(
+    ["Basically, ", "As mentioned earlier, ", "It is important to note that ",
+     "Obviously, ", "Of course, ", "Needless to say, "]
+)
+
+ROLES = ("user", "assistant", "tool", "system")
+
+
+def _make_sentences(rng: np.random.Generator, n: int, min_w=8, max_w=18) -> np.ndarray:
+    """n random sentences from the pool, vectorized draw + python join."""
+    lens = rng.integers(min_w, max_w + 1, size=n)
+    total = int(lens.sum())
+    words = _WORD_POOL[rng.integers(0, len(_WORD_POOL), size=total)]
+    out = np.empty(n, dtype=object)
+    pos = 0
+    for i in range(n):
+        ln = lens[i]
+        out[i] = " ".join(words[pos : pos + ln]) + "."
+        pos += ln
+    return out
+
+
+def generate_transcripts(
+    n_convs: int = 1000,
+    turns_per_conv: int = 8,
+    seed: int = 42,
+    shuffled: bool = True,
+) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    n = n_convs * turns_per_conv
+
+    conv_num = np.repeat(np.arange(n_convs), turns_per_conv)
+    turn_idx = np.tile(np.arange(turns_per_conv), n_convs).astype(np.int32)
+    conv_id = np.array([f"conv{c:06d}" for c in conv_num], dtype=object)
+
+    # roles: cycle user/assistant/tool/assistant; ~10% convs get system at turn 0
+    cycle = np.array(["user", "assistant", "tool", "assistant"], dtype=object)
+    role = cycle[turn_idx % 4].copy()
+    system_convs = conv_num % 10 == 0
+    role[(turn_idx == 0) & system_convs] = "system"
+
+    tool = np.where(
+        role == "tool",
+        np.array([f"tool{j}" for j in rng.integers(0, 5, size=n)], dtype=object),
+        "",
+    )
+
+    # text mixture
+    base = _make_sentences(rng, n)
+    kind = rng.choice(
+        np.array(["unique", "exact", "near", "span", "hot"]),
+        size=n,
+        p=[0.62, 0.12, 0.10, 0.08, 0.08],
+    )
+    kind[:16] = "unique"  # ensure a seed population of unique rows
+
+    text = base.copy()
+    unique_idx = np.flatnonzero(kind == "unique")
+
+    # (b) exact duplicates: copy a unique row's text
+    exact_rows = np.flatnonzero(kind == "exact")
+    src = unique_idx[rng.integers(0, len(unique_idx), size=len(exact_rows))]
+    text[exact_rows] = base[src]
+
+    # (c) near duplicates: substitution or normalizer-removable perturbation
+    near_rows = np.flatnonzero(kind == "near")
+    src = unique_idx[rng.integers(0, len(unique_idx), size=len(near_rows))]
+    perturb = rng.integers(0, 4, size=len(near_rows))
+    for k, (row, s) in enumerate(zip(near_rows, src)):
+        words = base[s][:-1].split()  # drop trailing '.'
+        p = perturb[k]
+        if p == 0:  # substitute 1 word
+            pos = int(rng.integers(0, len(words)))
+            words[pos] = f"swap{int(rng.integers(0, 1000)):03d}"
+            text[row] = " ".join(words) + "."
+        elif p == 1:  # substitute 2 words
+            for pos in rng.choice(len(words), size=min(2, len(words)), replace=False):
+                words[int(pos)] = f"swap{int(rng.integers(0, 1000)):03d}"
+            text[row] = " ".join(words) + "."
+        elif p == 2:  # filler-phrase prefix (normalizer removes)
+            text[row] = str(rng.choice(_FILLER_PREFIXES)) + base[s]
+        else:  # whitespace perturbation (normalizer removes)
+            mid = len(words) // 2
+            text[row] = "  " + " ".join(words[:mid]) + "   " + " ".join(words[mid:]) + " ."
+
+    # (d) verbatim shared spans >= 50 tokens inside distinct turns
+    span_rows = np.flatnonzero(kind == "span")
+    n_spans = max(1, len(span_rows) // 20)
+    span_texts = [
+        " ".join(_WORD_POOL[rng.integers(0, len(_WORD_POOL), size=55)])
+        for _ in range(n_spans)
+    ]
+    which = rng.integers(0, n_spans, size=len(span_rows))
+    pre = _make_sentences(rng, len(span_rows), 4, 8)
+    post = _make_sentences(rng, len(span_rows), 4, 8)
+    for k, row in enumerate(span_rows):
+        text[row] = pre[k] + " " + span_texts[which[k]] + " " + post[k]
+
+    # (e) hot rows
+    hot_rows = np.flatnonzero(kind == "hot")
+    text[hot_rows] = _HOT_ROWS[rng.integers(0, len(_HOT_ROWS), size=len(hot_rows))]
+
+    base_ts = np.datetime64("2026-01-01T00:00:00", "us")
+    ts = base_ts + (conv_num * 3_600_000_000 + turn_idx.astype(np.int64) * 30_000_000)
+
+    df = pd.DataFrame(
+        {
+            "conv_id": conv_id,
+            "turn_idx": turn_idx,
+            "role": role,
+            "text": text,
+            "tool": tool,
+            "ts": ts,
+        }
+    )
+    if shuffled:
+        df = df.iloc[rng.permutation(n)].reset_index(drop=True)
+    return df
+
+
+def transcripts_schema() -> pa.Schema:
+    return pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+
+
+def write_transcripts_parquet(
+    path: str, n_convs: int, turns_per_conv: int = 8, seed: int = 42
+) -> str:
+    """Write (cached) a generated transcript table; returns the path."""
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    df = generate_transcripts(n_convs, turns_per_conv, seed)
+    table = pa.Table.from_pandas(df, schema=transcripts_schema(), preserve_index=False)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def transcripts_from_documents(documents: pd.DataFrame, seed: int = 42) -> pd.DataFrame:
+    """Derive a transcript table from a testdata ``documents`` table:
+    each document becomes a conversation, its sentences become turns, plus
+    deterministic planted exact/near duplicates (so entry() literally loads
+    /root/testdata parquet yet still exercises the dedup pipeline)."""
+    from distill_ray.kernels.textproc import split_sentences
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    all_texts: list[str] = []
+    for _, doc in documents.iterrows():
+        sentences = split_sentences(str(doc["text"])) or [str(doc["text"])]
+        conv = f"conv{int(doc['doc_id']):06d}"
+        for t, sent in enumerate(sentences[:8]):
+            kind = rng.random()
+            if kind < 0.12 and all_texts:
+                sent = all_texts[int(rng.integers(0, len(all_texts)))]
+            elif kind < 0.2 and len(sent.split()) > 3:
+                words = sent.split()
+                words[int(rng.integers(0, len(words)))] = "swapped"
+                sent = " ".join(words)
+            all_texts.append(sent)
+            rows.append(
+                {
+                    "conv_id": conv,
+                    "turn_idx": np.int32(t),
+                    "role": ("user", "assistant")[t % 2],
+                    "text": sent,
+                    "tool": "",
+                    "ts": np.datetime64("2026-01-01", "us")
+                    + np.int64(int(doc["doc_id"]) * 3_600_000_000 + t * 30_000_000),
+                }
+            )
+    df = pd.DataFrame(rows)
+    return df.iloc[rng.permutation(len(df))].reset_index(drop=True)

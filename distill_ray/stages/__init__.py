@@ -1,0 +1,7 @@
+"""Ray Data stage builders.
+
+Every stage is a function/class designed for ``Dataset.map_batches`` /
+``groupby().map_groups``; stages never call ``ray.init``. Heavy per-actor
+state (MinHash seeds, compiled regexes) lives in callable-class ``__init__``
+(actor pools), mirroring the reference's once-per-process setup.
+"""

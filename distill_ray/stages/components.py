@@ -1,0 +1,159 @@
+"""P8: connected components via iterative hash-min label propagation.
+
+Distributed, join-free formulation (SURVEY.md §7.4): each iteration is a
+tagged union of the current labels with the (static) symmetric adjacency
+rows, one groupby(node) to propagate each node's current min label to its
+neighbors, and one groupby(node) min-reduce. Dup components at threshold
+0.15 are small/star-like, so the loop converges in a few rounds; a round
+cap guards pathological graphs.
+
+Labels are rid strings; min(label) == the lexicographically smallest member
+rid == the earliest turn in stable order, so the component root is exactly
+the reference's "first wins" canonical row. No hashed labels -> no label
+collisions at any scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+
+
+def _propagate_group(g: pd.DataFrame) -> pd.DataFrame:
+    """One node's group: rows are (node, label?, neighbor?). Emits the min
+    label for the node itself and for each neighbor."""
+    labels = g["label"].dropna()
+    # a node appearing only as an edge endpoint has its own rid as implicit label
+    own = g["node"].iloc[0]
+    lbl = min(labels.min(), own) if len(labels) else own
+    neighbors = g["neighbor"].dropna().unique()
+    nodes = np.concatenate([[own], neighbors])
+    return pd.DataFrame({"node": nodes, "label": lbl})
+
+
+def _min_label_group(g: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame({"node": [g["node"].iloc[0]], "label": [g["label"].min()]})
+
+
+def union_find_labels(edges_df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-side union-find for SMALL edge sets (the auto fast path).
+
+    Candidate edges at threshold 0.15 are sparse relative to the input; when
+    the verified edge count fits comfortably on the driver (two string
+    columns), a local union-find beats several distributed rounds. The
+    distributed loop below is the scale path and computes the same labels
+    (min rid per component).
+    """
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(edges_df["a"], edges_df["b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-rid root keeps the "first wins" semantics
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = list(parent.keys())
+    for n in list(parent):
+        find(n)  # path-compress fully
+    all_nodes = set(edges_df["a"]) | set(edges_df["b"])
+    return pd.DataFrame(
+        {"node": list(all_nodes), "label": [find(n) for n in all_nodes]}
+    )
+
+
+def connected_components_auto(
+    edges: rd.Dataset, driver_limit: int = 2_000_000, max_rounds: int = 12
+) -> rd.Dataset:
+    """Auto: driver union-find when the edge set is small, else the
+    distributed hash-min loop."""
+    n_edges = edges.count()
+    if n_edges <= driver_limit:
+        df = edges.to_pandas()
+        if df.empty:
+            return rd.from_pandas(
+                pd.DataFrame({"node": pd.Series(dtype=object), "label": pd.Series(dtype=object)})
+            )
+        return rd.from_pandas(union_find_labels(df))
+    return connected_components(edges, max_rounds=max_rounds)
+
+
+def connected_components(
+    edges: rd.Dataset, max_rounds: int = 12
+) -> rd.Dataset:
+    """edges: Dataset[(a: str, b: str)] -> Dataset[(node: str, label: str)].
+
+    Only nodes incident to an edge appear in the output; isolated rows keep
+    their own rid implicitly (callers treat missing as label == rid).
+    """
+
+    def symmetrize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()]),
+                "neighbor": np.concatenate([df["b"].to_numpy(), df["a"].to_numpy()]),
+            }
+        )
+
+    adj = edges.map_batches(symmetrize, batch_format="pandas")
+    # adjacency is reused every round — pin it in the object store
+    adj = adj.materialize()
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = df["node"].unique()
+        return pd.DataFrame({"node": nodes, "label": nodes})
+
+    labels = (
+        adj.map_batches(init_labels, batch_format="pandas")
+        .groupby("node")
+        .map_groups(_min_label_group, batch_format="pandas")
+        .materialize()
+    )
+
+    def checksum(ds: rd.Dataset) -> int:
+        from distill_ray.kernels.hashing import stable_hash64
+
+        def h(df: pd.DataFrame) -> pd.DataFrame:
+            v = stable_hash64((df["node"] + "\x00" + df["label"]).to_numpy())
+            return pd.DataFrame({"s": v.view(np.int64)})
+
+        return ds.map_batches(h, batch_format="pandas").sum("s")
+
+    prev = checksum(labels)
+    for _ in range(max_rounds):
+        def tag_label(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["neighbor"] = None
+            return out
+
+        def tag_adj(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["label"] = None
+            return out[["node", "label", "neighbor"]]
+
+        combined = labels.map_batches(tag_label, batch_format="pandas").union(
+            adj.map_batches(tag_adj, batch_format="pandas")
+        )
+        new_labels = (
+            combined.groupby("node")
+            .map_groups(_propagate_group, batch_format="pandas")
+            .groupby("node")
+            .map_groups(_min_label_group, batch_format="pandas")
+            .materialize()
+        )
+        cur = checksum(new_labels)
+        labels = new_labels
+        if cur == prev:
+            break
+        prev = cur
+    return labels

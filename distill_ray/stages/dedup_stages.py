@@ -1,0 +1,237 @@
+"""Stages of the near-duplicate detection pipeline (SURVEY.md §7.1 P1-P7).
+
+Data flow (all batch formats pandas unless noted; rid = zero-padded
+"conv_id:turn_idx" so lexicographic rid order == stable (conv_id, turn_idx)
+turn order — the reference's tie-break order):
+
+  P1 prep        map_batches: rid + normalized text (pruner invariants)
+  P2 exact dedup groupby(hash).map_groups: first-wins canonical assignment
+                 (pkg/memory/sqlite.go:136-151 "first wins" ==
+                 min rid per exact normalized text)
+  P5 sketch      map_batches(Sketcher actor pool): embedding + MinHash bands
+                 + SimHash, permutation seeds held in actor state
+  P6 bands       flat band-row expansion -> groupby(band_key): candidate
+                 pairs with SimHash hamming pre-filter + hot-band cap
+  P7 verify      join pair ends to embeddings, exact cosine <= threshold
+                 (reference edge rules) -> verified edges
+
+The wide operations and their keys (SURVEY.md §7.4): exact dedup shuffles on
+the text hash; candidate generation on (band_idx, band_hash); everything
+else is embarrassingly parallel map_batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from distill_ray.config import DedupConfig
+from distill_ray.kernels.embed import embed_from_token_hashes, tokenize_series
+from distill_ray.kernels.hashing import stable_hash64
+from distill_ray.kernels.sketch import (
+    hamming_distance64,
+    lsh_band_keys,
+    minhash_seeds,
+    minhash_signatures,
+    shingle_hashes,
+    simhash64,
+)
+from distill_ray.kernels.textproc import prune_series
+
+TURN_PAD = 8  # turn_idx zero-pad width inside rid
+
+
+def make_rid(conv_id: pd.Series, turn_idx: pd.Series) -> pd.Series:
+    return conv_id.astype(str) + ":" + turn_idx.astype(int).astype(str).str.zfill(TURN_PAD)
+
+
+def prep_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """P1: stable row id + dedup normalization. Drops the raw text so the
+    downstream shuffles move only what they need; the raw text is re-joined
+    from the source at output time if required."""
+    out = pd.DataFrame(
+        {
+            "rid": make_rid(df["conv_id"], df["turn_idx"]),
+            "conv_id": df["conv_id"].astype(str),
+            "turn_idx": df["turn_idx"].astype("int32"),
+            "norm_text": prune_series(df["text"]),
+        }
+    )
+    return out
+
+
+def make_add_text_hash(n_buckets: int):
+    """Adds the exact-dedup hash + coarse shuffle bucket. 64-bit collisions
+    are harmless: the bucket kernel re-groups on (h, full normalized text)."""
+
+    def add_text_hash(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = stable_hash64(df["norm_text"].to_numpy())
+        df["h"] = h.view(np.int64)
+        df["bucket"] = (h % np.uint64(n_buckets)).astype(np.int32)
+        return df
+
+    return add_text_hash
+
+
+def exact_dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """P2 within one coarse bucket (vectorized): first-wins per exact
+    normalized text. 'First' = min rid == stable turn order (C11 semantics
+    at scale). All rows of a text share its hash, hence its bucket."""
+    g = g.sort_values("rid", kind="mergesort").copy()
+    g["canon_rid"] = g.groupby(["h", "norm_text"], sort=False)["rid"].transform("first")
+    return g.drop(columns=["bucket"])
+
+
+class Sketcher:
+    """P5 actor-pool UDF: embedding + MinHash band keys + SimHash per batch.
+
+    Permutation seeds / config live in actor state (init once per actor),
+    mirroring the reference's per-process setup (SURVEY.md §7.3).
+    Input: prep rows where rid == canon_rid. Output columns:
+      rid, conv_id, turn_idx, norm_text, embedding(list<float32>),
+      simhash(int64 view), band_keys(list<int64 view>)
+    """
+
+    def __init__(self, cfg: DedupConfig | None = None):
+        self.cfg = cfg or DedupConfig()
+        self.seeds = minhash_seeds(self.cfg.num_perm)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        cfg = self.cfg
+        texts = df["norm_text"].reset_index(drop=True)
+        th, dl = tokenize_series(texts)
+        emb = embed_from_token_hashes(th, dl, cfg.embed_dim)
+        sh, spd = shingle_hashes(th, dl, cfg.shingle_k)
+        sig = minhash_signatures(sh, spd, self.seeds)
+        bands = lsh_band_keys(sig, cfg.lsh_bands).view(np.int64)
+        sims = simhash64(th, dl).view(np.int64)
+        out = df[["rid", "conv_id", "turn_idx", "norm_text"]].reset_index(drop=True).copy()
+        # embeddings travel as fixed-width binary: Arrow tensor extension
+        # types don't survive acero joins, and bytes shuffle cheaper
+        out["emb"] = [e.tobytes() for e in emb]
+        out["simhash"] = sims
+        out["band_keys"] = list(bands)
+        # rows with zero tokens never band-collide meaningfully; mark them
+        out["n_tokens"] = dl
+        return out
+
+
+def make_expand_bands(n_buckets: int):
+    """P6a: one row per (band_key, rid, simhash) + coarse shuffle bucket.
+    Zero-token rows are dropped here — exact dedup canonicalized them."""
+
+    def expand_bands(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n_tokens"] > 0]
+        if df.empty:
+            return pd.DataFrame(
+                {"band_key": pd.Series(dtype=np.int64), "rid": pd.Series(dtype=object),
+                 "simhash": pd.Series(dtype=np.int64),
+                 "bucket": pd.Series(dtype=np.int32)}
+            )
+        n_bands = len(df["band_keys"].iloc[0])
+        rid = np.repeat(df["rid"].to_numpy(), n_bands)
+        sims = np.repeat(df["simhash"].to_numpy(), n_bands)
+        keys = np.concatenate([np.asarray(b, dtype=np.int64) for b in df["band_keys"]])
+        bucket = (keys.view(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
+        return pd.DataFrame(
+            {"band_key": keys, "rid": rid, "simhash": sims, "bucket": bucket}
+        )
+
+    return expand_bands
+
+
+class BandPairBucket:
+    """P6b bucket kernel: candidate pairs within each band group of one
+    coarse bucket — vectorized. Singleton band groups (the vast majority)
+    are dropped with one pandas transform; only genuinely colliding groups
+    are looped, and the SimHash hamming pre-filter runs as ONE vectorized
+    call over all emitted pairs.
+
+    Determinism: rows sorted by (band_key, rid); the hot-band cap keeps the
+    first ``band_group_cap`` rids of a group. Pairs are (a < b) by rid.
+    Emits a pair-dedupe bucket column keyed on hash(a, b).
+    """
+
+    def __init__(self, cfg: DedupConfig | None = None):
+        self.cfg = cfg or DedupConfig()
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype=object), "b": pd.Series(dtype=object),
+             "pbucket": pd.Series(dtype=np.int32)}
+        )
+        # drop singleton band groups vectorized
+        sizes = g.groupby("band_key", sort=False)["rid"].transform("size")
+        g = g[sizes > 1]
+        if g.empty:
+            return empty
+        g = g.sort_values(["band_key", "rid"], kind="mergesort")
+        cap = self.cfg.band_group_cap
+
+        ia_all: list[np.ndarray] = []
+        ib_all: list[np.ndarray] = []
+        rid_arr = g["rid"].to_numpy()
+        sim_arr = g["simhash"].to_numpy().view(np.uint64)
+        # group offsets over the sorted frame
+        keys = g["band_key"].to_numpy()
+        boundaries = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+        for s, e in zip(boundaries[:-1], boundaries[1:]):
+            n = e - s
+            if n < 2:
+                continue
+            # dedupe identical rids within a group (same rid can appear once
+            # per band only, so this is a no-op safety)
+            if n > cap:
+                e = s + cap
+                n = cap
+            ia, ib = np.triu_indices(n, k=1)
+            ia_all.append(ia + s)
+            ib_all.append(ib + s)
+        if not ia_all:
+            return empty
+        ia = np.concatenate(ia_all)
+        ib = np.concatenate(ib_all)
+        ham = hamming_distance64(sim_arr[ia], sim_arr[ib])
+        keep = ham <= self.cfg.simhash_hamming_max
+        if not keep.any():
+            return empty
+        a = rid_arr[ia[keep]]
+        b = rid_arr[ib[keep]]
+        from distill_ray.kernels.hashing import stable_hash64 as _h
+
+        pbucket = (
+            (_h(np.char.add(np.char.add(a.astype(str), "|"), b.astype(str)))
+             % np.uint64(self.cfg.shuffle_buckets)).astype(np.int32)
+        )
+        return pd.DataFrame({"a": a, "b": b, "pbucket": pbucket})
+
+
+def dedupe_pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Collapse the same pair emitted from multiple bands (vectorized)."""
+    return g.drop_duplicates(["a", "b"])[["a", "b"]]
+
+
+def decode_embeddings(col) -> np.ndarray:
+    """binary column -> (n, dim) float32 matrix."""
+    return np.stack([np.frombuffer(b, dtype=np.float32) for b in col])
+
+
+def verify_pairs_batch(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """P7: exact cosine verification with reference edge rules, vectorized.
+    Expects binary columns emb_a / emb_b. Emits edges (a, b)."""
+    if df.empty:
+        return pd.DataFrame({"a": pd.Series(dtype=object), "b": pd.Series(dtype=object)})
+    A = decode_embeddings(df["emb_a"]).astype(np.float64)
+    B = decode_embeddings(df["emb_b"]).astype(np.float64)
+    dots = np.einsum("ij,ij->i", A, B)
+    na = np.sqrt(np.einsum("ij,ij->i", A, A))
+    nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+    denom = na * nb
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = np.where(denom > 0, dots / np.where(denom == 0, 1.0, denom), 0.0)
+    sims = np.clip(sims, -1.0, 1.0)
+    dist = 1.0 - sims
+    dist[denom == 0] = 2.0  # zero-norm edge rule (simd.go:54-57)
+    keep = dist <= threshold
+    return df.loc[keep, ["a", "b"]].reset_index(drop=True)

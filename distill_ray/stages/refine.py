@@ -1,0 +1,103 @@
+"""P9: per-component exact refinement + representative selection.
+
+Within each connected component (bounded size), run the EXACT reference
+agglomerative algorithm (oracle.cluster) on the members in stable rid
+order, then pick representatives with the reference selector semantics.
+
+Why this reproduces the global reference output: under average linkage at a
+fixed threshold, a merge requires at least one member pair at distance <=
+threshold, so reference clusters never span two components of the verified
+<=-threshold edge graph; and merges in one component never affect distances
+in another, so per-component runs yield the identical final partition
+(SURVEY.md §7.5 item 2).
+
+Cluster IDs are content-addressed: the min member rid — deterministic,
+stable across runs/partitionings, no global counter needed at scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from distill_ray.config import DedupConfig
+from distill_ray.oracle.cluster import agglomerative_cluster
+from distill_ray.oracle.selector import select_representative
+
+
+class ComponentBucketRefiner:
+    """Bucket kernel: loops the components that hash into this bucket.
+    Singleton rows (no verified edges) never reach this stage — the
+    pipeline emits them directly without a shuffle."""
+
+    def __init__(self, cfg: DedupConfig | None = None):
+        self.cfg = cfg or DedupConfig()
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        out = [
+            ComponentRefiner(self.cfg)(sub)
+            for _, sub in g.groupby("component", sort=False)
+        ]
+        return pd.concat(out, ignore_index=True)
+
+
+class ComponentRefiner:
+    def __init__(self, cfg: DedupConfig | None = None):
+        self.cfg = cfg or DedupConfig()
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        cfg = self.cfg
+        g = g.sort_values("rid", kind="mergesort").reset_index(drop=True)
+        out_frames = []
+        # pathological mega-components: split into consecutive chunks in
+        # stable order (documented deviation; bounded memory at scale)
+        for start in range(0, len(g), cfg.max_component_size):
+            chunk = g.iloc[start : start + cfg.max_component_size].reset_index(drop=True)
+            out_frames.append(self._refine_chunk(chunk))
+        return pd.concat(out_frames, ignore_index=True)
+
+    def _refine_chunk(self, g: pd.DataFrame) -> pd.DataFrame:
+        cfg = self.cfg
+        n = len(g)
+        if n == 1:
+            return pd.DataFrame(
+                {
+                    "rid": g["rid"],
+                    "conv_id": g["conv_id"],
+                    "turn_idx": g["turn_idx"],
+                    "cluster_id": g["rid"],
+                    "is_representative": [True],
+                }
+            )
+        embs = [np.frombuffer(e, dtype=np.float32) for e in g["emb"]]
+        res = agglomerative_cluster(embs, threshold=cfg.threshold, linkage=cfg.linkage)
+
+        rids = g["rid"].to_numpy()
+        # scores: transcripts carry no retrieval score -> all zero, so the
+        # reference's strict-> first-max rule selects the first member in
+        # member order (selector.go:112-120)
+        scores = {i: 0.0 for i in range(n)}
+        texts = {i: t for i, t in enumerate(g["norm_text"].to_numpy())}
+        embs_map = {i: embs[i] for i in range(n)}
+
+        cluster_ids = np.empty(n, dtype=object)
+        is_rep = np.zeros(n, dtype=bool)
+        for cid, members in enumerate(res.members):
+            min_rid = min(rids[m] for m in members)
+            rep_local = select_representative(
+                members, scores, texts, embs_map,
+                res.centroids[cid], cfg.select_strategy,
+            )
+            for m in members:
+                cluster_ids[m] = min_rid
+            is_rep[rep_local] = True
+
+        return pd.DataFrame(
+            {
+                "rid": g["rid"],
+                "conv_id": g["conv_id"],
+                "turn_idx": g["turn_idx"],
+                "cluster_id": cluster_ids,
+                "is_representative": is_rep,
+            }
+        )

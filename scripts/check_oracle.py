@@ -1,0 +1,106 @@
+"""Driver-style self-check: run every queries() entry at a given sf_dir and
+compare against oracle_sql() via DuckDB (row count + schema + sorted
+value-frame equality). Usage:
+
+    python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def to_pandas(obj):
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    if isinstance(obj, rd.Dataset):
+        return obj.to_pandas()
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj
+
+
+def canon(df):
+    """Sort columns by name, rows by all columns — order-insensitive frame."""
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main():
+    import time
+
+    import duckdb
+    import pandas as pd
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as e
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            ours = canon(to_pandas(fn(sf_dir)))
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL  {name}: query raised {type(ex).__name__}: {ex}")
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ok    {name}: rows={len(ours)} (rows-only) [{dt:.1f}s]")
+            continue
+        try:
+            theirs = canon(con.sql(oracles[name]).df())
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL  {name}: oracle SQL raised {ex}")
+            continue
+        if len(ours) != len(theirs):
+            failures.append(name)
+            print(f"FAIL  {name}: rows {len(ours)} vs oracle {len(theirs)}")
+            continue
+        if list(ours.columns) != list(theirs.columns):
+            failures.append(name)
+            print(f"FAIL  {name}: columns {list(ours.columns)} vs {list(theirs.columns)}")
+            continue
+        try:
+            pd.testing.assert_frame_equal(
+                ours, theirs, check_dtype=False, check_exact=False, rtol=0, atol=1e-9
+            )
+        except AssertionError as ex:
+            failures.append(name)
+            print(f"FAIL  {name}: value mismatch: {str(ex).splitlines()[-1]}")
+            continue
+        print(f"ok    {name}: rows={len(ours)} MATCH [{dt:.1f}s]")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    ray.shutdown()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

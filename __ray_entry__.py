@@ -70,6 +70,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compress_extractive_docs": qo.q_compress_extractive_docs,
         "prune_docs": qo.q_prune_docs,
         "multimodal_stub": qo.q_multimodal_stub,
+        "verbatim_spans": qo.q_verbatim_spans,
+        "summarize_transcripts": qo.q_summarize_transcripts,
+        "session_budget": qo.q_session_budget,
+        "pipeline_chain": qo.q_pipeline_chain,
     }
 
 

@@ -43,6 +43,12 @@ class DedupConfig:
     simhash_hamming_max: int = 20
     embed_dim: int = 64              # deterministic feature-hash embedding dim
     band_group_cap: int = 512        # max rows considered per (band, hash) group (hot-band cap)
+    # A pair must collide in >= this many bands to become a candidate. True
+    # pairs at jaccard >= 0.7 collide in ~8 of 32 bands (P(exactly 1) <
+    # 2e-3); random background collisions collide in exactly 1 w.h.p. — this
+    # filter removes the O(N^2) background-candidate term that otherwise
+    # dominates verification cost.
+    min_band_collisions: int = 2
     pair_sample_salt: int = 0x9E3779B97F4A7C15
 
     # --- execution knobs (sized for multi-node; tested single-node) ---

@@ -1,0 +1,198 @@
+"""Session push dedup + token-budget state machine — port of
+/root/reference/pkg/session/sqlite.go:151-267,484-660 (C14).
+
+Semantics preserved:
+
+- push order = seq (stable (conv_id, turn_idx) order in the batch engine)
+- empty content skipped; importance <= 0 -> 0.5
+- write-time dedup: cosine distance < threshold (default 0.15) to ANY
+  existing live entry's embedding -> dropped, counted
+- a single entry exceeding the whole budget aborts that push (we record it
+  as rejected instead of erroring the batch)
+- budget enforcement loops until no progress: candidates = all but the
+  newest ``preserve_recent`` (by seq), processed importance-ASC (stable ->
+  seq ASC for ties); each step compresses ONE level from the ORIGINAL
+  content (summary ~20% extractive -> first sentence -> lowercase keywords
+  <= 15), keywords-level entries are EVICTED; the all-recent fallback
+  evicts oldest-first (sqlite.go:585-601)
+- compressToLevel / extractKeywords are the session variants (lowercased
+  keywords, first-sentence byte scan with the 50-char word-boundary cut),
+  distinct from the summarizer's (hierarchy.go) versions.
+
+Defaults (session.go:159-161): max_tokens 128000, dedup threshold 0.15,
+preserve_recent 10.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from distill_ray.kernels.compressors import CompressOptions, compress_extractive
+from distill_ray.kernels.textproc import STOP_WORDS, _TRIM_CHARS, estimate_tokens
+from distill_ray.kernels.vmath import cosine_distance
+
+LEVEL_FULL, LEVEL_SUMMARY, LEVEL_SENTENCE, LEVEL_KEYWORDS = 0, 1, 2, 3
+
+
+def session_keywords(text: str) -> str:
+    """Session keyword variant (sqlite.go:636-660): LOWERCASED keywords,
+    length filter on the lowered token, cap 15."""
+    keywords: list[str] = []
+    seen: set[str] = set()
+    for w in text.split():
+        lower = w.strip(_TRIM_CHARS).lower()
+        if lower == "" or len(lower) < 4 or lower in STOP_WORDS or lower in seen:
+            continue
+        seen.add(lower)
+        keywords.append(lower)
+        if len(keywords) >= 15:
+            break
+    return ", ".join(keywords)
+
+
+def compress_to_level(text: str, level: int) -> str:
+    """sqlite.go:604-633."""
+    if level == LEVEL_SUMMARY:
+        out = compress_extractive(
+            text, CompressOptions(target_reduction=0.2, min_chunk_length=20)
+        )
+        return out if out else text
+    if level == LEVEL_SENTENCE:
+        for i, ch in enumerate(text):
+            if ch in ".!?":
+                return text[: i + 1]
+        if len(text) > 50:
+            cut = 50
+            while cut > 0 and text[cut] != " ":
+                cut -= 1
+            if cut == 0:
+                cut = 50
+            return text[:cut].strip() + "..."
+        return text
+    if level == LEVEL_KEYWORDS:
+        return session_keywords(text)
+    return text
+
+
+@dataclass
+class SessionEntry:
+    seq: int
+    role: str
+    content: str
+    original_content: str
+    embedding: np.ndarray | None
+    importance: float
+    level: int
+    tokens: int
+
+
+@dataclass
+class SessionResult:
+    entries: list[SessionEntry]
+    accepted: int = 0
+    deduplicated: int = 0
+    compressed: int = 0
+    evicted: int = 0
+    rejected: int = 0  # single entry over the whole budget
+
+    @property
+    def current_tokens(self) -> int:
+        return sum(e.tokens for e in self.entries)
+
+
+def run_session(
+    pushes,
+    max_tokens: int = 128000,
+    dedup_threshold: float = 0.15,
+    preserve_recent: int = 10,
+) -> SessionResult:
+    """``pushes``: iterable of dicts with role, content, embedding (array or
+    None), importance — in push order. Each element is one Push of one
+    entry (budget enforced after each, as the reference does per Push)."""
+    res = SessionResult(entries=[])
+    seq = 0
+    for p in pushes:
+        content = p.get("content") or ""
+        if content == "":
+            continue
+        importance = p.get("importance") or 0.0
+        if importance <= 0:
+            importance = 0.5
+        emb = p.get("embedding")
+        if emb is not None and np.asarray(emb).size > 0:
+            emb = np.asarray(emb, dtype=np.float32)
+            is_dup = any(
+                e.embedding is not None
+                and cosine_distance(emb, e.embedding) < dedup_threshold
+                for e in res.entries
+            )
+            if is_dup:
+                res.deduplicated += 1
+                continue
+        else:
+            emb = None
+        tokens = estimate_tokens(content)
+        if tokens > max_tokens:
+            res.rejected += 1
+            continue
+        seq += 1
+        res.entries.append(
+            SessionEntry(seq, p.get("role", "user"), content, content, emb,
+                         importance, LEVEL_FULL, tokens)
+        )
+        res.accepted += 1
+
+        # enforce budget until no progress (sqlite.go:226-236)
+        while True:
+            c, e = _enforce_budget(res, max_tokens, preserve_recent)
+            res.compressed += c
+            res.evicted += e
+            if c == 0 and e == 0:
+                break
+    return res
+
+
+def _enforce_budget(res: SessionResult, max_tokens: int, preserve_recent: int):
+    current = res.current_tokens
+    if current <= max_tokens:
+        return 0, 0
+    total = len(res.entries)
+    limit = total - preserve_recent
+    if limit <= 0:
+        # all recent: evict oldest until within budget (sqlite.go:585-601)
+        evicted = 0
+        while current > max_tokens and res.entries:
+            victim = res.entries.pop(0)
+            current -= victim.tokens
+            evicted += 1
+        return 0, evicted
+
+    candidates = res.entries[:limit]
+    # importance ASC, stable (seq ASC ties) — sqlite.go:682-687
+    candidates = sorted(candidates, key=lambda c: c.importance)
+
+    compressed = 0
+    evicted = 0
+    to_delete: list[int] = []
+    for c in candidates:
+        if current <= max_tokens:
+            break
+        next_level = c.level + 1
+        if next_level > LEVEL_KEYWORDS:
+            to_delete.append(c.seq)
+            current -= c.tokens
+            evicted += 1
+            continue
+        new_content = compress_to_level(c.original_content, next_level)
+        new_tokens = estimate_tokens(new_content)
+        current -= c.tokens - new_tokens
+        c.content = new_content
+        c.level = next_level
+        c.tokens = new_tokens
+        compressed += 1
+    if to_delete:
+        dead = set(to_delete)
+        res.entries = [e for e in res.entries if e.seq not in dead]
+    return compressed, evicted

@@ -1,0 +1,167 @@
+"""Cross-conversation verbatim-span detection (SURVEY.md P10).
+
+Two cooperating pieces:
+
+1. ``window_hashes`` — the DISTRIBUTED candidate generator: a rolling hash
+   of every ``span_k``-token window of each turn. Two turns sharing a
+   verbatim span of >= span_k tokens necessarily share at least one window
+   hash, so a groupby(window_hash) finds all candidates with one shuffle
+   (the same shape as the LSH band groupby; hot windows are capped).
+
+2. ``suffix_array`` / ``maximal_common_spans`` — the per-group VERIFIER:
+   a real suffix array (prefix-doubling over the token-hash alphabet,
+   O(n log n) with numpy argsort) + LCP array over the concatenated token
+   streams of a candidate group, extending window matches to MAXIMAL common
+   spans and eliminating the (negligible but nonzero) hash-collision false
+   positives. Groups are bounded, so the SA stays small.
+
+The reference has no substring machinery at all — this is scale machinery
+required by the north rule ("suffix-array substring pass for
+cross-conversation verbatim-span dedup").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from distill_ray.kernels.hashing import mix64
+
+_POLY = np.uint64(0x100000001B3)
+
+
+def window_hashes(
+    token_hashes: np.ndarray, doc_lengths: np.ndarray, span_k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Rolling span_k-token window hashes.
+
+    Returns (hash uint64, doc_index int64, position int64) for every window;
+    docs shorter than span_k emit nothing (they cannot contain the span).
+    """
+    doc_lengths = np.asarray(doc_lengths, dtype=np.int64)
+    n = len(doc_lengths)
+    counts = np.maximum(doc_lengths - span_k + 1, 0)
+    total = int(counts.sum())
+    if total == 0:
+        return (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64))
+    starts = np.concatenate(([0], np.cumsum(doc_lengths)[:-1]))
+    doc_idx = np.repeat(np.arange(n), counts)
+    within = np.concatenate([np.arange(c) for c in counts if c > 0])
+    gstart = starts[doc_idx] + within
+    th = np.asarray(token_hashes, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        acc = np.zeros(total, dtype=np.uint64)
+        for j in range(span_k):
+            acc = acc * _POLY + th[gstart + j]
+        acc = mix64(acc)
+    return acc, doc_idx, within
+
+
+def suffix_array(seq: np.ndarray) -> np.ndarray:
+    """Suffix array by prefix doubling (numpy argsort ranks), O(n log^2 n).
+
+    ``seq`` is any integer array (we use token hashes ranked down to a
+    dense alphabet first).
+    """
+    seq = np.asarray(seq)
+    n = len(seq)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    # dense initial ranks
+    order = np.argsort(seq, kind="stable")
+    ranks = np.empty(n, dtype=np.int64)
+    sorted_vals = seq[order]
+    new_group = np.r_[True, sorted_vals[1:] != sorted_vals[:-1]]
+    ranks[order] = np.cumsum(new_group) - 1
+    k = 1
+    sa = order
+    while k < n:
+        # rank pairs (ranks[i], ranks[i+k]); -1 past the end
+        second = np.full(n, -1, dtype=np.int64)
+        second[: n - k] = ranks[k:]
+        keys = ranks * (n + 1) + (second + 1)
+        sa = np.argsort(keys, kind="stable")
+        sorted_keys = keys[sa]
+        new_group = np.r_[True, sorted_keys[1:] != sorted_keys[:-1]]
+        new_ranks = np.empty(n, dtype=np.int64)
+        new_ranks[sa] = np.cumsum(new_group) - 1
+        ranks = new_ranks
+        if ranks[sa[-1]] == n - 1:
+            break
+        k *= 2
+    return sa
+
+
+def lcp_array(seq: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """Kasai's algorithm: LCP[i] = lcp(suffix sa[i], suffix sa[i-1])."""
+    n = len(seq)
+    lcp = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return lcp
+    rank = np.empty(n, dtype=np.int64)
+    rank[sa] = np.arange(n)
+    h = 0
+    for i in range(n):
+        r = rank[i]
+        if r > 0:
+            j = sa[r - 1]
+            while i + h < n and j + h < n and seq[i + h] == seq[j + h]:
+                h += 1
+            lcp[r] = h
+            if h > 0:
+                h -= 1
+        else:
+            h = 0
+    return lcp
+
+
+def maximal_common_spans(
+    token_streams: list[np.ndarray], min_len: int
+) -> list[tuple[int, int, int, int, int]]:
+    """Maximal cross-document common spans of >= min_len tokens.
+
+    Input: per-document token-hash arrays. Output: tuples
+    (doc_a, pos_a, doc_b, pos_b, length) — for each adjacent suffix pair in
+    SA order belonging to different documents with LCP >= min_len. The spans
+    are maximal for that suffix pair by SA adjacency; duplicates from
+    overlapping windows are collapsed by the caller.
+    """
+    if not token_streams:
+        return []
+    seps = []
+    doc_of = []
+    pos_of = []
+    # concatenate with unique sentinel separators (impossible hash values:
+    # use low integers after ranking — we rank the alphabet first)
+    all_tokens = np.concatenate([np.asarray(t, dtype=np.uint64) for t in token_streams])
+    uniq, inv = np.unique(all_tokens, return_inverse=True)
+    # alphabet starts at len(token_streams) so sentinels 0..n_docs-1 are unique
+    n_docs = len(token_streams)
+    pieces = []
+    offset = 0
+    for d, t in enumerate(token_streams):
+        ln = len(t)
+        pieces.append(inv[offset : offset + ln] + n_docs)
+        pieces.append(np.array([d], dtype=np.int64))  # sentinel
+        doc_of.extend([d] * ln + [-1])
+        pos_of.extend(list(range(ln)) + [-1])
+        offset += ln
+    seq = np.concatenate(pieces)
+    doc_of = np.asarray(doc_of)
+    pos_of = np.asarray(pos_of)
+
+    sa = suffix_array(seq)
+    lcp = lcp_array(seq, sa)
+
+    out = []
+    for r in range(1, len(seq)):
+        if lcp[r] < min_len:
+            continue
+        i, j = sa[r - 1], sa[r]
+        da, db = doc_of[i], doc_of[j]
+        if da < 0 or db < 0 or da == db:
+            continue
+        length = int(lcp[r])
+        # clip at sentinels (lcp cannot cross them: sentinels are unique)
+        out.append((int(da), int(pos_of[i]), int(db), int(pos_of[j]), length))
+    return out

@@ -1,0 +1,114 @@
+"""C10 unified pipeline: dedup -> compress -> summarize with per-stage
+token stats (reference: pkg/pipeline/pipeline.go:35-177, the `distill
+pipeline` CLI path, SURVEY.md §3.1).
+
+Stage 1 dedup keeps representatives only (threshold 0.15); stage 2 applies
+the extractive compressor (target 0.5); stage 3 (opt-in, as in the
+reference) runs the hierarchical summarizer per conversation. Stats mirror
+pipeline.go:16-32: per-stage input/output token counts from the
+non-whitespace estimator (pipeline.go:180-192)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from distill_ray.config import DedupConfig, SummarizeConfig
+from distill_ray.kernels.compressors import CompressOptions, compress_many
+from distill_ray.kernels.textproc import estimate_tokens_nonspace
+
+
+def _token_sum(ds: rd.Dataset, col: str) -> int:
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"t": [int(sum(estimate_tokens_nonspace(x) for x in df[col]))]}
+        )
+
+    out = ds.map_batches(count, batch_format="pandas").sum("t")
+    return int(out) if out is not None else 0
+
+
+def run_pipeline_chain(
+    transcripts: rd.Dataset,
+    cfg: DedupConfig | None = None,
+    *,
+    target_reduction: float = 0.5,
+    summarize: bool = False,
+    summarize_cfg: SummarizeConfig | None = None,
+    now_epoch_s: float = 0.0,
+    collect_stats: bool = True,
+) -> tuple[rd.Dataset, dict]:
+    from distill_ray.pipelines.dedup import run_dedup
+
+    cfg = cfg or DedupConfig()
+    stats: dict = {}
+
+    # stage 1 — dedup, keep representatives (pipeline.go:83-115)
+    res = run_dedup(transcripts, cfg)
+    reps = res.assignments.map_batches(
+        lambda df: df[df["is_representative"]][["rid", "conv_id", "turn_idx"]],
+        batch_format="pandas",
+    )
+    # re-attach the original text by joining back to the prepped source
+    from distill_ray.stages.dedup_stages import prep_batch
+
+    prep = transcripts.map_batches(prep_batch, batch_format="pandas")
+    import ray as _ray
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    reps_text = reps.join(
+        prep.select_columns(["rid", "norm_text"]), "inner",
+        num_partitions=max(2, ncpu // 2), on=("rid",),
+    ).materialize()
+
+    if collect_stats:
+        stats["input_rows"] = transcripts.count()
+        stats["dedup_rows"] = reps_text.count()
+        stats["dedup_output_tokens"] = _token_sum(reps_text, "norm_text")
+
+    # stage 2 — extractive compression (pipeline.go:117-142)
+    def comp(df: pd.DataFrame) -> pd.DataFrame:
+        out, _ = compress_many(
+            df["norm_text"].tolist(), "extractive",
+            CompressOptions(target_reduction=target_reduction),
+        )
+        df = df.copy()
+        df["text"] = out
+        return df.drop(columns=["norm_text"])
+
+    compressed = reps_text.map_batches(comp, batch_format="pandas").materialize()
+    if collect_stats:
+        stats["compress_output_tokens"] = _token_sum(compressed, "text")
+
+    if not summarize:
+        return compressed, stats
+
+    # stage 3 — hierarchical summarization per conversation (opt-in)
+    from distill_ray.stages.conversation import (
+        SummarizeConversationsBucket, add_conv_bucket,
+    )
+    from distill_ray.pipelines.dedup import _named
+
+    scfg = summarize_cfg or SummarizeConfig()
+
+    def add_role_ts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if "role" not in df:
+            df["role"] = "user"  # pipeline.go:207-217 forces role "user"
+        if "ts" not in df:
+            df["ts"] = pd.Timestamp(0)
+        return df
+
+    with_meta = compressed.map_batches(add_role_ts, batch_format="pandas")
+    bucketed = with_meta.map_batches(
+        add_conv_bucket(cfg.shuffle_buckets), batch_format="pandas"
+    )
+    summarized = bucketed.groupby("cbucket").map_groups(
+        _named(SummarizeConversationsBucket(scfg, now_epoch_s), "summarize"),
+        batch_format="pandas",
+    ).materialize()
+    if collect_stats:
+        stats["summarize_output_tokens"] = _token_sum(summarized, "content")
+    return summarized, stats

@@ -47,7 +47,7 @@ from distill_ray.stages.components import connected_components, union_find_label
 from distill_ray.stages.dedup_stages import (
     BandPairBucket,
     Sketcher,
-    dedupe_pairs_bucket,
+    make_dedupe_pairs_bucket,
     exact_dedup_bucket,
     make_add_text_hash,
     make_expand_bands,
@@ -88,9 +88,38 @@ def run_dedup(
     collect_stats: bool = False,
     component_mode: str = "auto",  # auto | distributed
     driver_component_limit: int = 2_000_000,
+    ckpt=None,                # state.manifest.CheckpointManager for resume
+    stop_after: str = "",     # testing hook: abort after this stage's checkpoint
 ) -> DedupRunResult:
+    import time as _time
+
     cfg = cfg or DedupConfig()
     stats: dict = {}
+    timings: dict = {}
+    _t0 = _time.time()
+
+    def _mark(name: str):
+        nonlocal _t0
+        now = _time.time()
+        timings[name] = round(now - _t0, 3)
+        _t0 = now
+
+    class _StopRun(Exception):
+        pass
+
+    def _ckpt_or(stage: str, ds: rd.Dataset) -> rd.Dataset:
+        """Reuse the stage checkpoint when valid, else compute + persist.
+        Without a CheckpointManager, just pin in the object store."""
+        if ckpt is not None:
+            if ckpt.has(stage):
+                timings[f"{stage}_resumed"] = True
+                out = ckpt.load(stage)
+            else:
+                out = ckpt.save(stage, ds)
+            if stop_after == stage:
+                raise _StopRun(stage)
+            return out
+        return ds.materialize()
     B = cfg.shuffle_buckets
 
     # size join parallelism to the cluster: each hash-shuffle join reserves
@@ -118,18 +147,24 @@ def run_dedup(
         return df.loc[df["rid"] != df["canon_rid"],
                       ["rid", "conv_id", "turn_idx", "canon_rid"]]
 
-    canon = canon.materialize()
+    canon = _ckpt_or("canon", canon)
+    _mark("p2_exact_dedup")
     uniques = canon.map_batches(split_uniques, batch_format="pandas")
     dups = canon.map_batches(split_dups, batch_format="pandas")
 
     # P5 — sketch: embeddings + MinHash bands + SimHash (actor pool).
     # Materialized: it feeds band expansion, the verify joins, and the
     # refinement rows (this is also the natural signature checkpoint).
+    # autoscaling actor pool bounded by the cluster so the pool never
+    # starves the read/write stages on small CPU counts
+    signer_pool = (1, max(1, min(cfg.signer_concurrency, total_cpus - 1)))
     sk = uniques.map_batches(
         Sketcher, fn_constructor_kwargs={"cfg": cfg},
         batch_format="pandas", batch_size=cfg.batch_size,
-        concurrency=cfg.signer_concurrency,
-    ).materialize()
+        concurrency=signer_pool,
+    )
+    sk = _ckpt_or("signatures", sk)
+    _mark("p5_sketch")
 
     # P6 — LSH candidate pairs (bucketed band groupby -> bucketed pair dedupe)
     pairs = (
@@ -137,8 +172,11 @@ def run_dedup(
         .groupby("bucket")
         .map_groups(_named(BandPairBucket(cfg), "band_pairs"), batch_format="pandas")
         .groupby("pbucket")
-        .map_groups(dedupe_pairs_bucket, batch_format="pandas")
-    ).materialize()
+        .map_groups(_named(make_dedupe_pairs_bucket(cfg.min_band_collisions),
+                           "dedupe_pairs"), batch_format="pandas")
+    )
+    pairs = _ckpt_or("pairs", pairs)
+    _mark("p6_candidates")
 
     # P7 — exact cosine verification via two embedding joins (sequential so
     # each join's aggregators get the full CPU budget)
@@ -155,8 +193,10 @@ def run_dedup(
         with_b = with_a.join(emb_b, "inner", num_partitions=num_join_partitions, on=("b",))
         edges = with_b.map_batches(
             lambda df: verify_pairs_batch(df, cfg.threshold), batch_format="pandas"
-        ).materialize()
+        )
+        edges = _ckpt_or("edges", edges)
         n_edges = edges.count()
+        _mark("p7_verify")
     else:
         edges = rd.from_pandas(
             pd.DataFrame({"a": pd.Series(dtype=object), "b": pd.Series(dtype=object)})
@@ -233,7 +273,9 @@ def run_dedup(
         ).astype(np.int32)
         return l
 
+    _mark("p8_components")
     rows = rows.materialize()
+    _mark("p8_attach")
     single_assign = rows.map_batches(singles_out, batch_format="pandas")
     refined = (
         rows.map_batches(labeled_out, batch_format="pandas")
@@ -241,7 +283,8 @@ def run_dedup(
         .map_groups(_named(ComponentBucketRefiner(cfg), "refine_components"),
                     batch_format="pandas")
     )
-    assignments = refined.union(single_assign).materialize()
+    assignments = _ckpt_or("assignments_core", refined.union(single_assign))
+    _mark("p9_refine")
 
     # fold exact duplicates back onto their canonical row's cluster
     if dups.count() > 0:
@@ -261,6 +304,7 @@ def run_dedup(
             dup_assign.map_batches(dup_rows, batch_format="pandas")
         )
 
+    stats["timings"] = timings
     if collect_stats:
         stats["input_rows"] = transcripts.count()
         stats["unique_rows"] = sk.count()

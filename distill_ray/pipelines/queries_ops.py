@@ -233,6 +233,30 @@ def q_mmr_top8(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["vec_id", "rank", "score"])
 
 
+def q_verbatim_spans(sf_dir: str) -> pd.DataFrame:
+    """P10 suffix-array/rolling-hash verbatim-span pass over transcripts
+    derived from documents (span_k=10 tokens); rows-only."""
+    import pyarrow.parquet as _pq
+
+    import ray.data as _rd
+
+    from distill_ray.sources.transcripts import transcripts_from_documents
+    from distill_ray.stages.dedup_stages import prep_batch
+    from distill_ray.stages.spans_stage import run_span_pass
+
+    docs = _pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    tr = transcripts_from_documents(docs, seed=42)
+    prep = _rd.from_pandas(tr).map_batches(prep_batch, batch_format="pandas")
+    spans = run_span_pass(prep, span_k=10).to_pandas()
+    if spans.empty:
+        return pd.DataFrame(
+            {"a": pd.Series(dtype=object), "b": pd.Series(dtype=object),
+             "pos_a": pd.Series(dtype="int32"), "pos_b": pd.Series(dtype="int32"),
+             "length": pd.Series(dtype="int32")}
+        )
+    return spans.sort_values(["a", "b", "pos_a", "pos_b"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 
@@ -357,6 +381,75 @@ def q_fingerprint_docs(sf_dir: str) -> rd.Dataset:
         return out
 
     return ds.map_batches(fp, batch_format="pandas")
+
+
+def _derived_transcripts_ds(sf_dir: str):
+    import pyarrow.parquet as _pq
+
+    import ray.data as _rd
+
+    from distill_ray.sources.transcripts import transcripts_from_documents
+
+    docs = _pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    return _rd.from_pandas(transcripts_from_documents(docs, seed=42))
+
+
+def q_summarize_transcripts(sf_dir: str) -> pd.DataFrame:
+    """M11 hierarchical summarizer per conversation over derived
+    transcripts, fixed `now` (no wall clock); rows-only."""
+    from distill_ray.config import DedupConfig, SummarizeConfig
+    from distill_ray.pipelines.dedup import _named
+    from distill_ray.stages.conversation import (
+        SummarizeConversationsBucket, add_conv_bucket,
+    )
+
+    ds = _derived_transcripts_ds(sf_dir)
+    cfg = SummarizeConfig(preserve_recent=2, max_tokens=0)
+    # transcripts start at 2026-01-01 with hourly conv offsets; pick a `now`
+    # that straddles the 30m/2h/24h buckets
+    now = pd.Timestamp("2026-01-03").timestamp()
+    out = (
+        ds.map_batches(add_conv_bucket(DedupConfig().shuffle_buckets),
+                       batch_format="pandas")
+        .groupby("cbucket")
+        .map_groups(_named(SummarizeConversationsBucket(cfg, now), "summarize"),
+                    batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def q_session_budget(sf_dir: str) -> pd.DataFrame:
+    """C14 session push/budget machine per conversation over derived
+    transcripts (small budget so the compress ladder engages); rows-only."""
+    from distill_ray.config import DedupConfig
+    from distill_ray.pipelines.dedup import _named
+    from distill_ray.stages.conversation import SessionBucket, add_conv_bucket
+
+    ds = _derived_transcripts_ds(sf_dir)
+    out = (
+        ds.map_batches(add_conv_bucket(DedupConfig().shuffle_buckets),
+                       batch_format="pandas")
+        .groupby("cbucket")
+        .map_groups(_named(SessionBucket(max_tokens=60), "session"),
+                    batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["conv_id", "seq"]).reset_index(drop=True)
+
+
+def q_pipeline_chain(sf_dir: str) -> pd.DataFrame:
+    """C10 unified pipeline (dedup -> compress) over derived transcripts;
+    rows-only."""
+    from distill_ray.pipelines.chain import run_pipeline_chain
+
+    ds = _derived_transcripts_ds(sf_dir)
+    out, _stats = run_pipeline_chain(ds, collect_stats=False)
+    return (
+        out.to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
 
 
 # ---------------------------------------------------------------------------

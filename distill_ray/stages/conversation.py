@@ -1,0 +1,108 @@
+"""Per-conversation ordered stages: hierarchical summarization (M11) and
+the session push/budget machine (C14).
+
+Both need the whole conversation in stable turn order — expressed as a
+bucketed groupby (hash(conv_id) % shuffle_buckets) whose kernel loops the
+conversations in the bucket, sorting each by turn_idx. Conversations are
+assumed to fit in one group (bounded turns per conversation; SURVEY.md
+§7.5 item 5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from distill_ray.config import SummarizeConfig
+from distill_ray.kernels.hashing import stable_hash64
+
+
+def add_conv_bucket(n_buckets: int):
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cbucket"] = (
+            stable_hash64(df["conv_id"].astype(str).to_numpy()) % np.uint64(n_buckets)
+        ).astype(np.int32)
+        return df
+
+    return bucketize
+
+
+class SummarizeConversationsBucket:
+    """M11 bucket kernel: hierarchical age-based summarization per
+    conversation. ``now_epoch_s`` is explicit (no wall clock)."""
+
+    def __init__(self, cfg: SummarizeConfig, now_epoch_s: float):
+        self.cfg = cfg
+        self.now = now_epoch_s
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        from distill_ray.kernels.summarize import Turn, summarize_turns
+
+        out = []
+        for conv_id, sub in g.groupby("conv_id", sort=False):
+            sub = sub.sort_values("turn_idx", kind="mergesort")
+            ts_s = sub["ts"].astype("int64").to_numpy() / 1e6
+            turns = [
+                Turn(
+                    id=f"{conv_id}:{int(t)}",
+                    role=r,
+                    content=c,
+                    ts_epoch_s=float(s),
+                )
+                for t, r, c, s in zip(sub["turn_idx"], sub["role"], sub["text"], ts_s)
+            ]
+            result, _stats = summarize_turns(turns, self.cfg, self.now)
+            for t in result:
+                conv, idx = t.id.rsplit(":", 1)
+                out.append(
+                    (conv, np.int32(int(idx)), t.role, t.content,
+                     np.int8(t.level), round(float(t.importance), 6),
+                     np.int32(t.token_count))
+                )
+        return pd.DataFrame(
+            out,
+            columns=["conv_id", "turn_idx", "role", "content", "level",
+                     "importance", "token_count"],
+        )
+
+
+class SessionBucket:
+    """C14 bucket kernel: ordered session push machine per conversation.
+    Pushes are the turns in (turn_idx) order; embeddings are the
+    deterministic feature-hash embeddings of the content."""
+
+    def __init__(self, max_tokens: int = 2000, dedup_threshold: float = 0.15,
+                 preserve_recent: int = 10, embed_dim: int = 64):
+        self.max_tokens = max_tokens
+        self.dedup_threshold = dedup_threshold
+        self.preserve_recent = preserve_recent
+        self.embed_dim = embed_dim
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        from distill_ray.kernels.embed import embed_texts
+        from distill_ray.kernels.session import run_session
+
+        out = []
+        for conv_id, sub in g.groupby("conv_id", sort=False):
+            sub = sub.sort_values("turn_idx", kind="mergesort")
+            embs = embed_texts(sub["text"], self.embed_dim)
+            pushes = [
+                {"role": r, "content": c, "embedding": embs[i],
+                 "importance": 0.0}
+                for i, (r, c) in enumerate(zip(sub["role"], sub["text"]))
+            ]
+            res = run_session(
+                pushes,
+                max_tokens=self.max_tokens,
+                dedup_threshold=self.dedup_threshold,
+                preserve_recent=self.preserve_recent,
+            )
+            for e in res.entries:
+                out.append(
+                    (conv_id, np.int32(e.seq), e.role, e.content,
+                     np.int8(e.level), np.int32(e.tokens))
+                )
+        return pd.DataFrame(
+            out,
+            columns=["conv_id", "seq", "role", "content", "level", "tokens"],
+        )

@@ -107,11 +107,12 @@ class Sketcher:
         bands = lsh_band_keys(sig, cfg.lsh_bands).view(np.int64)
         sims = simhash64(th, dl).view(np.int64)
         out = df[["rid", "conv_id", "turn_idx", "norm_text"]].reset_index(drop=True).copy()
-        # embeddings travel as fixed-width binary: Arrow tensor extension
-        # types don't survive acero joins, and bytes shuffle cheaper
+        # embeddings and band keys travel as fixed-width binary: Arrow tensor
+        # extension types don't survive acero joins or parquet checkpoints
+        # (pandas-metadata round-trip), and bytes shuffle cheaper
         out["emb"] = [e.tobytes() for e in emb]
         out["simhash"] = sims
-        out["band_keys"] = list(bands)
+        out["bands"] = [b.tobytes() for b in bands]
         # rows with zero tokens never band-collide meaningfully; mark them
         out["n_tokens"] = dl
         return out
@@ -129,10 +130,12 @@ def make_expand_bands(n_buckets: int):
                  "simhash": pd.Series(dtype=np.int64),
                  "bucket": pd.Series(dtype=np.int32)}
             )
-        n_bands = len(df["band_keys"].iloc[0])
+        n_bands = len(df["bands"].iloc[0]) // 8
         rid = np.repeat(df["rid"].to_numpy(), n_bands)
         sims = np.repeat(df["simhash"].to_numpy(), n_bands)
-        keys = np.concatenate([np.asarray(b, dtype=np.int64) for b in df["band_keys"]])
+        keys = np.concatenate(
+            [np.frombuffer(b, dtype=np.int64) for b in df["bands"]]
+        )
         bucket = (keys.view(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
         return pd.DataFrame(
             {"band_key": keys, "rid": rid, "simhash": sims, "bucket": bucket}
@@ -207,9 +210,16 @@ class BandPairBucket:
         return pd.DataFrame({"a": a, "b": b, "pbucket": pbucket})
 
 
-def dedupe_pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
-    """Collapse the same pair emitted from multiple bands (vectorized)."""
-    return g.drop_duplicates(["a", "b"])[["a", "b"]]
+def make_dedupe_pairs_bucket(min_band_collisions: int):
+    """Collapse multi-band pair emissions (vectorized) and apply the
+    band-collision-count filter (see DedupConfig.min_band_collisions)."""
+
+    def dedupe_pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        counts = g.groupby(["a", "b"], sort=False).size().reset_index(name="n")
+        keep = counts[counts["n"] >= min_band_collisions]
+        return keep[["a", "b"]]
+
+    return dedupe_pairs_bucket
 
 
 def decode_embeddings(col) -> np.ndarray:

@@ -1,0 +1,151 @@
+"""P10 distributed verbatim-span pass.
+
+  tokenize -> rolling window-hash rows -> groupby(window bucket): emit
+  window matches -> groupby(pair bucket): merge contiguous windows into
+  MAXIMAL spans per document pair.
+
+Maximality without re-reading tokens: two docs sharing a verbatim span of
+L >= span_k tokens share exactly L - span_k + 1 windows at a constant
+position offset; merging runs of contiguous (pos_a, pos_b) with equal
+offset reconstructs the maximal span and its length. 64-bit window-hash
+collisions are the only false-positive source (~2^-64 per pair); the
+suffix-array kernel (kernels/spans.py) is the exact verifier used in tests
+to certify this reconstruction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from distill_ray.kernels.embed import tokenize_series
+from distill_ray.kernels.hashing import stable_hash64
+from distill_ray.kernels.spans import window_hashes
+
+
+def make_window_rows(span_k: int, n_buckets: int):
+    def window_rows(df: pd.DataFrame) -> pd.DataFrame:
+        th, dl = tokenize_series(df["norm_text"])
+        wh, doc_idx, pos = window_hashes(th, dl, span_k)
+        rids = df["rid"].to_numpy()
+        return pd.DataFrame(
+            {
+                "whash": wh.view(np.int64),
+                "rid": rids[doc_idx],
+                "pos": pos.astype(np.int32),
+                "wbucket": (wh % np.uint64(n_buckets)).astype(np.int32),
+            }
+        )
+
+    return window_rows
+
+
+def make_window_matches(n_buckets: int, window_cap: int = 64):
+    """Bucket kernel: per window-hash group, emit all cross-document
+    (a, b, pos_a, pos_b) matches; hot windows capped deterministically."""
+
+    def window_matches(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype=object), "b": pd.Series(dtype=object),
+             "pos_a": pd.Series(dtype=np.int32), "pos_b": pd.Series(dtype=np.int32),
+             "pbucket": pd.Series(dtype=np.int32)}
+        )
+        sizes = g.groupby("whash", sort=False)["rid"].transform("size")
+        g = g[sizes > 1]
+        if g.empty:
+            return empty
+        g = g.sort_values(["whash", "rid", "pos"], kind="mergesort")
+        wh = g["whash"].to_numpy()
+        rid = g["rid"].to_numpy()
+        pos = g["pos"].to_numpy()
+        bounds = np.flatnonzero(np.r_[True, wh[1:] != wh[:-1], True])
+        a_out, b_out, pa_out, pb_out = [], [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            n = min(e - s, window_cap)
+            if n < 2:
+                continue
+            ia, ib = np.triu_indices(n, k=1)
+            ia += s
+            ib += s
+            cross = rid[ia] != rid[ib]
+            if not cross.any():
+                continue
+            a_out.append(rid[ia[cross]])
+            b_out.append(rid[ib[cross]])
+            pa_out.append(pos[ia[cross]])
+            pb_out.append(pos[ib[cross]])
+        if not a_out:
+            return empty
+        a = np.concatenate(a_out)
+        b = np.concatenate(b_out)
+        pbucket = (
+            stable_hash64(np.char.add(np.char.add(a.astype(str), "|"), b.astype(str)))
+            % np.uint64(n_buckets)
+        ).astype(np.int32)
+        return pd.DataFrame(
+            {"a": a, "b": b,
+             "pos_a": np.concatenate(pa_out).astype(np.int32),
+             "pos_b": np.concatenate(pb_out).astype(np.int32),
+             "pbucket": pbucket}
+        )
+
+    return window_matches
+
+
+def make_merge_spans(span_k: int):
+    """Bucket kernel: merge contiguous window matches into maximal spans."""
+
+    def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype=object), "b": pd.Series(dtype=object),
+                 "pos_a": pd.Series(dtype=np.int32), "pos_b": pd.Series(dtype=np.int32),
+                 "length": pd.Series(dtype=np.int32)}
+            )
+        g = g.copy()
+        g["offset"] = g["pos_a"].astype(np.int64) - g["pos_b"].astype(np.int64)
+        g = g.sort_values(["a", "b", "offset", "pos_a"], kind="mergesort")
+        a = g["a"].to_numpy()
+        b = g["b"].to_numpy()
+        off = g["offset"].to_numpy()
+        pa = g["pos_a"].to_numpy().astype(np.int64)
+        pb = g["pos_b"].to_numpy().astype(np.int64)
+        # run breaks: new (a, b, offset) or non-contiguous position
+        new_run = np.r_[
+            True,
+            (a[1:] != a[:-1]) | (b[1:] != b[:-1]) | (off[1:] != off[:-1])
+            | (pa[1:] != pa[:-1] + 1),
+        ]
+        run_id = np.cumsum(new_run) - 1
+        frame = pd.DataFrame(
+            {"run": run_id, "a": a, "b": b, "pos_a": pa, "pos_b": pb}
+        )
+        agg = frame.groupby("run", sort=False).agg(
+            a=("a", "first"), b=("b", "first"),
+            pos_a=("pos_a", "first"), pos_b=("pos_b", "first"),
+            end=("pos_a", "last"),
+        )
+        agg["length"] = (agg["end"] - agg["pos_a"] + span_k).astype(np.int32)
+        agg["pos_a"] = agg["pos_a"].astype(np.int32)
+        agg["pos_b"] = agg["pos_b"].astype(np.int32)
+        return agg[["a", "b", "pos_a", "pos_b", "length"]].reset_index(drop=True)
+
+    return merge_spans
+
+
+def run_span_pass(prep_ds, span_k: int = 50, n_buckets: int = 128):
+    """prep_ds: Dataset with (rid, norm_text). Returns spans Dataset
+    (a, b, pos_a, pos_b, length) with length >= span_k."""
+    from distill_ray.pipelines.dedup import _named
+
+    windows = prep_ds.map_batches(
+        make_window_rows(span_k, n_buckets), batch_format="pandas"
+    )
+    matches = windows.groupby("wbucket").map_groups(
+        _named(make_window_matches(n_buckets), "window_matches"),
+        batch_format="pandas",
+    )
+    spans = matches.groupby("pbucket").map_groups(
+        _named(make_merge_spans(span_k), "merge_spans"), batch_format="pandas"
+    )
+    return spans

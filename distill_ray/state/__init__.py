@@ -1,0 +1,1 @@
+"""Checkpoint manifests for resumable runs."""

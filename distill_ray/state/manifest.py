@@ -1,0 +1,128 @@
+"""Per-stage checkpoint manifests (north rule: "resumable from checkpoint
+with per-partition lineage + metrics").
+
+Layout under a run root:
+
+    <root>/<stage>/part-*.parquet      atomic: written to <stage>.tmp then renamed
+    <root>/<stage>.manifest.json       config hash + per-file lineage + row count
+    <root>/metrics.jsonl               appended per completed stage
+
+A stage is reusable iff its manifest exists, its config hash matches the
+current config, and every file it lists is present with the recorded size.
+A resumed run with a CHANGED config restarts cleanly because the hash
+mismatches (SURVEY.md §7.5 item 6). Writes are atomic (tmp dir + rename) so
+a mid-stage kill leaves no half-valid checkpoint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import ray.data as rd
+
+
+class CheckpointManager:
+    def __init__(self, root: str, config_hash: str):
+        self.root = root
+        self.config_hash = config_hash
+        os.makedirs(root, exist_ok=True)
+
+    def _stage_dir(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self.root, f"{stage}.manifest.json")
+
+    def has(self, stage: str) -> bool:
+        """True iff the stage checkpoint is complete, config-compatible and
+        all listed files verify."""
+        mp = self._manifest_path(stage)
+        if not os.path.exists(mp):
+            return False
+        try:
+            with open(mp) as f:
+                m = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            return False
+        if m.get("config_hash") != self.config_hash or not m.get("completed"):
+            return False
+        for entry in m.get("files", []):
+            path = os.path.join(self._stage_dir(stage), entry["name"])
+            if not os.path.exists(path) or os.path.getsize(path) != entry["bytes"]:
+                return False
+        return True
+
+    def load(self, stage: str) -> rd.Dataset:
+        mp = self._manifest_path(stage)
+        if os.path.exists(mp):
+            with open(mp) as f:
+                m = json.load(f)
+            if m.get("rows") == 0:
+                import pandas as pd
+
+                return rd.from_pandas(
+                    pd.DataFrame({c: [] for c in m.get("columns", [])})
+                )
+        return rd.read_parquet(self._stage_dir(stage))
+
+    def save(self, stage: str, ds: rd.Dataset) -> rd.Dataset:
+        """Write the dataset as the stage checkpoint (atomic) and return a
+        dataset reading from it (so downstream lineage starts at the file)."""
+        final = self._stage_dir(stage)
+        tmp = final + f".tmp-{os.getpid()}"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp, exist_ok=True)  # an empty dataset writes no files
+        ds.write_parquet(tmp)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+
+        files = sorted(os.listdir(final))
+        lineage = [
+            {"name": f, "bytes": os.path.getsize(os.path.join(final, f))}
+            for f in files
+        ]
+        if files:
+            out = rd.read_parquet(final)
+            n_rows = out.count()
+            columns = [f.name for f in out.schema().base_schema] if n_rows else []
+        else:
+            import pandas as pd
+
+            schema = ds.schema()
+            columns = list(schema.names) if schema is not None else []
+            out = rd.from_pandas(pd.DataFrame({c: [] for c in columns}))
+            n_rows = 0
+        manifest = {
+            "stage": stage,
+            "config_hash": self.config_hash,
+            "completed": True,
+            "rows": n_rows,
+            "columns": columns,
+            "files": lineage,
+            "written_at": time.time(),
+        }
+        tmp_mp = self._manifest_path(stage) + ".tmp"
+        with open(tmp_mp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp_mp, self._manifest_path(stage))
+        self._append_metric(stage, n_rows, len(files))
+        return out
+
+    def _append_metric(self, stage: str, rows: int, n_files: int):
+        with open(os.path.join(self.root, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(
+                {"stage": stage, "rows": rows, "files": n_files,
+                 "config_hash": self.config_hash, "ts": time.time()}
+            ) + "\n")
+
+    def stage_rows(self, stage: str) -> int | None:
+        mp = self._manifest_path(stage)
+        if not os.path.exists(mp):
+            return None
+        with open(mp) as f:
+            return json.load(f).get("rows")

@@ -1,0 +1,90 @@
+"""Checkpoint/resume: mid-stage kill -> re-run produces identical output."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from distill_ray.config import DedupConfig
+from distill_ray.sources.transcripts import generate_transcripts
+from distill_ray.state.manifest import CheckpointManager
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values("rid").reset_index(drop=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_after_mid_stage_kill(tmp_path):
+    import ray.data as rd
+
+    from distill_ray.pipelines.dedup import run_dedup
+
+    df = generate_transcripts(n_convs=80, turns_per_conv=6, seed=17)
+    cfg = DedupConfig()
+
+    # reference: clean run without checkpoints
+    clean = _sorted(run_dedup(rd.from_pandas(df), cfg).assignments.to_pandas())
+
+    # run 1: 'killed' right after the pairs stage
+    root = str(tmp_path / "run")
+    ckpt = CheckpointManager(root, cfg.config_hash())
+    with pytest.raises(Exception, match="pairs"):
+        run_dedup(rd.from_pandas(df), cfg, ckpt=ckpt, stop_after="pairs")
+
+    assert ckpt.has("canon") and ckpt.has("signatures") and ckpt.has("pairs")
+    assert not ckpt.has("edges")
+
+    # run 2: resume — completed stages are reused, output identical
+    ckpt2 = CheckpointManager(root, cfg.config_hash())
+    res = run_dedup(rd.from_pandas(df), cfg, ckpt=ckpt2)
+    resumed = _sorted(res.assignments.to_pandas())
+    assert res.stats["timings"].get("canon_resumed") is True
+    assert res.stats["timings"].get("pairs_resumed") is True
+    pd.testing.assert_frame_equal(clean, resumed)
+
+    # metrics lineage recorded per stage
+    metrics = [json.loads(l) for l in open(os.path.join(root, "metrics.jsonl"))]
+    assert {m["stage"] for m in metrics} >= {"canon", "signatures", "pairs",
+                                             "edges", "assignments_core"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_config_change_invalidates_checkpoints(tmp_path):
+    import ray.data as rd
+
+    from distill_ray.pipelines.dedup import run_dedup
+
+    df = generate_transcripts(n_convs=30, turns_per_conv=6, seed=8)
+    root = str(tmp_path / "run")
+
+    cfg1 = DedupConfig()
+    ckpt = CheckpointManager(root, cfg1.config_hash())
+    run_dedup(rd.from_pandas(df), cfg1, ckpt=ckpt)
+    assert ckpt.has("canon")
+
+    cfg2 = DedupConfig(threshold=0.05)
+    ckpt2 = CheckpointManager(root, cfg2.config_hash())
+    # changed config -> stale checkpoints are NOT reused
+    assert not ckpt2.has("canon")
+    res = run_dedup(rd.from_pandas(df), cfg2, ckpt=ckpt2)
+    assert "canon_resumed" not in res.stats["timings"]
+
+
+def test_manifest_detects_corruption(tmp_path, ray_session):
+    import ray.data as rd
+
+    root = str(tmp_path / "ck")
+    cm = CheckpointManager(root, "abc")
+    ds = rd.from_pandas(pd.DataFrame({"x": range(10)}))
+    cm.save("stage1", ds)
+    assert cm.has("stage1")
+    # truncate a file -> lineage check fails
+    stage_dir = os.path.join(root, "stage1")
+    victim = os.path.join(stage_dir, sorted(os.listdir(stage_dir))[0])
+    with open(victim, "wb") as f:
+        f.write(b"corrupt")
+    assert not cm.has("stage1")

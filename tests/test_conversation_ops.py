@@ -1,0 +1,216 @@
+"""Summarizer (M11), session budget machine (C14), pipeline chain (C10)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from distill_ray.config import SummarizeConfig
+from distill_ray.kernels.session import (
+    LEVEL_KEYWORDS,
+    LEVEL_SENTENCE,
+    LEVEL_SUMMARY,
+    compress_to_level,
+    run_session,
+    session_keywords,
+)
+from distill_ray.kernels.summarize import (
+    LEVEL_FULL,
+    LEVEL_PARAGRAPH,
+    Turn,
+    extract_keyword_summary,
+    extract_paragraph_summary,
+    extract_sentence_summary,
+    summarize_turns,
+)
+
+
+# --- summarizer kernels ------------------------------------------------------
+
+def test_paragraph_summary_keeps_code():
+    text = "First paragraph here.\n\nSecond paragraph.\n```py\ncode()\n```"
+    out = extract_paragraph_summary(text)
+    assert "First paragraph here." in out
+    assert "Second paragraph." not in out
+    assert "code()" in out  # fenced code preserved
+
+
+def test_sentence_summary_two_sentences():
+    assert extract_sentence_summary("One. Two. Three.") == "One. Two."
+    assert extract_sentence_summary("Single") == "Single"
+
+
+def test_keyword_summary_cap12():
+    text = " ".join(f"keyword{i:02d}" for i in range(20))
+    out = extract_keyword_summary(text)
+    assert len(out.split(", ")) == 12
+
+
+def _mk_turns(n, now, age_s, content="A sentence with enough words to compress easily. " * 5):
+    return [
+        Turn(id=f"t{i}", role="user", content=content, ts_epoch_s=now - age_s)
+        for i in range(n)
+    ]
+
+
+def test_summarize_preserves_recent():
+    now = 1_000_000.0
+    turns = _mk_turns(15, now, age_s=100_000)  # older than 24h
+    cfg = SummarizeConfig(preserve_recent=10)
+    out, stats = summarize_turns(turns, cfg, now)
+    # first 5 compressed to keywords, last 10 preserved at full
+    assert all(t.level == 3 for t in out[:5])
+    assert all(t.level == LEVEL_FULL for t in out[5:])
+    assert stats["compressed_turns"] == 5
+
+
+def test_summarize_importance_resists():
+    now = 1_000_000.0
+    turns = _mk_turns(12, now, age_s=100_000)
+    turns[0].importance = 0.9  # resists beyond paragraph
+    cfg = SummarizeConfig(preserve_recent=10)
+    out, _ = summarize_turns(turns, cfg, now)
+    assert out[0].level == LEVEL_PARAGRAPH
+    assert out[1].level == 3
+
+
+def test_summarize_token_budget_evicts():
+    now = 1_000_000.0
+    turns = _mk_turns(20, now, age_s=100_000)
+    cfg = SummarizeConfig(preserve_recent=2, max_tokens=50)
+    out, _ = summarize_turns(turns, cfg, now)
+    assert len(out) < 20  # some evicted
+    assert sum(t.token_count for t in out[:-2]) <= 50 or len(out) <= 2
+
+
+# --- session machine ---------------------------------------------------------
+
+def test_session_keywords_lowercased():
+    out = session_keywords("Alpha BETA gamma the DELTA alpha")
+    assert out == "alpha, beta, gamma, delta"
+
+
+def test_compress_to_level_sentence():
+    assert compress_to_level("First. Second.", LEVEL_SENTENCE) == "First."
+    long_no_delim = "word " * 20
+    out = compress_to_level(long_no_delim.strip(), LEVEL_SENTENCE)
+    assert out.endswith("...") and len(out) <= 54
+
+
+def test_session_dedup_first_wins():
+    emb = np.array([1.0, 0.0, 0, 0], dtype=np.float32)
+    pushes = [
+        {"role": "user", "content": "hello there friend", "embedding": emb, "importance": 0.5},
+        {"role": "user", "content": "hello there again", "embedding": emb.copy(), "importance": 0.5},
+    ]
+    res = run_session(pushes, max_tokens=1000)
+    assert res.accepted == 1 and res.deduplicated == 1
+    assert res.entries[0].content == "hello there friend"
+
+
+def test_session_budget_ladder():
+    # small budget forces compress-then-evict, importance ASC order; entries
+    # small enough that several fit (otherwise the all-recent evictOldest
+    # fallback path engages instead — sqlite.go:585-601)
+    sent = "Compressible words arrive here now. More follow to pad out text."
+    pushes = [
+        {"role": "user", "content": sent + f" marker{i}", "embedding": None,
+         "importance": 0.5 + i * 0.01}
+        for i in range(10)
+    ]
+    res = run_session(pushes, max_tokens=120, preserve_recent=2)
+    assert res.compressed > 0
+    assert res.current_tokens <= 120
+    # newest 2 stay at full fidelity
+    assert all(e.level == 0 for e in res.entries[-2:])
+
+
+def test_session_empty_and_overbudget():
+    res = run_session(
+        [{"role": "u", "content": "", "embedding": None, "importance": 0},
+         {"role": "u", "content": "x" * 10_000, "embedding": None, "importance": 0}],
+        max_tokens=100,
+    )
+    assert res.accepted == 0 and res.rejected == 1
+
+
+# --- Ray stages --------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_summarize_stage_end_to_end():
+    import ray.data as rd
+
+    from distill_ray.pipelines.dedup import _named
+    from distill_ray.sources.transcripts import generate_transcripts
+    from distill_ray.stages.conversation import (
+        SummarizeConversationsBucket, add_conv_bucket,
+    )
+
+    df = generate_transcripts(n_convs=20, turns_per_conv=8, seed=9)
+    now = pd.Timestamp("2026-01-03").timestamp()
+    cfg = SummarizeConfig(preserve_recent=2)
+    out = (
+        rd.from_pandas(df)
+        .map_batches(add_conv_bucket(16), batch_format="pandas")
+        .groupby("cbucket")
+        .map_groups(_named(SummarizeConversationsBucket(cfg, now), "summ"),
+                    batch_format="pandas")
+        .to_pandas()
+    )
+    assert len(out) == len(df)
+    assert set(out["conv_id"]) == set(df["conv_id"])
+    # old conversations get compressed turns, recent 2 per conv stay full
+    per_conv = out.sort_values(["conv_id", "turn_idx"]).groupby("conv_id")
+    for _, sub in per_conv:
+        assert (sub["level"].iloc[-2:] == 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_session_stage_end_to_end():
+    import ray.data as rd
+
+    from distill_ray.pipelines.dedup import _named
+    from distill_ray.sources.transcripts import generate_transcripts
+    from distill_ray.stages.conversation import SessionBucket, add_conv_bucket
+
+    df = generate_transcripts(n_convs=15, turns_per_conv=8, seed=4)
+    out = (
+        rd.from_pandas(df)
+        .map_batches(add_conv_bucket(16), batch_format="pandas")
+        .groupby("cbucket")
+        .map_groups(_named(SessionBucket(max_tokens=60), "session"),
+                    batch_format="pandas")
+        .to_pandas()
+    )
+    assert len(out) > 0
+    # budget holds per conversation
+    totals = out.groupby("conv_id")["tokens"].sum()
+    assert (totals <= 60).all()
+    # deterministic across runs
+    out2 = (
+        rd.from_pandas(df)
+        .map_batches(add_conv_bucket(16), batch_format="pandas")
+        .groupby("cbucket")
+        .map_groups(_named(SessionBucket(max_tokens=60), "session"),
+                    batch_format="pandas")
+        .to_pandas()
+    )
+    a = out.sort_values(["conv_id", "seq"]).reset_index(drop=True)
+    b = out2.sort_values(["conv_id", "seq"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pipeline_chain_end_to_end():
+    import ray.data as rd
+
+    from distill_ray.pipelines.chain import run_pipeline_chain
+    from distill_ray.sources.transcripts import generate_transcripts
+
+    df = generate_transcripts(n_convs=60, turns_per_conv=6, seed=2)
+    out, stats = run_pipeline_chain(rd.from_pandas(df))
+    pdf = out.to_pandas()
+    assert stats["dedup_rows"] < stats["input_rows"]  # dedup removed rows
+    assert len(pdf) == stats["dedup_rows"]
+    assert stats["compress_output_tokens"] <= stats["dedup_output_tokens"]

@@ -34,6 +34,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from distill_ray.pipelines import queries as q
+    from distill_ray.pipelines import queries_aux as qa
     from distill_ray.pipelines import queries_ops as qo
 
     return {
@@ -74,14 +75,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "summarize_transcripts": qo.q_summarize_transcripts,
         "session_budget": qo.q_session_budget,
         "pipeline_chain": qo.q_pipeline_chain,
+        # cache / commits / graph / memory families
+        "cache_pattern_docs": qa.q_cache_pattern_docs,
+        "commit_risk_docs": qa.q_commit_risk_docs,
+        "blast_radius": qa.q_blast_radius,
+        "memory_decay_docs": qa.q_memory_decay_docs,
+        "memory_write_dedup": qa.q_memory_write_dedup,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from distill_ray.pipelines import queries as q
+    from distill_ray.pipelines import queries_aux as qa
     from distill_ray.pipelines import queries_ops as qo
 
     return {
+        "cache_pattern_docs": qa.CACHE_PATTERN_SQL,
+        "commit_risk_docs": qa.COMMIT_RISK_SQL,
+        "blast_radius": qa.BLAST_RADIUS_SQL,
         "q1_pricing_summary": q.Q1_SQL,
         "exact_dedup_docs": q.EXACT_DEDUP_DOCS_SQL,
         "dup_pairs_exact_docs": q.DUP_PAIRS_EXACT_SQL,

@@ -1,0 +1,242 @@
+"""Prompt-cache kernels — ports of /root/reference/pkg/cache/ and
+pkg/session/cache_boundary.go.
+
+- M18 pattern detector (patterns.go:50-290): classify text as
+  system_prompt / tool_definition / code_block / document by prefix+marker
+  heuristics; cache annotation (>=1024-token minimum, code >=512) and the
+  <=4-marker plan picked by highest token count.
+- M19 prefix partitioner (prefix.go:40-110): split a chunk list at the last
+  cache_control marker; SHA-256(prefix texts + NUL separators)[:16].
+- C15 cache boundary manager (cache_boundary.go:91-310): entries stable
+  after surviving min_stable_turns pushes unmodified; pick <=4 markers with
+  cumulative tokens >= 1024, largest stable prefixes first, re-sorted into
+  document order; advance/retreat vs the previous boundary.
+- C16 prefix stability validator (stability.go:100-209): per call-site
+  prefix-hash history; rate = 1 - changes/(checks-1), warn below 0.8 after
+  3 warmups.
+- C17 TTL tracker (ttl.go:44-152): 5-minute TTL, touch-refresh, deadline.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+from distill_ray.kernels.textproc import estimate_tokens
+
+MIN_CACHEABLE_TOKENS = 1024
+MAX_CACHE_MARKERS = 4
+DEFAULT_TTL_S = 300.0  # ttl.go:11 — 5-minute Anthropic TTL
+
+SYSTEM_PROMPT_PREFIXES = (
+    "you are", "you're", "your role", "as an ai", "as a helpful",
+    "system:", "<system>", "[system]",
+)
+TOOL_DEFINITION_MARKERS = (
+    "function", "tool_name", "tool_description", "parameters",
+    '"type": "function"', "<tool>", "[tool]",
+)
+
+PATTERN_UNKNOWN = "unknown"
+PATTERN_SYSTEM = "system_prompt"
+PATTERN_TOOL = "tool_definition"
+PATTERN_CODE = "code_block"
+PATTERN_DOCUMENT = "document"
+
+MIN_PATTERN_LENGTH = 50
+
+
+def hash_text(text: str) -> str:
+    """SHA-256 hex[:16] (patterns.go:292-297)."""
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()[:16]
+
+
+def classify_pattern(text: str) -> str:
+    """patterns.go:263-290."""
+    lower = text.lower()
+    head = lower[: min(200, len(lower))]
+    for prefix in SYSTEM_PROMPT_PREFIXES:
+        if lower.startswith(prefix) or prefix in head:
+            return PATTERN_SYSTEM
+    tool_count = sum(1 for m in TOOL_DEFINITION_MARKERS if m in lower)
+    if tool_count >= 2:
+        return PATTERN_TOOL
+    if "```" in text or "def " in text or "func " in text or "function " in text:
+        return PATTERN_CODE
+    return PATTERN_DOCUMENT
+
+
+@dataclass
+class CacheAnnotation:
+    recommended: bool
+    reason: str = ""
+    min_tokens_met: bool = False
+    boundary_after: bool = False
+
+
+def annotate(pattern_type: str, tokens: int) -> CacheAnnotation:
+    """patterns.go:216-255."""
+    min_met = tokens >= MIN_CACHEABLE_TOKENS
+    if pattern_type == PATTERN_SYSTEM:
+        return CacheAnnotation(True, "system_prompt", min_met, True)
+    if pattern_type == PATTERN_TOOL:
+        return CacheAnnotation(True, "tool_definition", min_met, True)
+    if pattern_type == PATTERN_CODE:
+        return CacheAnnotation(tokens >= 512, "stable_code_block", min_met, True)
+    if pattern_type == PATTERN_DOCUMENT:
+        return CacheAnnotation(True, "document", min_met, True)
+    return CacheAnnotation(False)
+
+
+def detect_pattern(text: str):
+    """patterns.go:96-114. Returns None below MinLength."""
+    if len(text) < MIN_PATTERN_LENGTH:
+        return None
+    pt = classify_pattern(text)
+    tokens = estimate_tokens(text)
+    return {
+        "type": pt,
+        "hash": hash_text(text),
+        "tokens": tokens,
+        "annotation": annotate(pt, tokens),
+    }
+
+
+def annotate_chunks_for_cache(texts, manual_markers=None) -> list[dict]:
+    """patterns.go:136-191 — the <=4-marker plan by highest token count
+    (the reference's partial selection sort keeps first-seen order on ties).
+    Returns [] when manual markers are present."""
+    if manual_markers and any(manual_markers):
+        return []
+    candidates = []
+    for i, text in enumerate(texts):
+        p = detect_pattern(text)
+        if p is None or not p["annotation"].recommended:
+            continue
+        candidates.append({"index": i, "tokens": p["tokens"],
+                           "reason": p["annotation"].reason})
+    if len(candidates) > MAX_CACHE_MARKERS:
+        # literal partial selection sort with strict `>` (patterns.go:166-175)
+        for i in range(MAX_CACHE_MARKERS):
+            best = i
+            for j in range(i + 1, len(candidates)):
+                if candidates[j]["tokens"] > candidates[best]["tokens"]:
+                    best = j
+            candidates[i], candidates[best] = candidates[best], candidates[i]
+        candidates = candidates[:MAX_CACHE_MARKERS]
+    return candidates
+
+
+# ---------------------------------------------------------------------------
+# M19 prefix partitioner
+
+
+def partition_for_cache_aware_dedup(texts, has_marker) -> dict:
+    """prefix.go:40-110: split at the LAST cache_control marker."""
+    last = -1
+    count = 0
+    for i, m in enumerate(has_marker):
+        if m:
+            last = i
+            count += 1
+    if last < 0:
+        return {"prefix": [], "suffix": list(range(len(texts))),
+                "prefix_hash": "", "frozen_prefix_tokens": 0, "marker_count": 0}
+    h = hashlib.sha256()
+    for i in range(last + 1):
+        h.update(texts[i].encode("utf-8"))
+        h.update(b"\x00")
+    return {
+        "prefix": list(range(last + 1)),
+        "suffix": list(range(last + 1, len(texts))),
+        "prefix_hash": h.hexdigest()[:16],
+        "frozen_prefix_tokens": sum(estimate_tokens(texts[i]) for i in range(last + 1)),
+        "marker_count": count,
+    }
+
+
+# ---------------------------------------------------------------------------
+# C15 cache boundary
+
+
+def evaluate_cache_boundary(
+    entries,
+    push_count: int,
+    min_stable_turns: int = 2,
+    min_prefix_tokens: int = MIN_CACHEABLE_TOKENS,
+    max_markers: int = MAX_CACHE_MARKERS,
+    prev_boundary_tokens: int = 0,
+) -> dict:
+    """cache_boundary.go:91-202 + the RecordPush stability promotion
+    (cache_boundary.go:228-269) applied functionally.
+
+    ``entries``: ordered (seq ASC) dicts with keys tokens, inserted_at_push.
+    An entry is stable when inserted_at_push <= push_count - min_stable_turns.
+    """
+    stable_threshold = push_count - min_stable_turns
+    cum = 0
+    candidates = []
+    for idx, e in enumerate(entries):
+        cum += e["tokens"]
+        stable_since = e["inserted_at_push"] if e["inserted_at_push"] <= stable_threshold else 0
+        if stable_since > 0:
+            candidates.append({"index": idx, "cum_tokens": cum,
+                               "stable_since": stable_since})
+    eligible = [c for c in candidates if c["cum_tokens"] >= min_prefix_tokens]
+    eligible.sort(key=lambda c: -c["cum_tokens"])
+    eligible = eligible[:max_markers]
+    eligible.sort(key=lambda c: c["cum_tokens"])
+    total = eligible[-1]["cum_tokens"] if eligible else 0
+    return {
+        "markers": eligible,
+        "total_stable_tokens": total,
+        "advanced": total > prev_boundary_tokens,
+        "retreated": total < prev_boundary_tokens and prev_boundary_tokens > 0,
+    }
+
+
+# ---------------------------------------------------------------------------
+# C16 prefix stability validator
+
+
+@dataclass
+class CallSiteStability:
+    """stability.go:100-209 per-call-site state."""
+
+    warmup: int = 3
+    warn_below: float = 0.8
+    checks: int = 0
+    changes: int = 0
+    last_hash: str = ""
+
+    def check(self, prefix_hash: str) -> dict:
+        self.checks += 1
+        if self.checks > 1 and prefix_hash != self.last_hash:
+            self.changes += 1
+        self.last_hash = prefix_hash
+        rate = 1.0 if self.checks <= 1 else 1.0 - self.changes / (self.checks - 1)
+        warn = self.checks > self.warmup and rate < self.warn_below
+        return {"stability_rate": rate, "warn": warn, "checks": self.checks}
+
+
+# ---------------------------------------------------------------------------
+# C17 TTL tracker
+
+
+@dataclass
+class TTLTracker:
+    """ttl.go:44-152 — explicit clock, no wall time."""
+
+    ttl_s: float = DEFAULT_TTL_S
+    entries: dict = field(default_factory=dict)  # key -> expiry time
+
+    def touch(self, key: str, now_s: float) -> bool:
+        """Hit iff now < expiry; refreshes the TTL either way."""
+        hit = key in self.entries and now_s < self.entries[key]
+        self.entries[key] = now_s + self.ttl_s
+        return hit
+
+    def schedule_deadline(self, key: str, margin_s: float) -> float | None:
+        if key not in self.entries:
+            return None
+        return self.entries[key] - margin_s

@@ -1,0 +1,112 @@
+"""Commit analysis kernels — ports of /root/reference/pkg/commits/commits.go.
+
+- M16 conventional-commit parser (commits.go:353-393)
+- M17 additive risk scorer (commits.go:146-205)
+- C20 similarity search = cosine vs corpus, min 0.5, top-10 (commits.go:216-250)
+- C21 pattern detection = count by type / high-churn files >= 3 (commits.go:253-305)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+RISK_KEYWORDS = (
+    "hotfix", "urgent", "critical", "security", "vulnerability",
+    "cve", "exploit", "regression", "rollback", "emergency",
+)
+
+COMMIT_TYPES = {
+    "feat": "feat", "feature": "feat",
+    "fix": "fix", "bugfix": "fix",
+    "refactor": "refactor",
+    "test": "test", "tests": "test",
+    "docs": "docs", "doc": "docs",
+    "chore": "chore",
+    "perf": "perf",
+    "revert": "revert",
+}
+
+
+def parse_conventional_commit(msg: str) -> tuple[str, str, bool]:
+    """(type, scope, breaking) — commits.go:353-393. Note the reference's
+    breaking heuristic: any '!' anywhere in the message counts."""
+    msg = msg.strip()
+    breaking = "BREAKING CHANGE" in msg or "!" in msg
+    idx = msg.find(":")
+    if idx < 0:
+        return "unknown", "", breaking
+    prefix = msg[:idx].strip()
+    prefix = prefix[:-1] if prefix.endswith("!") else prefix
+    scope = ""
+    i = prefix.find("(")
+    if i >= 0:
+        j = prefix.find(")")
+        if j > i:
+            scope = prefix[i + 1 : j]
+            prefix = prefix[:i]
+    return COMMIT_TYPES.get(prefix.lower(), "unknown"), scope, breaking
+
+
+def score_risk(
+    commit_type: str,
+    breaking: bool,
+    insertions: int,
+    deletions: int,
+    n_files: int,
+    message: str,
+    body: str = "",
+) -> tuple[str, int]:
+    """(risk_level, score) — commits.go:146-205."""
+    score = 0
+    if breaking:
+        score += 3
+    total_lines = insertions + deletions
+    if total_lines > 500:
+        score += 2
+    elif total_lines > 200:
+        score += 1
+    if n_files > 20:
+        score += 2
+    elif n_files > 10:
+        score += 1
+    if commit_type == "revert":
+        score += 3
+    if commit_type == "fix" and n_files > 5:
+        score += 1
+    lower = (message + " " + body).lower()
+    if any(kw in lower for kw in RISK_KEYWORDS):
+        score += 1
+    if score >= 3:
+        return "high", score
+    if score >= 1:
+        return "medium", score
+    return "low", score
+
+
+def find_similar_commits(
+    query_emb: np.ndarray, corpus_embs: np.ndarray, min_similarity: float = 0.5,
+    top_k: int = 10,
+) -> list[tuple[int, float]]:
+    """Brute-force cosine search (commits.go:216-250). Returns (index, sim)
+    sorted by sim desc, index asc for ties."""
+    from distill_ray.kernels.vmath import cosine_distance_to_query
+
+    sims = 1.0 - cosine_distance_to_query(
+        np.asarray(corpus_embs, dtype=np.float32), query_emb
+    )
+    order = sorted(range(len(sims)), key=lambda i: (-sims[i], i))
+    out = [(i, float(sims[i])) for i in order if sims[i] >= min_similarity]
+    return out[:top_k]
+
+
+def detect_commit_patterns(commit_types, files_changed_lists) -> dict:
+    """Counts by type + files touched >= 3 times (commits.go:253-305)."""
+    by_type: dict[str, int] = {}
+    for t in commit_types:
+        by_type[t] = by_type.get(t, 0) + 1
+    churn: dict[str, int] = {}
+    for files in files_changed_lists:
+        for f in files:
+            churn[f] = churn.get(f, 0) + 1
+    high_churn = {f: n for f, n in churn.items() if n >= 3}
+    return {"by_type": by_type, "high_churn_files": high_churn}

@@ -1,0 +1,74 @@
+"""Dependency-graph kernels — port of /root/reference/pkg/graph/graph.go.
+
+C19 blast radius: reverse-edge BFS from a changed set; impact score 1.0 for
+direct dependents, halved per extra depth; results sorted impact desc then
+ID asc (graph.go:130-209). The iterative-frontier formulation is the same
+label-propagation shape as connected components; the in-memory form here is
+the per-partition kernel.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+
+def blast_radius(
+    edges: list[tuple[str, str]], changed: list[str], max_depth: int = 0
+) -> list[tuple[str, float, int]]:
+    """edges are (from, to) dependencies (from depends on to). Returns
+    [(node, impact_score, depth)] for affected dependents, sorted by impact
+    desc then node asc."""
+    in_edges: dict[str, list[str]] = {}
+    for frm, to in edges:
+        in_edges.setdefault(to, []).append(frm)
+
+    visited = set(changed)
+    best: dict[str, int] = {}
+    queue = deque((c, 0) for c in changed)
+    while queue:
+        node, depth = queue.popleft()
+        for dep in in_edges.get(node, []):
+            if dep in visited:
+                continue
+            new_depth = depth + 1
+            if max_depth > 0 and new_depth > max_depth:
+                continue
+            visited.add(dep)
+            best[dep] = new_depth
+            queue.append((dep, new_depth))
+
+    out = []
+    for node, depth in best.items():
+        score = 1.0 * (0.5 ** (depth - 1))
+        out.append((node, score, depth))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out
+
+
+def parse_go_imports(source: str) -> list[str]:
+    """S7 Go-source import extraction (pkg/graph/builder.go:13-131
+    semantics): single-line `import "x"` and block `import ( ... )`."""
+    imports: list[str] = []
+    in_block = False
+    for raw in source.split("\n"):
+        line = raw.strip()
+        if in_block:
+            if line.startswith(")"):
+                in_block = False
+                continue
+            part = line.split("//")[0].strip()
+            if part.startswith('"') and part.endswith('"'):
+                imports.append(part.strip('"'))
+            elif '"' in part:  # aliased import: alias "path"
+                q = part.split('"')
+                if len(q) >= 2:
+                    imports.append(q[1])
+            continue
+        if line.startswith("import ("):
+            in_block = True
+        elif line.startswith("import "):
+            rest = line[len("import "):].strip()
+            q = rest.split('"')
+            if len(q) >= 2:
+                imports.append(q[1])
+    return imports

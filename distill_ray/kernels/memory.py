@@ -1,0 +1,157 @@
+"""Persistent-memory kernels — ports of /root/reference/pkg/memory/.
+
+- C11 write-time dedup (sqlite.go:117-279): on store, the FIRST existing
+  live entry (insertion order) within DedupThreshold (0.15) wins — the new
+  entry is dropped and the existing one's access stats bump; entries within
+  (DedupThreshold, ConflictThreshold=0.35) are surfaced as conflicts but
+  stored anyway.
+- C13 decay transforms (decay.go:62-225): keyword-level rows idle beyond
+  EvictAge (720 h) are evicted; full -> summary after SummaryAge (24 h)
+  via the extractive compressor at ~20%; summary -> keywords after
+  KeywordsAge (168 h) via the memory keyword variant (lowercase, cap 20,
+  memory-specific stop list).
+- C12 recall ranking lives in pipelines/queries.py (memory_recall_rank).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from distill_ray.kernels.compressors import CompressOptions, compress_extractive
+from distill_ray.kernels.textproc import _TRIM_CHARS
+from distill_ray.kernels.vmath import cosine_distance
+
+DECAY_FULL, DECAY_SUMMARY, DECAY_KEYWORDS = 0, 1, 2
+
+# decay.go:228-238 — the memory package's own stop list (differs from the
+# summarizer's)
+MEMORY_STOP_WORDS = frozenset(
+    {
+        "that", "this", "with", "from", "have", "been", "were", "they",
+        "their", "which", "would", "there", "about", "could", "other",
+        "into", "more", "some", "than", "them", "very", "when", "what",
+        "your", "also", "each", "does", "will", "just", "should",
+        "because", "these",
+    }
+)
+
+
+def memory_keywords(text: str) -> str:
+    """decay.go:198-225: lowercase keywords, len >= 4, cap 20."""
+    keywords: list[str] = []
+    seen: set[str] = set()
+    for w in text.split():
+        lower = w.strip(_TRIM_CHARS).lower()
+        if lower == "" or len(lower) < 4 or lower in MEMORY_STOP_WORDS or lower in seen:
+            continue
+        seen.add(lower)
+        keywords.append(lower)
+        if len(keywords) >= 20:
+            break
+    return ", ".join(keywords)
+
+
+def memory_summary(text: str) -> str:
+    """decay.go:183-195: extractive ~20%, fallback to original."""
+    out = compress_extractive(
+        text, CompressOptions(target_reduction=0.2, min_chunk_length=20)
+    )
+    return out if out else text
+
+
+@dataclass
+class MemoryEntry:
+    id: str
+    text: str
+    embedding: np.ndarray | None
+    decay_level: int = DECAY_FULL
+    last_referenced_h: float = 0.0  # hours since epoch (explicit clock)
+    access_count: int = 0
+
+
+@dataclass
+class StoreResult:
+    stored: int = 0
+    deduplicated: int = 0
+    conflicts: list = field(default_factory=list)  # (new_text, existing_id, distance)
+
+
+def memory_store(
+    entries: list[MemoryEntry],
+    new_items,
+    dedup_threshold: float = 0.15,
+    conflict_threshold: float = 0.35,
+    now_h: float = 0.0,
+) -> StoreResult:
+    """C11 write path over an in-order live entry list (the per-partition
+    kernel; at scale the scan is replaced by the LSH signature index and
+    'first wins' becomes min(arrival_seq) per match group)."""
+    res = StoreResult()
+    next_id = len(entries)
+    for item in new_items:
+        text = item.get("text") or ""
+        if text == "":
+            continue
+        emb = item.get("embedding")
+        if emb is not None and np.asarray(emb).size > 0:
+            emb = np.asarray(emb, dtype=np.float32)
+            duped = False
+            conflicts = []
+            for e in entries:  # insertion order — first wins (sqlite.go:136-151)
+                if e.embedding is None:
+                    continue
+                dist = cosine_distance(emb, e.embedding)
+                if dist < dedup_threshold:
+                    e.last_referenced_h = now_h
+                    e.access_count += 1
+                    res.deduplicated += 1
+                    duped = True
+                    break
+                if dist < conflict_threshold:
+                    conflicts.append((text, e.id, dist))
+            if duped:
+                continue
+            res.conflicts.extend(conflicts)
+        else:
+            emb = None
+        entries.append(
+            MemoryEntry(f"m{next_id:08d}", text, emb, DECAY_FULL, now_h, 0)
+        )
+        next_id += 1
+        res.stored += 1
+    return res
+
+
+def memory_decay(
+    entries: list[MemoryEntry],
+    now_h: float,
+    summary_age_h: float = 24.0,
+    keywords_age_h: float = 168.0,
+    evict_age_h: float = 720.0,
+) -> tuple[list[MemoryEntry], dict]:
+    """C13 one decay sweep as a batch transform (the compaction-job kernel):
+    evict keyword-level idle > evict_age; summary -> keywords after
+    keywords_age; full -> summary after summary_age. The reference applies
+    eviction first, then keywords, then summary (decay.go:62-96) so one
+    sweep moves an entry at most one level."""
+    events = {"evicted": 0, "to_keywords": 0, "to_summary": 0}
+    kept: list[MemoryEntry] = []
+    for e in entries:
+        idle = now_h - e.last_referenced_h
+        if e.decay_level >= DECAY_KEYWORDS and idle > evict_age_h:
+            events["evicted"] += 1
+            continue
+        kept.append(e)
+    for e in kept:
+        idle = now_h - e.last_referenced_h
+        if e.decay_level == DECAY_SUMMARY and idle > keywords_age_h:
+            e.text = memory_keywords(e.text)
+            e.decay_level = DECAY_KEYWORDS
+            events["to_keywords"] += 1
+        elif e.decay_level == DECAY_FULL and idle > summary_age_h:
+            e.text = memory_summary(e.text)
+            e.decay_level = DECAY_SUMMARY
+            events["to_summary"] += 1
+    return kept, events

@@ -1,0 +1,234 @@
+"""Queries for the cache / commits / graph / memory operator families.
+
+Inputs are derived deterministically from the testdata tables (no external
+data); the derivations are mirrored exactly in the SQL oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from distill_ray.kernels import cache as kc
+from distill_ray.kernels import commits as kcm
+from distill_ray.kernels import graph_ops as kg
+from distill_ray.kernels import memory as km
+from distill_ray.kernels.textproc import estimate_tokens
+
+
+# --- M18 cache pattern detection (SQL-checked) ------------------------------
+
+def q_cache_pattern_docs(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def detect(df: pd.DataFrame) -> pd.DataFrame:
+        patterns, tokens, recommended = [], [], []
+        for t in df["text"]:
+            p = kc.detect_pattern(t)
+            if p is None:
+                patterns.append("none")
+                tokens.append(estimate_tokens(t))
+                recommended.append(False)
+            else:
+                patterns.append(p["type"])
+                tokens.append(p["tokens"])
+                recommended.append(bool(p["annotation"].recommended))
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "pattern": patterns,
+             "tokens": pd.Series(tokens, dtype="int64"),
+             "recommended": recommended}
+        )
+
+    return ds.map_batches(detect, batch_format="pandas")
+
+
+CACHE_PATTERN_SQL = r"""
+WITH c AS (
+  SELECT doc_id, text, lower(text) AS lt,
+         substr(lower(text), 1, 200) AS head,
+         CAST((strlen(text) + 3) // 4 AS BIGINT) AS tokens
+  FROM documents),
+cls AS (
+  SELECT doc_id, tokens,
+    CASE
+      WHEN strlen(text) < 50 THEN 'none'
+      WHEN contains(head, 'you are') OR contains(head, 'you''re')
+        OR contains(head, 'your role') OR contains(head, 'as an ai')
+        OR contains(head, 'as a helpful') OR contains(head, 'system:')
+        OR contains(head, '<system>') OR contains(head, '[system]')
+        THEN 'system_prompt'
+      WHEN (CASE WHEN contains(lt, 'function') THEN 1 ELSE 0 END
+          + CASE WHEN contains(lt, 'tool_name') THEN 1 ELSE 0 END
+          + CASE WHEN contains(lt, 'tool_description') THEN 1 ELSE 0 END
+          + CASE WHEN contains(lt, 'parameters') THEN 1 ELSE 0 END
+          + CASE WHEN contains(lt, '"type": "function"') THEN 1 ELSE 0 END
+          + CASE WHEN contains(lt, '<tool>') THEN 1 ELSE 0 END
+          + CASE WHEN contains(lt, '[tool]') THEN 1 ELSE 0 END) >= 2
+        THEN 'tool_definition'
+      WHEN contains(text, '```') OR contains(text, 'def ')
+        OR contains(text, 'func ') OR contains(text, 'function ')
+        THEN 'code_block'
+      ELSE 'document'
+    END AS pattern
+  FROM c)
+SELECT doc_id, pattern, tokens,
+  CASE pattern
+    WHEN 'none' THEN FALSE
+    WHEN 'code_block' THEN tokens >= 512
+    ELSE TRUE
+  END AS recommended
+FROM cls
+"""
+
+
+# --- M16/M17 commit parsing + risk (SQL-checked) -----------------------------
+
+_COMMIT_PREFIXES = ("feat(api): ", "fix!: ", "revert: ", "docs: ", "perf(core): ")
+
+
+def q_commit_risk_docs(sf_dir: str) -> rd.Dataset:
+    """Synthetic commits derived from documents: message = prefix[doc_id % 5]
+    + first 40 chars of text; insertions = n_chars % 600; deletions =
+    doc_id % 300; files = doc_id % 25. Parsed and risk-scored with the
+    reference kernels."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "n_chars"])
+
+    def analyze(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text, n_chars in zip(df["doc_id"], df["text"], df["n_chars"]):
+            msg = _COMMIT_PREFIXES[int(doc_id) % 5] + str(text)[:40]
+            ctype, scope, breaking = kcm.parse_conventional_commit(msg)
+            ins = int(n_chars) % 600
+            dels = int(doc_id) % 300
+            n_files = int(doc_id) % 25
+            risk, score = kcm.score_risk(ctype, breaking, ins, dels, n_files, msg)
+            rows.append((int(doc_id), ctype, scope, breaking, risk, np.int64(score)))
+        return pd.DataFrame(
+            rows, columns=["doc_id", "commit_type", "scope", "breaking",
+                           "risk", "score"]
+        )
+
+    return ds.map_batches(analyze, batch_format="pandas")
+
+
+COMMIT_RISK_SQL = r"""
+WITH c AS (
+  SELECT doc_id,
+    CASE doc_id % 5 WHEN 0 THEN 'feat(api): ' WHEN 1 THEN 'fix!: '
+      WHEN 2 THEN 'revert: ' WHEN 3 THEN 'docs: '
+      ELSE 'perf(core): ' END || substr(text, 1, 40) AS msg,
+    CASE doc_id % 5 WHEN 0 THEN 'feat' WHEN 1 THEN 'fix'
+      WHEN 2 THEN 'revert' WHEN 3 THEN 'docs' ELSE 'perf' END AS commit_type,
+    CASE doc_id % 5 WHEN 0 THEN 'api' WHEN 4 THEN 'core' ELSE '' END AS scope,
+    n_chars % 600 AS ins, doc_id % 300 AS dels, doc_id % 25 AS n_files
+  FROM documents),
+b AS (
+  SELECT *, contains(msg, 'BREAKING CHANGE') OR contains(msg, '!') AS breaking
+  FROM c),
+s AS (
+  SELECT doc_id, commit_type, scope, breaking,
+    (CASE WHEN breaking THEN 3 ELSE 0 END
+     + CASE WHEN ins + dels > 500 THEN 2 WHEN ins + dels > 200 THEN 1 ELSE 0 END
+     + CASE WHEN n_files > 20 THEN 2 WHEN n_files > 10 THEN 1 ELSE 0 END
+     + CASE WHEN commit_type = 'revert' THEN 3 ELSE 0 END
+     + CASE WHEN commit_type = 'fix' AND n_files > 5 THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(msg || ' '),
+         'hotfix|urgent|critical|security|vulnerability|cve|exploit|regression|rollback|emergency')
+         THEN 1 ELSE 0 END) AS score
+  FROM b)
+SELECT doc_id, commit_type, scope, breaking,
+  CASE WHEN score >= 3 THEN 'high' WHEN score >= 1 THEN 'medium'
+    ELSE 'low' END AS risk,
+  CAST(score AS BIGINT) AS score
+FROM s
+"""
+
+
+# --- C19 blast radius over nation/customer (SQL-checked) ---------------------
+
+def q_blast_radius(sf_dir: str) -> pd.DataFrame:
+    """Dependency graph from real tables: customers depend on nations,
+    nations depend on regions. Changed set = {region 0}; reverse BFS with
+    the reference impact halving."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    customer = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    edges = [
+        (f"n:{int(r.n_nationkey)}", f"r:{int(r.n_regionkey)}")
+        for r in nation.itertuples()
+    ] + [
+        (f"c:{int(r.c_custkey)}", f"n:{int(r.c_nationkey)}")
+        for r in customer.itertuples()
+    ]
+    out = kg.blast_radius(edges, ["r:0"])
+    df = pd.DataFrame(out, columns=["node", "impact", "depth"])
+    df["impact"] = df["impact"].round(6)
+    df["depth"] = df["depth"].astype("int64")
+    return df.sort_values(["node"]).reset_index(drop=True)
+
+
+BLAST_RADIUS_SQL = """
+SELECT 'n:' || CAST(n_nationkey AS VARCHAR) AS node, 1.0 AS impact,
+       CAST(1 AS BIGINT) AS depth
+FROM nation WHERE n_regionkey = 0
+UNION ALL
+SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS node, 0.5 AS impact,
+       CAST(2 AS BIGINT) AS depth
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE n_regionkey = 0
+"""
+
+
+# --- C11/C13 memory ops (rows-only) ------------------------------------------
+
+def q_memory_decay_docs(sf_dir: str) -> rd.Dataset:
+    """C13 decay sweep over documents as memory entries with synthetic idle
+    ages age_h = (doc_id * 7) % 1000 at level full; rows-only (the text
+    transforms aren't SQL-expressible)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def decay(df: pd.DataFrame) -> pd.DataFrame:
+        entries = [
+            km.MemoryEntry(
+                str(int(d)), t, None, km.DECAY_FULL,
+                last_referenced_h=1000.0 - (int(d) * 7) % 1000,
+            )
+            for d, t in zip(df["doc_id"], df["text"])
+        ]
+        kept, _ = km.memory_decay(entries, now_h=1000.0)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([int(e.id) for e in kept], dtype="int64"),
+                "decay_level": pd.Series([e.decay_level for e in kept], dtype="int64"),
+                "text": [e.text for e in kept],
+            }
+        )
+
+    return ds.map_batches(decay, batch_format="pandas")
+
+
+def q_memory_write_dedup(sf_dir: str) -> pd.DataFrame:
+    """C11 write-time dedup over the embeddings table in vec_id order:
+    first-wins within 0.15, conflicts in (0.15, 0.35); rows-only."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    entries: list = []
+    res = km.memory_store(
+        entries,
+        [
+            {"text": f"vec{int(v)}", "embedding": np.asarray(e, dtype=np.float32)}
+            for v, e in zip(df["vec_id"], df["embedding"])
+        ],
+    )
+    return pd.DataFrame(
+        {
+            "n_stored": pd.Series([res.stored], dtype="int64"),
+            "n_deduplicated": pd.Series([res.deduplicated], dtype="int64"),
+            "n_conflicts": pd.Series([len(res.conflicts)], dtype="int64"),
+        }
+    )

@@ -1,0 +1,44 @@
+"""S1: JSONL vector reader — Ray-native port of
+/root/reference/pkg/ingest/pipeline.go:256-304.
+
+Streams `{"id", "values", "metadata"}` lines, silently DROPPING malformed
+lines (the reference counts and skips them; the 1 MiB line cap is
+irrelevant under Arrow blocks). Built on read_text + vectorized per-batch
+JSON parsing — malformed-row tolerance is why this isn't a bare
+ray.data.read_json (which fails the whole block on one bad line).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+
+def read_vectors_jsonl(path: str) -> rd.Dataset:
+    """Dataset[(id: str, values: binary float32, n_dims: int32)] — malformed
+    lines dropped. Embeddings as fixed-width binary, consistent with the
+    pipeline convention."""
+    ds = rd.read_text(path)
+
+    def parse(df: pd.DataFrame) -> pd.DataFrame:
+        ids, values, dims = [], [], []
+        for line in df["text"]:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                obj = json.loads(line)
+                vid = obj["id"]
+                vals = np.asarray(obj["values"], dtype=np.float32)
+            except (json.JSONDecodeError, KeyError, TypeError, ValueError):
+                continue  # malformed line: drop (pipeline.go:285-296)
+            ids.append(str(vid))
+            values.append(vals.tobytes())
+            dims.append(np.int32(len(vals)))
+        return pd.DataFrame({"id": ids, "values": values, "n_dims": dims})
+
+    return ds.map_batches(parse, batch_format="pandas")

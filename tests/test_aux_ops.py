@@ -1,0 +1,199 @@
+"""Cache (M18/M19/C15-C17), commits (M16/M17/C20/C21), graph (C19/S7),
+memory (C11/C13), JSONL source (S1)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from distill_ray.kernels import cache as kc
+from distill_ray.kernels import commits as kcm
+from distill_ray.kernels import graph_ops as kg
+from distill_ray.kernels import memory as km
+
+
+# --- M18 pattern detector ----------------------------------------------------
+
+def test_classify_pattern():
+    assert kc.classify_pattern("You are a helpful assistant for testing things") == "system_prompt"
+    assert kc.classify_pattern(
+        '{"tool_name": "x", "parameters": {...}, "tool_description": "y"}'
+    ) == "tool_definition"
+    assert kc.classify_pattern("here is code:\n```py\nx=1\n```\nmore " * 3) == "code_block"
+    assert kc.classify_pattern("plain prose " * 10) == "document"
+
+
+def test_detect_pattern_min_length():
+    assert kc.detect_pattern("short") is None
+    p = kc.detect_pattern("You are an assistant " * 10)
+    assert p["type"] == "system_prompt"
+    assert p["annotation"].recommended
+
+
+def test_annotate_chunks_plan_caps_at_4():
+    texts = [("document body text " * 20) + str(i) for i in range(8)]
+    plan = kc.annotate_chunks_for_cache(texts)
+    assert len(plan) == 4
+    # manual markers suppress auto-placement
+    assert kc.annotate_chunks_for_cache(texts, manual_markers=[True] + [False] * 7) == []
+
+
+# --- M19 prefix partitioner --------------------------------------------------
+
+def test_prefix_partition():
+    texts = ["sys", "tools", "q1", "a1"]
+    out = kc.partition_for_cache_aware_dedup(texts, [False, True, False, False])
+    assert out["prefix"] == [0, 1] and out["suffix"] == [2, 3]
+    assert out["marker_count"] == 1
+    assert len(out["prefix_hash"]) == 16
+    # no markers -> all suffix
+    out2 = kc.partition_for_cache_aware_dedup(texts, [False] * 4)
+    assert out2["prefix"] == [] and out2["suffix"] == [0, 1, 2, 3]
+
+
+# --- C15 boundary ------------------------------------------------------------
+
+def test_cache_boundary_selection():
+    entries = [{"tokens": 600, "inserted_at_push": p} for p in (1, 1, 2, 5, 6)]
+    out = kc.evaluate_cache_boundary(entries, push_count=6, min_stable_turns=2,
+                                     min_prefix_tokens=1024)
+    # pushes 1,1,2 are stable (<= 6-2); cumulative 600/1200/1800; >= 1024
+    # keeps cum 1200 and 1800; markers in document order
+    assert [m["cum_tokens"] for m in out["markers"]] == [1200, 1800]
+    assert out["total_stable_tokens"] == 1800
+    assert out["advanced"]
+    out2 = kc.evaluate_cache_boundary(entries, 6, prev_boundary_tokens=2400)
+    assert out2["retreated"]
+
+
+# --- C16 / C17 ---------------------------------------------------------------
+
+def test_stability_validator():
+    s = kc.CallSiteStability()
+    for h in ("a", "a", "a", "b", "b"):
+        r = s.check(h)
+    assert r["stability_rate"] == pytest.approx(1 - 1 / 4)
+    assert r["warn"]  # rate 0.75 < 0.8 after warmup
+
+
+def test_ttl_tracker():
+    t = kc.TTLTracker(ttl_s=300)
+    assert t.touch("k", 0.0) is False   # miss, sets expiry 300
+    assert t.touch("k", 200.0) is True  # hit, refresh to 500
+    assert t.touch("k", 450.0) is True
+    assert t.touch("k", 10_000.0) is False
+    assert t.schedule_deadline("k", 60.0) == pytest.approx(10_000.0 + 300 - 60)
+
+
+# --- commits -----------------------------------------------------------------
+
+def test_parse_conventional_commit():
+    assert kcm.parse_conventional_commit("feat(api): add thing") == ("feat", "api", False)
+    assert kcm.parse_conventional_commit("fix!: urgent patch") == ("fix", "", True)
+    assert kcm.parse_conventional_commit("no prefix here") == ("unknown", "", False)
+    assert kcm.parse_conventional_commit("chore: BREAKING CHANGE noted")[2] is True
+
+
+def test_score_risk():
+    assert kcm.score_risk("revert", False, 0, 0, 1, "revert x")[0] == "high"
+    assert kcm.score_risk("feat", False, 150, 100, 3, "feat: y")[0] == "medium"  # 250 lines
+    assert kcm.score_risk("docs", False, 5, 5, 1, "docs: z")[0] == "low"
+    lvl, score = kcm.score_risk("fix", False, 10, 10, 8, "fix: security hole")
+    assert score == 2 and lvl == "medium"  # broad fix + risk keyword
+
+
+def test_find_similar_commits():
+    corpus = np.eye(4, dtype=np.float32)
+    q = np.array([1, 0.1, 0, 0], dtype=np.float32)
+    out = kcm.find_similar_commits(q, corpus, min_similarity=0.5, top_k=2)
+    assert out[0][0] == 0 and out[0][1] > 0.9
+    assert len(out) == 1  # others below 0.5
+
+
+def test_detect_commit_patterns():
+    out = kcm.detect_commit_patterns(
+        ["fix", "fix", "feat"],
+        [["a.go", "b.go"], ["a.go"], ["a.go", "c.go"]],
+    )
+    assert out["by_type"] == {"fix": 2, "feat": 1}
+    assert out["high_churn_files"] == {"a.go": 3}
+
+
+# --- graph -------------------------------------------------------------------
+
+def test_blast_radius():
+    # b depends on a; c depends on b; d depends on a
+    edges = [("b", "a"), ("c", "b"), ("d", "a")]
+    out = kg.blast_radius(edges, ["a"])
+    as_dict = {n: (s, d) for n, s, d in out}
+    assert as_dict["b"] == (1.0, 1) and as_dict["d"] == (1.0, 1)
+    assert as_dict["c"] == (0.5, 2)
+    # impact desc then id asc
+    assert [n for n, _, _ in out] == ["b", "d", "c"]
+    # depth cap
+    out2 = kg.blast_radius(edges, ["a"], max_depth=1)
+    assert {n for n, _, _ in out2} == {"b", "d"}
+
+
+def test_parse_go_imports():
+    src = 'package x\nimport "fmt"\nimport (\n  "os"\n  alias "net/http"\n)\n'
+    assert kg.parse_go_imports(src) == ["fmt", "os", "net/http"]
+
+
+# --- memory ------------------------------------------------------------------
+
+def _vec(theta):
+    return np.array([np.cos(theta), np.sin(theta), 0, 0], dtype=np.float32)
+
+
+def test_memory_store_first_wins_and_conflicts():
+    entries: list = []
+    res = km.memory_store(entries, [
+        {"text": "first fact", "embedding": _vec(0.0)},
+        {"text": "dup of first", "embedding": _vec(0.01)},     # dist ~ 5e-5 -> dup
+        {"text": "related fact", "embedding": _vec(0.7)},      # dist ~ 0.235 -> conflict band
+    ], now_h=10.0)
+    assert res.stored == 2 and res.deduplicated == 1
+    assert len(res.conflicts) == 1
+    assert entries[0].access_count == 1 and entries[0].last_referenced_h == 10.0
+
+
+def test_memory_decay_levels():
+    entries = [
+        km.MemoryEntry("a", "Old full text with several words here. More.", None,
+                       km.DECAY_FULL, last_referenced_h=0.0),
+        km.MemoryEntry("b", "old summary words linger around", None,
+                       km.DECAY_SUMMARY, last_referenced_h=0.0),
+        km.MemoryEntry("c", "keywords, stale", None,
+                       km.DECAY_KEYWORDS, last_referenced_h=0.0),
+        km.MemoryEntry("d", "fresh text stays", None,
+                       km.DECAY_FULL, last_referenced_h=999.0),
+    ]
+    kept, events = km.memory_decay(entries, now_h=1000.0)
+    ids = [e.id for e in kept]
+    assert "c" not in ids                       # evicted (idle > 720 h)
+    assert events == {"evicted": 1, "to_keywords": 1, "to_summary": 1}
+    a = next(e for e in kept if e.id == "a")
+    assert a.decay_level == km.DECAY_SUMMARY
+    d = next(e for e in kept if e.id == "d")
+    assert d.decay_level == km.DECAY_FULL       # fresh untouched
+
+
+# --- S1 JSONL source ---------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_vectors_jsonl_drops_malformed(tmp_path):
+    from distill_ray.sources.jsonl import read_vectors_jsonl
+
+    p = tmp_path / "vecs.jsonl"
+    p.write_text(
+        '{"id": "v1", "values": [1.0, 2.0]}\n'
+        "not json at all\n"
+        '{"id": "v2", "values": "oops"}\n'
+        '{"missing": true}\n'
+        '{"id": "v3", "values": [3.0]}\n'
+    )
+    out = read_vectors_jsonl(str(p)).to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(out["id"]) == ["v1", "v3"]
+    assert np.frombuffer(out["values"].iloc[0], dtype=np.float32).tolist() == [1.0, 2.0]
+    assert list(out["n_dims"]) == [2, 1]

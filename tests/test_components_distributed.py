@@ -1,0 +1,60 @@
+"""Distributed hash-min label propagation == driver union-find."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_components_equal_driver():
+    import ray.data as rd
+
+    from distill_ray.stages.components import connected_components, union_find_labels
+
+    edges = pd.DataFrame(
+        {
+            "a": ["n1", "n2", "n4", "n5", "n7"],
+            "b": ["n2", "n3", "n5", "n6", "n1"],
+        }
+    )
+    # components: {n1,n2,n3,n7}, {n4,n5,n6}
+    dist = (
+        connected_components(rd.from_pandas(edges))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    drv = (
+        union_find_labels(edges)
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(dist, drv)
+    assert dist.set_index("node")["label"].to_dict() == {
+        "n1": "n1", "n2": "n1", "n3": "n1", "n7": "n1",
+        "n4": "n4", "n5": "n4", "n6": "n4",
+    }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pipeline_distributed_mode_matches_auto():
+    import ray.data as rd
+
+    from distill_ray.pipelines.dedup import run_dedup
+    from distill_ray.sources.transcripts import generate_transcripts
+
+    df = generate_transcripts(n_convs=40, turns_per_conv=6, seed=33)
+    auto = (
+        run_dedup(rd.from_pandas(df))
+        .assignments.to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    dist = (
+        run_dedup(rd.from_pandas(df), component_mode="distributed")
+        .assignments.to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(auto, dist)

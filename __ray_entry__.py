@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": qo.q_simhash_docs,
         "ngram_jaccard_topk": qo.q_ngram_jaccard_topk,
         "kmeans_dedup_embeddings": qo.q_kmeans_dedup_embeddings,
+        "ann_ivf": qo.q_ann_ivf,
         "mmr_top8": qo.q_mmr_top8,
         "langid_docs": qo.q_langid_docs,
         "fingerprint_docs": qo.q_fingerprint_docs,

@@ -151,8 +151,16 @@ class BandPairBucket:
     are looped, and the SimHash hamming pre-filter runs as ONE vectorized
     call over all emitted pairs.
 
-    Determinism: rows sorted by (band_key, rid); the hot-band cap keeps the
-    first ``band_group_cap`` rids of a group. Pairs are (a < b) by rid.
+    Determinism: rows sorted by (band_key, rid). Pairs are (a < b) by rid.
+
+    Hot-band SALTING (north rule): a group larger than ``band_group_cap``
+    is split into consecutive salt chunks of cap rows (in rid order); all
+    pairs are emitted WITHIN each chunk, and each chunk's first rid is
+    chained to the group's first rid, so connectivity across the hot band
+    is preserved for the component stage at O(n*cap) pairs instead of
+    O(n^2). (Exact duplicates — the usual cause of mega-bands — are already
+    removed by P2; salting guards residual pathological bands.)
+
     Emits a pair-dedupe bucket column keyed on hash(a, b).
     """
 
@@ -183,14 +191,22 @@ class BandPairBucket:
             n = e - s
             if n < 2:
                 continue
-            # dedupe identical rids within a group (same rid can appear once
-            # per band only, so this is a no-op safety)
-            if n > cap:
-                e = s + cap
-                n = cap
-            ia, ib = np.triu_indices(n, k=1)
-            ia_all.append(ia + s)
-            ib_all.append(ib + s)
+            if n <= cap:
+                ia, ib = np.triu_indices(n, k=1)
+                ia_all.append(ia + s)
+                ib_all.append(ib + s)
+                continue
+            # salted hot band: within-chunk pairs + chain to the group head
+            for cs in range(s, e, cap):
+                ce = min(cs + cap, e)
+                m = ce - cs
+                if m >= 2:
+                    ia, ib = np.triu_indices(m, k=1)
+                    ia_all.append(ia + cs)
+                    ib_all.append(ib + cs)
+                if cs != s:
+                    ia_all.append(np.array([s]))
+                    ib_all.append(np.array([cs]))
         if not ia_all:
             return empty
         ia = np.concatenate(ia_all)

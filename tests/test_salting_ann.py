@@ -1,0 +1,72 @@
+"""Hot-band salting connectivity + IVF ANN recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from distill_ray.config import DedupConfig
+from distill_ray.stages.dedup_stages import BandPairBucket
+
+
+def test_salted_hot_band_preserves_connectivity():
+    """A band group over the cap must not be truncated: every row stays
+    connected to the group head through within-chunk pairs + chain links."""
+    cfg = DedupConfig(band_group_cap=8, shuffle_buckets=4)
+    n = 30
+    g = pd.DataFrame(
+        {
+            "band_key": np.int64(7),
+            "rid": [f"r{i:04d}" for i in range(n)],
+            "simhash": np.int64(0),
+        }
+    )
+    out = BandPairBucket(cfg)(g)
+    # union-find over emitted pairs: all 30 rows must be one component
+    parent = {f"r{i:04d}": f"r{i:04d}" for i in range(n)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(out["a"], out["b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = {find(f"r{i:04d}") for i in range(n)}
+    assert roots == {"r0000"}
+    # and the pair count is O(n * cap), far below the O(n^2) full set
+    assert len(out) < n * cfg.band_group_cap
+    assert len(out) < n * (n - 1) // 2
+
+
+def test_small_band_group_unchanged():
+    cfg = DedupConfig(band_group_cap=8, shuffle_buckets=4)
+    g = pd.DataFrame(
+        {"band_key": np.int64(1), "rid": ["a", "b", "c"], "simhash": np.int64(0)}
+    )
+    out = BandPairBucket(cfg)(g)
+    assert set(zip(out["a"], out["b"])) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+def test_ann_ivf_recall_vs_exact():
+    from distill_ray.pipelines.queries import q_knn_query
+    from distill_ray.pipelines.queries_ops import q_ann_ivf
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 logging_level="ERROR")
+    exact = q_knn_query("/root/testdata/sf0.001")
+    approx = q_ann_ivf("/root/testdata/sf0.001")
+    overlap = len(set(exact["vec_id"]) & set(approx["vec_id"]))
+    # uniform random embeddings are IVF's worst case; with nprobe ~ half the
+    # cells the top-10 recall still lands well above chance
+    assert overlap >= 7, f"IVF recall {overlap}/10 vs exact top-10"
+    # deterministic
+    approx2 = q_ann_ivf("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(approx, approx2)

@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prune_docs": qo.q_prune_docs,
         "multimodal_stub": qo.q_multimodal_stub,
         "verbatim_spans": qo.q_verbatim_spans,
+        "cluster_transcripts": qo.q_cluster_transcripts,
+        "commit_similarity": qo.q_commit_similarity,
         "summarize_transcripts": qo.q_summarize_transcripts,
         "session_budget": qo.q_session_budget,
         "pipeline_chain": qo.q_pipeline_chain,
@@ -94,6 +96,7 @@ def oracle_sql() -> dict[str, str]:
         "cache_pattern_docs": qa.CACHE_PATTERN_SQL,
         "commit_risk_docs": qa.COMMIT_RISK_SQL,
         "blast_radius": qa.BLAST_RADIUS_SQL,
+        "commit_similarity": qo.COMMIT_SIMILARITY_SQL,
         "q1_pricing_summary": q.Q1_SQL,
         "exact_dedup_docs": q.EXACT_DEDUP_DOCS_SQL,
         "dup_pairs_exact_docs": q.DUP_PAIRS_EXACT_SQL,

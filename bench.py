@@ -78,6 +78,15 @@ def run_bench() -> dict:
     timings["dedup_transcripts"] = round(time.time() - t0, 3)
     assert n_out == n_rows, f"row coverage {n_out} != {n_rows}"
 
+    # P10 verbatim-span pass over the same transcripts
+    from distill_ray.stages.dedup_stages import prep_batch
+    from distill_ray.stages.spans_stage import run_span_pass
+
+    t0 = time.time()
+    prep = rd.read_parquet(path).map_batches(prep_batch, batch_format="pandas")
+    n_spans = run_span_pass(prep, span_k=50).count()
+    timings["span_pass_transcripts"] = round(time.time() - t0, 3)
+
     for name, fn in [
         ("q1_pricing_summary", q.q1_pricing_summary),
         ("events_hourly", q.q_events_hourly),

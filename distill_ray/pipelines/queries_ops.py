@@ -494,6 +494,61 @@ def q_session_budget(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["conv_id", "seq"]).reset_index(drop=True)
 
 
+def q_cluster_transcripts(sf_dir: str) -> pd.DataFrame:
+    """The flagship near-dup pipeline over derived multi-turn transcripts
+    (the entry() pipeline, parameterized by sf_dir); rows-only."""
+    from distill_ray.pipelines.dedup import run_dedup
+
+    res = run_dedup(_derived_transcripts_ds(sf_dir))
+    out = res.assignments.to_pandas()
+    out["cluster_id"] = out["cluster_id"].astype(str)
+    return (
+        out.sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)[
+            ["conv_id", "turn_idx", "cluster_id", "is_representative"]
+        ]
+    )
+
+
+def q_commit_similarity(sf_dir: str) -> pd.DataFrame:
+    """C20 commit similarity search shape: cosine vs corpus with
+    MinSimilarity 0.5 gate, top-10 (commits.go:216-250) over the embeddings
+    table; SQL-checked."""
+    from distill_ray.kernels.commits import find_similar_commits
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    mat = np.stack([np.asarray(e, dtype=np.float32) for e in df["embedding"]])
+    ids = df["vec_id"].to_numpy()
+    q = mat[np.flatnonzero(ids == 0)[0]]
+    hits = find_similar_commits(q, mat, min_similarity=0.5, top_k=10)
+    return pd.DataFrame(
+        {
+            "vec_id": pd.Series([int(ids[i]) for i, _ in hits], dtype="int64"),
+            "sim": [round(s, 6) for _, s in hits],
+        }
+    )
+
+
+COMMIT_SIMILARITY_SQL = """
+WITH q AS (
+  SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id = 0),
+flat AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+dots AS (
+  SELECT f.vec_id, sum(f.v * q.v) AS dot, sqrt(sum(f.v * f.v)) AS n
+  FROM flat f JOIN q ON f.i = q.i GROUP BY f.vec_id),
+qn AS (SELECT sqrt(sum(v * v)) AS n FROM q),
+sims AS (SELECT d.vec_id, d.dot / (d.n * qn.n) AS sim FROM dots d, qn)
+SELECT vec_id, round(sim, 6) AS sim FROM sims
+WHERE sim >= 0.5 ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
 def q_pipeline_chain(sf_dir: str) -> pd.DataFrame:
     """C10 unified pipeline (dedup -> compress) over derived transcripts;
     rows-only."""

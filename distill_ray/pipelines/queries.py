@@ -28,6 +28,21 @@ import ray.data as rd
 from distill_ray.kernels.importance import score_importance_batch
 from distill_ray.kernels.sensitivity import classify_batch
 
+# Ray's groupby().aggregate() costs ~3 ms per GROUP in this version (same
+# fine-grained-group overhead as map_groups) — fine for handfuls of groups,
+# fatal for thousands. Queries with many groups use the coarse-bucket
+# pattern: partial-aggregate per batch, shuffle by key-hash % N_AGG_BUCKETS,
+# and run one vectorized pandas groupby per bucket.
+N_AGG_BUCKETS = 64
+
+
+def _named(fn, name: str):
+    def wrapper(g):
+        return fn(g)
+
+    wrapper.__name__ = name
+    return wrapper
+
 # ---------------------------------------------------------------------------
 # lineitem
 
@@ -96,17 +111,19 @@ def q_exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
         from distill_ray.kernels.hashing import stable_hash64
 
         df = df.copy()
-        df["h"] = stable_hash64(df["text"].to_numpy()).view(np.int64)
+        df["bucket"] = (
+            stable_hash64(df["text"].to_numpy()) % np.uint64(N_AGG_BUCKETS)
+        ).astype(np.int32)
         return df
 
     def first_wins(g: pd.DataFrame) -> pd.DataFrame:
-        keep = g.sort_values("doc_id").groupby("text", sort=False)["doc_id"].min()
+        keep = g.groupby("text", sort=False)["doc_id"].min()
         return pd.DataFrame({"doc_id": keep.to_numpy()})
 
     return (
         ds.map_batches(hash_batch, batch_format="pandas")
-        .groupby("h")
-        .map_groups(first_wins, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_named(first_wins, "first_wins"), batch_format="pandas")
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
@@ -124,7 +141,9 @@ def q_dup_pairs_exact_docs(sf_dir: str) -> pd.DataFrame:
         from distill_ray.kernels.hashing import stable_hash64
 
         df = df.copy()
-        df["h"] = stable_hash64(df["text"].to_numpy()).view(np.int64)
+        df["bucket"] = (
+            stable_hash64(df["text"].to_numpy()) % np.uint64(N_AGG_BUCKETS)
+        ).astype(np.int32)
         return df
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -141,8 +160,8 @@ def q_dup_pairs_exact_docs(sf_dir: str) -> pd.DataFrame:
 
     out = (
         ds.map_batches(hash_batch, batch_format="pandas")
-        .groupby("h")
-        .map_groups(pairs, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_named(pairs, "exact_pairs"), batch_format="pandas")
         .to_pandas()
     )
     if out.empty:
@@ -317,19 +336,28 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
                          columns=["event_type", "ts", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from distill_ray.kernels.hashing import stable_hash64
+
         df = df.copy()
         df["hour"] = df["ts"].dt.floor("h")
         g = df.groupby(["event_type", "hour"], sort=False).agg(
             n=("value", "size"), sum_value=("value", "sum")
-        )
-        return g.reset_index()
+        ).reset_index()
+        key = g["event_type"].astype(str) + "|" + g["hour"].astype("int64").astype(str)
+        g["bucket"] = (stable_hash64(key.to_numpy()) % np.uint64(N_AGG_BUCKETS)).astype(np.int32)
+        return g
 
-    from ray.data.aggregate import Sum
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["event_type", "hour"], sort=False)
+            .agg(n=("n", "sum"), sum_value=("sum_value", "sum"))
+            .reset_index()
+        )
 
     out = (
         ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby(["event_type", "hour"])
-        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+        .groupby("bucket")
+        .map_groups(_named(final, "events_hourly_final"), batch_format="pandas")
         .to_pandas()
     )
     out["n"] = out["n"].astype("int64")
@@ -473,14 +501,21 @@ def q_embedding_centroids(sf_dir: str) -> pd.DataFrame:
         for lbl, s in mats.items():
             for d in range(len(s)):
                 rows.append((int(lbl), d + 1, s[d], counts[lbl]))
-        return pd.DataFrame(rows, columns=["label", "dim", "s", "c"])
+        out = pd.DataFrame(rows, columns=["label", "dim", "s", "c"])
+        out["bucket"] = ((out["label"] * 131 + out["dim"]) % N_AGG_BUCKETS).astype(np.int32)
+        return out
 
-    from ray.data.aggregate import Sum
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["label", "dim"], sort=False)
+            .agg(s=("s", "sum"), c=("c", "sum"))
+            .reset_index()
+        )
 
     out = (
         ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby(["label", "dim"])
-        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+        .groupby("bucket")
+        .map_groups(_named(final, "centroid_final"), batch_format="pandas")
         .to_pandas()
     )
     out["mean"] = (out["s"] / out["c"]).round(6)

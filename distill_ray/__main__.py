@@ -1,0 +1,105 @@
+"""Thin CLI — the X8 surface (reference: cmd/root.go CLI verbs), batch-only.
+
+    python -m distill_ray dedup --input transcripts.parquet --output /tmp/out
+    python -m distill_ray spans --input transcripts.parquet --output /tmp/out --span-k 50
+    python -m distill_ray summarize --input transcripts.parquet --output /tmp/out --now 2026-01-03
+    python -m distill_ray pipeline --input transcripts.parquet --output /tmp/out
+
+Owns its Ray session (guarded init; the driver/test paths never come
+through here). Outputs are partitioned parquet directories plus checkpoint
+manifests when --checkpoint-dir is given.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="distill_ray")
+    p.add_argument("verb", choices=["dedup", "spans", "summarize", "pipeline"])
+    p.add_argument("--input", required=True, help="input transcripts parquet")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--checkpoint-dir", default="", help="resume checkpoints here")
+    p.add_argument("--num-cpus", type=int, default=0, help="0 = let Ray decide")
+    p.add_argument("--threshold", type=float, default=0.15)
+    p.add_argument("--span-k", type=int, default=50)
+    p.add_argument("--now", default="2026-01-01", help="summarizer clock (date)")
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False,
+                      logging_level="ERROR")
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pandas as pd
+
+    import ray.data as rd
+
+    from distill_ray.config import DedupConfig, SummarizeConfig
+
+    cfg = DedupConfig(threshold=args.threshold)
+    ds = rd.read_parquet(args.input)
+    stats: dict = {}
+
+    if args.verb == "dedup":
+        from distill_ray.pipelines.dedup import run_dedup
+        from distill_ray.state.manifest import CheckpointManager
+
+        ckpt = (
+            CheckpointManager(args.checkpoint_dir, cfg.config_hash())
+            if args.checkpoint_dir
+            else None
+        )
+        res = run_dedup(ds, cfg, ckpt=ckpt, collect_stats=True)
+        res.assignments.write_parquet(args.output)
+        stats = res.stats
+    elif args.verb == "spans":
+        from distill_ray.stages.dedup_stages import prep_batch
+        from distill_ray.stages.spans_stage import run_span_pass
+
+        prep = ds.map_batches(prep_batch, batch_format="pandas")
+        spans = run_span_pass(prep, span_k=args.span_k,
+                              n_buckets=cfg.shuffle_buckets)
+        spans.write_parquet(args.output)
+    elif args.verb == "summarize":
+        from distill_ray.pipelines.dedup import _named
+        from distill_ray.stages.conversation import (
+            SummarizeConversationsBucket, add_conv_bucket,
+        )
+
+        now = pd.Timestamp(args.now).timestamp()
+        out = (
+            ds.map_batches(add_conv_bucket(cfg.shuffle_buckets),
+                           batch_format="pandas")
+            .groupby("cbucket")
+            .map_groups(
+                _named(SummarizeConversationsBucket(SummarizeConfig(), now),
+                       "summarize"),
+                batch_format="pandas",
+            )
+        )
+        out.write_parquet(args.output)
+    else:  # pipeline
+        from distill_ray.pipelines.chain import run_pipeline_chain
+
+        out, stats = run_pipeline_chain(ds, cfg)
+        out.write_parquet(args.output)
+
+    print(json.dumps({"verb": args.verb, "output": args.output,
+                      "stats": {k: v for k, v in stats.items() if k != "timings"}},
+                     default=str))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

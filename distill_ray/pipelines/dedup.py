@@ -187,6 +187,9 @@ def run_dedup(
         _rename({"rid": "b", "emb": "emb_b"}), batch_format="pandas"
     )
     if pairs.count() > 0:
+        # sequential joins at every cluster size: concurrent join aggregators
+        # deadlock small clusters and measurably contend even at 32 CPUs
+        # (pipelining the two joins cost +65% wall at 2M rows)
         with_a = pairs.join(
             emb_a, "inner", num_partitions=num_join_partitions, on=("a",)
         ).materialize()

@@ -1,8 +1,8 @@
 """Flagship pipeline: near-duplicate detection + clustering over transcripts.
 
   read -> P1 normalize -> P2 exact dedup -> P5 sketch (actor pool) ->
-  P6 LSH candidates -> P7 cosine verify -> P8 components -> P9 exact
-  refinement + representatives -> assignments
+  P6+P7 LSH candidates + in-bucket cosine verify (join-free) ->
+  P8 components -> P9 exact refinement + representatives -> assignments
 
 Matches the reference's dedup contract (threshold 0.15, average linkage,
 first-wins exact dedup, score-strategy representatives with first-max
@@ -22,12 +22,17 @@ Execution design (the scale story):
   edge set is small (it is sparse by construction at threshold 0.15);
   distributed hash-min label propagation + a hash join above the driver
   limit.
-- The two embedding joins for pair verification are hash-shuffle joins over
-  the (small) candidate pair set, executed sequentially so their aggregator
-  actors never starve map stages (observed deadlock on small CPU counts).
+- Pair verification is JOIN-FREE: band rows carry the (256-byte) embedding
+  so the band-bucket kernel cosine-verifies its own candidate pairs, and
+  only true edges reach the pair-dedupe shuffle. Round 1 verified via two
+  sequential hash-shuffle joins + materialize barriers; their fixed
+  per-stage cost (~15-35 s regardless of CPUs) was the measured 8->32 CPU
+  scaling gap (0.709 < 0.8). Band-shuffle volume grows ~7x, but two wide
+  stages + two barriers disappear and the pair-dedupe shuffle shrinks to
+  true-edge multiples.
 
 Shuffle budget (SURVEY.md §7.4): bucketed text-hash groupby (P2), bucketed
-band groupby + bucketed pair-dedupe (P6), two pair joins (P7), the
+band groupby + bucketed pair-dedupe/collision-filter (P6+P7), the
 component loop or broadcast (P8), bucketed component groupby (P9).
 """
 
@@ -52,7 +57,6 @@ from distill_ray.stages.dedup_stages import (
     make_add_text_hash,
     make_expand_bands,
     prep_batch,
-    verify_pairs_batch,
 )
 from distill_ray.stages.refine import ComponentBucketRefiner
 
@@ -166,45 +170,26 @@ def run_dedup(
     sk = _ckpt_or("signatures", sk)
     _mark("p5_sketch")
 
-    # P6 — LSH candidate pairs (bucketed band groupby -> bucketed pair dedupe)
-    pairs = (
+    # P6+P7 — LSH candidates verified IN the band bucket (join-free).
+    # Band rows carry the 256-byte embedding so each bucket kernel runs the
+    # exact cosine verify locally; the pbucket groupby then applies the
+    # >= min_band_collisions filter over the (deterministic, agreeing)
+    # multi-band emissions. This replaces round 1's two sequential
+    # hash-shuffle joins + materialize barriers — the measured scaling
+    # bottleneck (BASELINE.md: fixed 15-35 s per wide stage) — with zero
+    # additional wide operations.
+    edges = (
         sk.map_batches(make_expand_bands(B), batch_format="pandas")
         .groupby("bucket")
-        .map_groups(_named(BandPairBucket(cfg), "band_pairs"), batch_format="pandas")
+        .map_groups(_named(BandPairBucket(cfg), "band_pairs_verify"),
+                    batch_format="pandas")
         .groupby("pbucket")
         .map_groups(_named(make_dedupe_pairs_bucket(cfg.min_band_collisions),
                            "dedupe_pairs"), batch_format="pandas")
     )
-    pairs = _ckpt_or("pairs", pairs)
-    _mark("p6_candidates")
-
-    # P7 — exact cosine verification via two embedding joins (sequential so
-    # each join's aggregators get the full CPU budget)
-    emb_a = sk.select_columns(["rid", "emb"]).map_batches(
-        _rename({"rid": "a", "emb": "emb_a"}), batch_format="pandas"
-    )
-    emb_b = sk.select_columns(["rid", "emb"]).map_batches(
-        _rename({"rid": "b", "emb": "emb_b"}), batch_format="pandas"
-    )
-    if pairs.count() > 0:
-        # sequential joins at every cluster size: concurrent join aggregators
-        # deadlock small clusters and measurably contend even at 32 CPUs
-        # (pipelining the two joins cost +65% wall at 2M rows)
-        with_a = pairs.join(
-            emb_a, "inner", num_partitions=num_join_partitions, on=("a",)
-        ).materialize()
-        with_b = with_a.join(emb_b, "inner", num_partitions=num_join_partitions, on=("b",))
-        edges = with_b.map_batches(
-            lambda df: verify_pairs_batch(df, cfg.threshold), batch_format="pandas"
-        )
-        edges = _ckpt_or("edges", edges)
-        n_edges = edges.count()
-        _mark("p7_verify")
-    else:
-        edges = rd.from_pandas(
-            pd.DataFrame({"a": pd.Series(dtype=object), "b": pd.Series(dtype=object)})
-        )
-        n_edges = 0
+    edges = _ckpt_or("edges", edges)
+    n_edges = edges.count()
+    _mark("p6_p7_candidates_verify")
 
     # P8 — connected components
     use_driver_labels = (
@@ -311,7 +296,6 @@ def run_dedup(
     if collect_stats:
         stats["input_rows"] = transcripts.count()
         stats["unique_rows"] = sk.count()
-        stats["candidate_pairs"] = pairs.count()
         stats["edges"] = n_edges
         stats["driver_labels"] = use_driver_labels
 

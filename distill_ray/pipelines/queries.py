@@ -235,7 +235,7 @@ def q_lang_stats(sf_dir: str) -> pd.DataFrame:
 
 
 LANG_STATS_SQL = """
-SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars,
+SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        round(sum(n_chars) / count(*), 6) AS avg_chars
 FROM documents GROUP BY lang
 """

@@ -118,18 +118,27 @@ class Sketcher:
         return out
 
 
-def make_expand_bands(n_buckets: int):
+def make_expand_bands(n_buckets: int, carry_emb: bool = True):
     """P6a: one row per (band_key, rid, simhash) + coarse shuffle bucket.
-    Zero-token rows are dropped here — exact dedup canonicalized them."""
+    Zero-token rows are dropped here — exact dedup canonicalized them.
+
+    With ``carry_emb`` the 256-byte embedding rides along on every band row
+    so the band bucket can verify its candidate pairs locally (join-free
+    P7). That multiplies band-shuffle volume by ~7x (40 B -> ~300 B/row) but
+    deletes two hash-shuffle joins + their materialize barriers from the
+    critical path — the measured scaling bottleneck (BASELINE.md round 1:
+    fixed 15-35 s per wide stage regardless of CPU count)."""
 
     def expand_bands(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["n_tokens"] > 0]
         if df.empty:
-            return pd.DataFrame(
-                {"band_key": pd.Series(dtype=np.int64), "rid": pd.Series(dtype=object),
-                 "simhash": pd.Series(dtype=np.int64),
-                 "bucket": pd.Series(dtype=np.int32)}
-            )
+            cols = {"band_key": pd.Series(dtype=np.int64),
+                    "rid": pd.Series(dtype=object),
+                    "simhash": pd.Series(dtype=np.int64),
+                    "bucket": pd.Series(dtype=np.int32)}
+            if carry_emb:
+                cols["emb"] = pd.Series(dtype=object)
+            return pd.DataFrame(cols)
         n_bands = len(df["bands"].iloc[0]) // 8
         rid = np.repeat(df["rid"].to_numpy(), n_bands)
         sims = np.repeat(df["simhash"].to_numpy(), n_bands)
@@ -137,9 +146,10 @@ def make_expand_bands(n_buckets: int):
             [np.frombuffer(b, dtype=np.int64) for b in df["bands"]]
         )
         bucket = (keys.view(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
-        return pd.DataFrame(
-            {"band_key": keys, "rid": rid, "simhash": sims, "bucket": bucket}
-        )
+        out = {"band_key": keys, "rid": rid, "simhash": sims, "bucket": bucket}
+        if carry_emb:
+            out["emb"] = np.repeat(df["emb"].to_numpy(), n_bands)
+        return pd.DataFrame(out)
 
     return expand_bands
 
@@ -160,6 +170,17 @@ class BandPairBucket:
     is preserved for the component stage at O(n*cap) pairs instead of
     O(n^2). (Exact duplicates — the usual cause of mega-bands — are already
     removed by P2; salting guards residual pathological bands.)
+
+    JOIN-FREE VERIFY: when the input carries an ``emb`` column (binary
+    float32), candidate pairs that survive the SimHash gate are cosine-
+    verified HERE, inside the band bucket, and only true edges (distance
+    <= cfg.threshold, reference edge rules incl. the zero-norm rule) are
+    emitted. A pair colliding in k bands is verified k times — the cosine
+    is deterministic, so all k emissions agree, and the downstream
+    band-collision-count filter (>= min_band_collisions) sees exactly the
+    multiplicity it saw when verification ran post-filter. Verification is
+    ~2 GFLOP per 15M candidates (64-dim) — noise next to one hash-shuffle
+    join of the pair set, which this replaces.
 
     Emits a pair-dedupe bucket column keyed on hash(a, b).
     """
@@ -215,8 +236,29 @@ class BandPairBucket:
         keep = ham <= self.cfg.simhash_hamming_max
         if not keep.any():
             return empty
-        a = rid_arr[ia[keep]]
-        b = rid_arr[ib[keep]]
+        ia, ib = ia[keep], ib[keep]
+
+        if "emb" in g.columns:
+            # in-bucket exact cosine verify (reference edge rules,
+            # simd.go:54-57 zero-norm rule): decode the bucket's fixed-width
+            # embeddings ONCE, then one vectorized gather+einsum per bucket
+            M = np.frombuffer(b"".join(g["emb"].to_numpy()),
+                              dtype=np.float32).reshape(len(g), -1).astype(np.float64)
+            norms = np.sqrt(np.einsum("ij,ij->i", M, M))
+            A, Bm = M[ia], M[ib]
+            dots = np.einsum("ij,ij->i", A, Bm)
+            denom = norms[ia] * norms[ib]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(denom > 0, dots / np.where(denom == 0, 1.0, denom), 0.0)
+            dist = 1.0 - np.clip(sims, -1.0, 1.0)
+            dist[denom == 0] = 2.0
+            edge = dist <= self.cfg.threshold
+            if not edge.any():
+                return empty
+            ia, ib = ia[edge], ib[edge]
+
+        a = rid_arr[ia]
+        b = rid_arr[ib]
         from distill_ray.kernels.hashing import stable_hash64 as _h
 
         pbucket = (

@@ -29,26 +29,26 @@ def test_resume_after_mid_stage_kill(tmp_path):
     # reference: clean run without checkpoints
     clean = _sorted(run_dedup(rd.from_pandas(df), cfg).assignments.to_pandas())
 
-    # run 1: 'killed' right after the pairs stage
+    # run 1: 'killed' right after the edges stage (post candidates+verify)
     root = str(tmp_path / "run")
     ckpt = CheckpointManager(root, cfg.config_hash())
-    with pytest.raises(Exception, match="pairs"):
-        run_dedup(rd.from_pandas(df), cfg, ckpt=ckpt, stop_after="pairs")
+    with pytest.raises(Exception, match="edges"):
+        run_dedup(rd.from_pandas(df), cfg, ckpt=ckpt, stop_after="edges")
 
-    assert ckpt.has("canon") and ckpt.has("signatures") and ckpt.has("pairs")
-    assert not ckpt.has("edges")
+    assert ckpt.has("canon") and ckpt.has("signatures") and ckpt.has("edges")
+    assert not ckpt.has("assignments_core")
 
     # run 2: resume — completed stages are reused, output identical
     ckpt2 = CheckpointManager(root, cfg.config_hash())
     res = run_dedup(rd.from_pandas(df), cfg, ckpt=ckpt2)
     resumed = _sorted(res.assignments.to_pandas())
     assert res.stats["timings"].get("canon_resumed") is True
-    assert res.stats["timings"].get("pairs_resumed") is True
+    assert res.stats["timings"].get("edges_resumed") is True
     pd.testing.assert_frame_equal(clean, resumed)
 
     # metrics lineage recorded per stage
     metrics = [json.loads(l) for l in open(os.path.join(root, "metrics.jsonl"))]
-    assert {m["stage"] for m in metrics} >= {"canon", "signatures", "pairs",
+    assert {m["stage"] for m in metrics} >= {"canon", "signatures",
                                              "edges", "assignments_core"}
 
 

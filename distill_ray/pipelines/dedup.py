@@ -55,6 +55,9 @@ from distill_ray.stages.dedup_stages import (
     make_dedupe_pairs_bucket,
     exact_dedup_bucket,
     make_add_text_hash,
+    make_attach_a_bucket,
+    make_attach_b_verify_bucket,
+    make_emb_carriers,
     make_expand_bands,
     prep_batch,
 )
@@ -90,6 +93,7 @@ def run_dedup(
     *,
     num_join_partitions: int = 16,
     collect_stats: bool = False,
+    verify_mode: str = "endpoint",  # endpoint | inband (see P6+P7 below)
     component_mode: str = "auto",  # auto | distributed
     driver_component_limit: int = 2_000_000,
     ckpt=None,                # state.manifest.CheckpointManager for resume
@@ -160,8 +164,10 @@ def run_dedup(
     # Materialized: it feeds band expansion, the verify joins, and the
     # refinement rows (this is also the natural signature checkpoint).
     # autoscaling actor pool bounded by the cluster so the pool never
-    # starves the read/write stages on small CPU counts
-    signer_pool = (1, max(1, min(cfg.signer_concurrency, total_cpus - 1)))
+    # starves the read/write stages on small CPU counts; scales WITH the
+    # cluster (a fixed cap made the sketch stage wall-time flat from 8 to
+    # 32 CPUs — measured identical walls — and sank scaling efficiency)
+    signer_pool = (1, max(1, total_cpus - 2))
     sk = uniques.map_batches(
         Sketcher, fn_constructor_kwargs={"cfg": cfg},
         batch_format="pandas", batch_size=cfg.batch_size,
@@ -170,23 +176,51 @@ def run_dedup(
     sk = _ckpt_or("signatures", sk)
     _mark("p5_sketch")
 
-    # P6+P7 — LSH candidates verified IN the band bucket (join-free).
-    # Band rows carry the 256-byte embedding so each bucket kernel runs the
-    # exact cosine verify locally; the pbucket groupby then applies the
-    # >= min_band_collisions filter over the (deterministic, agreeing)
-    # multi-band emissions. This replaces round 1's two sequential
-    # hash-shuffle joins + materialize barriers — the measured scaling
-    # bottleneck (BASELINE.md: fixed 15-35 s per wide stage) — with zero
-    # additional wide operations.
-    edges = (
-        sk.map_batches(make_expand_bands(B), batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(_named(BandPairBucket(cfg), "band_pairs_verify"),
-                    batch_format="pandas")
-        .groupby("pbucket")
-        .map_groups(_named(make_dedupe_pairs_bucket(cfg.min_band_collisions),
-                           "dedupe_pairs"), batch_format="pandas")
-    )
+    # P6+P7 — LSH candidates + join-free exact-cosine verification. Two
+    # modes, both replacing round 1's two sequential hash-shuffle joins +
+    # materialize barriers (the measured scaling bottleneck — BASELINE.md:
+    # fixed 15-35 s per wide stage regardless of CPU count):
+    #
+    #  endpoint (default): band rows stay light (~40 B). Raw multi-band
+    #    pair emissions union with (rid, emb) carrier rows; a groupby on
+    #    hash(a) runs the >= min_band_collisions dedupe AND attaches emb_a
+    #    in one kernel; a second groupby on hash(b) attaches emb_b and
+    #    verifies. Two bucketed groupbys total for dedupe+verify.
+    #  inband: band rows carry the embedding and each band bucket verifies
+    #    its own pairs (zero extra wide ops, but 32 bands x 256 B multiply
+    #    the band shuffle ~8x — measured 70% slower at 1M rows x 32 CPUs).
+    if verify_mode == "inband":
+        edges = (
+            sk.map_batches(make_expand_bands(B), batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(_named(BandPairBucket(cfg), "band_pairs_verify"),
+                        batch_format="pandas")
+            .groupby("pbucket")
+            .map_groups(_named(make_dedupe_pairs_bucket(cfg.min_band_collisions),
+                               "dedupe_pairs"), batch_format="pandas")
+        )
+    else:
+        # raw multi-band pair emissions, keyed by hash(a) for stage A
+        raw_pairs = (
+            sk.map_batches(make_expand_bands(B, carry_emb=False),
+                           batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(_named(BandPairBucket(cfg, pair_key="a"), "band_pairs"),
+                        batch_format="pandas")
+        )
+        carriers = sk.select_columns(["rid", "emb"]).map_batches(
+            make_emb_carriers(B), batch_format="pandas"
+        )
+        edges = (
+            raw_pairs.union(carriers)
+            .groupby("kbucket")
+            .map_groups(_named(make_attach_a_bucket(B, cfg.min_band_collisions),
+                               "attach_a"), batch_format="pandas")
+            .union(carriers)
+            .groupby("kbucket")
+            .map_groups(_named(make_attach_b_verify_bucket(cfg.threshold),
+                               "attach_b_verify"), batch_format="pandas")
+        )
     edges = _ckpt_or("edges", edges)
     n_edges = edges.count()
     _mark("p6_p7_candidates_verify")

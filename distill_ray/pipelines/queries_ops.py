@@ -150,58 +150,230 @@ def q_ngram_jaccard_topk(sf_dir: str) -> pd.DataFrame:
 
 
 def q_kmeans_dedup_embeddings(sf_dir: str) -> pd.DataFrame:
-    """C8 K-Means dedup engine over the embeddings table (seeded)."""
-    from distill_ray.oracle.kmeans import kmeans_dedup
+    """C8 K-Means dedup engine over the embeddings table (seeded) — the
+    DISTRIBUTED Lloyd loop (stages/kmeans_stage.py): centroids broadcast,
+    map_batches assignment + per-batch partial sums, driver holds only the
+    (k x dim) state. Output parity vs the driver oracle
+    (oracle/kmeans.py, kmeans.go semantics) is asserted in
+    tests/test_kmeans_distributed.py."""
+    from distill_ray.stages.kmeans_stage import kmeans_dedup_distributed
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    df = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
-    mat = np.stack([np.asarray(e, dtype=np.float32) for e in df["embedding"]])
-    res = kmeans_dedup(mat, threshold=0.05, seed=42)
-    kept = sorted(int(df["vec_id"].iloc[i]) for i in res.unique_indices)
-    return pd.DataFrame({"vec_id": pd.Series(kept, dtype="int64")})
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    kept = kmeans_dedup_distributed(ds, threshold=0.05, seed=42).to_pandas()
+    return (
+        kept[["vec_id"]].astype("int64").sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+
+def _encode_emb_batch(df: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {"vec_id": df["vec_id"].astype("int64"),
+         "emb": [np.asarray(e, dtype=np.float64).tobytes() for e in df["embedding"]]}
+    )
+
+
+def _decode_emb64(col) -> np.ndarray:
+    return np.frombuffer(b"".join(col), dtype=np.float64).reshape(len(col), -1)
 
 
 def q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
-    """Embedding-cosine near-dup pairs (sim >= 0.3) via blocked matmul
-    against a broadcast matrix — the all-pairs fallback for small tables;
-    LSH-bucketed at scale."""
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    df = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
-    mat = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
-    mat_ref = ray.put(mat)
-    ids = df["vec_id"].to_numpy()
-    ids_ref = ray.put(ids)
+    """Embedding-cosine near-dup pairs (sim >= 0.3) via DISTRIBUTED blocked
+    all-pairs: the table is split into ~2k-row blocks held in the object
+    store, and one task per block pair (i <= j) computes the exact cosine
+    block. No task ever holds more than two blocks; nothing broadcasts the
+    whole matrix; the driver holds only block refs and the small result.
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    Why not LSH here: the contract is EXACT recall at sim >= 0.3, and this
+    table's true pairs sit almost entirely in [0.3, 0.4] (931 of 990 at
+    sf0.01) — the regime where random-hyperplane collision probability per
+    band (~0.6^r) forces either giant buckets (r<=2: half the table per
+    bucket, costlier than all-pairs) or missed pairs. Exact low-threshold
+    all-pairs is inherently O(N^2) compute; the scale answer is to
+    distribute it evenly, which this does. The bucketed LSH path IS the
+    right tool in the high-similarity regime — see
+    q_embedding_near_dups_lsh (sim >= 0.45, exact-by-margin recall)."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    base = ds.map_batches(_encode_emb_batch, batch_format="pandas")
+    n = base.count()
+    n_blocks = max(1, -(-n // 2048))
+    blocks = base.repartition(n_blocks).materialize().to_pandas_refs()
+    k = len(blocks)
 
-    class PairFinder:
-        def __init__(self, mat_ref, ids_ref):
-            self.mat = ray.get(mat_ref)
-            self.norms = np.sqrt(np.einsum("ij,ij->i", self.mat, self.mat))
-            self.ids = ray.get(ids_ref)
+    tasks = rd.from_items(
+        [{"i": i, "j": j} for i in range(k) for j in range(i, k)]
+    )
+
+    class BlockPair:
+        """One exact cosine block per (i, j) task; pulls exactly two blocks
+        from the object store (zero-copy refs, no broadcast)."""
+
+        def __init__(self, refs):
+            self.refs = refs
+            self.cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+        def _block(self, i: int):
+            if i not in self.cache:
+                df = ray.get(self.refs[i])
+                m = _decode_emb64(df["emb"].to_numpy())
+                norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+                self.cache[i] = (df["vec_id"].to_numpy(), m, norms)
+                if len(self.cache) > 4:  # bound per-actor memory
+                    self.cache.pop(next(iter(self.cache)))
+            return self.cache[i]
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
-            n = np.sqrt(np.einsum("ij,ij->i", m, m))
-            sims = (m @ self.mat.T) / np.outer(n, self.norms)
-            my_ids = df["vec_id"].to_numpy()
-            ii, jj = np.nonzero(sims >= 0.3)
-            keep = my_ids[ii] < self.ids[jj]
-            return pd.DataFrame(
-                {
-                    "a": my_ids[ii[keep]],
-                    "b": self.ids[jj[keep]],
-                    "sim": np.round(sims[ii[keep], jj[keep]], 6),
-                }
-            )
+            outs = []
+            for i, j in zip(df["i"].to_numpy(), df["j"].to_numpy()):
+                ids_a, ma, na = self._block(int(i))
+                ids_b, mb, nb = self._block(int(j))
+                sims = (ma @ mb.T) / np.outer(na, nb)
+                ii, jj = np.nonzero(sims >= 0.3)
+                if int(i) == int(j):
+                    # same block: keep one orientation per pair
+                    keep = ids_a[ii] < ids_b[jj]
+                else:
+                    keep = ids_a[ii] != ids_b[jj]
+                ii, jj = ii[keep], jj[keep]
+                outs.append(pd.DataFrame(
+                    {"a": np.minimum(ids_a[ii], ids_b[jj]),
+                     "b": np.maximum(ids_a[ii], ids_b[jj]),
+                     "sim": np.round(sims[ii, jj], 6)}
+                ))
+            if not outs:
+                return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                     "b": pd.Series(dtype="int64"),
+                                     "sim": pd.Series(dtype="float64")})
+            return pd.concat(outs, ignore_index=True)
 
-    out = ds.map_batches(
-        PairFinder, fn_constructor_kwargs={"mat_ref": mat_ref, "ids_ref": ids_ref},
-        batch_format="pandas", batch_size=1024, concurrency=2,
+    out = tasks.map_batches(
+        BlockPair, fn_constructor_kwargs={"refs": blocks},
+        batch_format="pandas", batch_size=1,
+        concurrency=(1, max(2, int(ray.cluster_resources().get("CPU", 8)) - 1)),
     ).to_pandas()
     out["a"] = out["a"].astype("int64")
     out["b"] = out["b"].astype("int64")
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_embedding_near_dups_lsh(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dups (sim >= 0.45) via random-hyperplane LSH
+    buckets — the scale path for the high-similarity regime: each vector
+    emits one row per band (2 sign bits / band x 64 bands, seeded
+    hyperplanes broadcast once); a bucketed groupby collides same-band-key
+    vectors, exact cosine verifies within the bucket, and a second bucketed
+    groupby drops multi-band duplicate emissions. Recall is exact by
+    margin: at sim 0.45 a pair agrees per hyperplane with p = 0.648, so
+    P(miss all 64 bands) = (1 - 0.648^2)^64 ~ 6e-16. Verified identical to
+    the SQL oracle (same unnest-CTE as the all-pairs query, sim >= 0.45)."""
+    cfg = DedupConfig()
+    B = cfg.shuffle_buckets
+    n_planes, bits_per_band = 128, 2
+    n_bands = n_planes // bits_per_band
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    sample = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["embedding"]).limit(1).to_pandas()
+    dim = len(np.asarray(sample["embedding"].iloc[0]))
+    planes = np.random.default_rng(0xC0FFEE).normal(size=(n_planes, dim))
+    planes_ref = ray.put(planes)
+
+    from distill_ray.kernels.hashing import stable_hash64
+
+    class BandExpand:
+        def __init__(self, planes_ref):
+            self.planes = ray.get(planes_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+            bits = (m @ self.planes.T) >= 0  # (n, 128) sign bits
+            # pack 2 bits per band + band index into an int64 band key
+            b2 = bits.reshape(len(m), n_bands, bits_per_band)
+            keys = (b2[:, :, 0].astype(np.int64) << 1) | b2[:, :, 1].astype(np.int64)
+            keys = keys | (np.arange(n_bands, dtype=np.int64) << 8)
+            rid = np.repeat(df["vec_id"].to_numpy().astype(np.int64), n_bands)
+            emb = np.repeat(
+                np.array([r.tobytes() for r in m], dtype=object), n_bands
+            )
+            flat = keys.ravel()
+            return pd.DataFrame(
+                {"band_key": flat, "vec_id": rid, "emb": emb,
+                 "bucket": (flat % B).astype(np.int32)}
+            )
+
+    def band_verify(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64"),
+                              "sim": pd.Series(dtype="float64"),
+                              "pbucket": pd.Series(dtype="int32")})
+        sizes = g.groupby("band_key", sort=False)["vec_id"].transform("size")
+        g = g[sizes > 1]
+        if g.empty:
+            return empty
+        g = g.sort_values(["band_key", "vec_id"], kind="mergesort")
+        keys = g["band_key"].to_numpy()
+        ids = g["vec_id"].to_numpy()
+        m = _decode_emb64(g["emb"].to_numpy())
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+        ia_all, ib_all = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            nn = e - s
+            if nn < 2:
+                continue
+            ia, ib = np.triu_indices(nn, k=1)
+            ia_all.append(ia + s)
+            ib_all.append(ib + s)
+        if not ia_all:
+            return empty
+        ia = np.concatenate(ia_all)
+        ib = np.concatenate(ib_all)
+        sims = np.einsum("ij,ij->i", m[ia], m[ib]) / (norms[ia] * norms[ib])
+        keep = sims >= 0.45
+        if not keep.any():
+            return empty
+        a, b2, s2 = ids[ia[keep]], ids[ib[keep]], sims[keep]
+        pb = (stable_hash64((a * 1_000_003 + b2).astype(str))
+              % np.uint64(B)).astype(np.int32)
+        return pd.DataFrame({"a": a, "b": b2, "sim": np.round(s2, 6),
+                             "pbucket": pb})
+
+    def dedupe_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])[["a", "b", "sim"]]
+
+    out = (
+        ds.map_batches(BandExpand, fn_constructor_kwargs={"planes_ref": planes_ref},
+                       batch_format="pandas", batch_size=1024,
+                       concurrency=(1, max(2, int(ray.cluster_resources().get("CPU", 8)) - 1)))
+        .groupby("bucket")
+        .map_groups(band_verify, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(dedupe_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    out["a"] = out["a"].astype("int64")
+    out["b"] = out["b"].astype("int64")
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+EMBEDDING_NEAR_DUPS_LSH_SQL = """
+WITH flat AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM flat GROUP BY vec_id),
+dots AS (
+  SELECT f1.vec_id AS a, f2.vec_id AS b, sum(f1.v * f2.v) AS dot
+  FROM flat f1 JOIN flat f2 ON f1.i = f2.i AND f1.vec_id < f2.vec_id
+  GROUP BY f1.vec_id, f2.vec_id),
+sims AS (
+  SELECT d.a, d.b, d.dot / (na.n * nb.n) AS sim
+  FROM dots d JOIN norms na ON d.a = na.vec_id JOIN norms nb ON d.b = nb.vec_id)
+SELECT a, b, round(sim, 6) AS sim FROM sims WHERE sim >= 0.45
+"""
 
 
 # exact double-precision cosine via unnest (see queries.KNN_QUERY_SQL note)
@@ -223,25 +395,26 @@ SELECT a, b, round(sim, 6) AS sim FROM sims WHERE sim >= 0.3
 
 
 def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
-    """IVF-style ANN: coarse K-Means cells (seeded) over the embeddings
-    table, probe the nprobe nearest cells to the query, exact cosine within.
-    The scale path next to the brute-force baseline (q_knn_query); at
-    cluster scale the cell assignment is a map_batches against broadcast
-    centroids and each probe list is a partition read. Rows-only (recall vs
-    the exact top-k is asserted in tests)."""
-    from distill_ray.oracle.kmeans import kmeans_dedup
+    """IVF-style ANN on the DISTRIBUTED K-Means (stages/kmeans_stage.py):
+    coarse cells fitted with the Lloyd loop (centroids broadcast, partial
+    sums per batch — no driver-side matrix), then cell assignment + probe
+    scoring in one map_batches against the broadcast centroids, top-10 via
+    Dataset.sort + limit. Driver state is the (k x dim) centroid matrix and
+    the single query vector. Rows-only (recall vs the exact top-k and
+    determinism are asserted in tests/test_salting_ann.py)."""
+    from distill_ray.oracle.kmeans import _distances_to_centroids
+    from distill_ray.stages.kmeans_stage import _decode, kmeans_fit
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    df = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
-    mat = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
-    ids = df["vec_id"].to_numpy()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    base, fit = kmeans_fit(ds, seed=42)
+    centroids = fit.centroids
 
-    # build the IVF index: coarse cells from the seeded K-Means engine
-    res = kmeans_dedup(mat.astype(np.float32), threshold=0.0, seed=42)
-    centroids = res.centroids.astype(np.float64)
-    assignments = res.assignments
+    def pick_query(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["vec_id"] == 0]
 
-    q = mat[np.flatnonzero(ids == 0)[0]]
+    qrow = base.map_batches(pick_query, batch_format="pandas").to_pandas()
+    q = np.frombuffer(qrow["emb"].iloc[0], dtype=np.float32).astype(np.float64)
     qn = float(np.sqrt(q @ q))
     cn = np.sqrt(np.einsum("ij,ij->i", centroids, centroids))
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -251,20 +424,53 @@ def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     # corpora cluster and need far fewer probes for the same recall
     nprobe = max(1, (len(centroids) + 1) // 2)
     probe_cells = np.argsort(-cell_sims, kind="stable")[:nprobe]
+    probe_ref = ray.put(np.sort(probe_cells))
+    q_ref = ray.put(q)
 
-    mask = np.isin(assignments, probe_cells)
-    cand = np.flatnonzero(mask)
-    m = mat[cand]
-    norms = np.sqrt(np.einsum("ij,ij->i", m, m))
-    sims = (m @ q) / (norms * qn)
-    order = np.argsort(-sims, kind="stable")[:10]
-    return pd.DataFrame(
-        {
-            "vec_id": pd.Series(ids[cand[order]], dtype="int64"),
-            "sim": np.round(sims[order], 6),
-            "rank": pd.Series(range(len(order)), dtype="int64"),
-        }
+    class ProbeScore:
+        """Cell-assign each batch against the broadcast centroids; score
+        only rows landing in probed cells (exact cosine vs the query)."""
+
+        def __init__(self, cref, probe_ref, q_ref):
+            self.c = ray.get(cref)
+            self.probe = ray.get(probe_ref)
+            self.q = ray.get(q_ref)
+            self.qn = float(np.sqrt(self.q @ self.q))
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                  "sim": pd.Series(dtype="float64")})
+            if df.empty:
+                return empty
+            m = _decode(df["emb"].to_numpy())
+            cells = np.argmin(_distances_to_centroids(m, self.c), axis=1)
+            mask = np.isin(cells, self.probe)
+            if not mask.any():
+                return empty
+            m64 = m[mask].astype(np.float64)
+            norms = np.sqrt(np.einsum("ij,ij->i", m64, m64))
+            sims = (m64 @ self.q) / (norms * self.qn)
+            return pd.DataFrame(
+                {"vec_id": df["vec_id"].to_numpy()[mask].astype("int64"),
+                 "sim": sims}
+            )
+
+    scored = base.map_batches(
+        ProbeScore,
+        fn_constructor_kwargs={"cref": fit.centroids_ref,
+                               "probe_ref": probe_ref, "q_ref": q_ref},
+        batch_format="pandas",
+        concurrency=(1, max(2, int(ray.cluster_resources().get("CPU", 8)) - 1)),
     )
+    top = (
+        scored.sort(["sim", "vec_id"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    top["sim"] = np.round(top["sim"].to_numpy(), 6)
+    top["rank"] = pd.Series(range(len(top)), dtype="int64")
+    top["vec_id"] = top["vec_id"].astype("int64")
+    return top.reset_index(drop=True)
 
 
 def q_mmr_top8(sf_dir: str) -> pd.DataFrame:

@@ -185,14 +185,22 @@ class BandPairBucket:
     Emits a pair-dedupe bucket column keyed on hash(a, b).
     """
 
-    def __init__(self, cfg: DedupConfig | None = None):
+    def __init__(self, cfg: DedupConfig | None = None, pair_key: str = "ab"):
+        # pair_key="ab": emit (a, b, pbucket=hash(a|b)) — inband mode.
+        # pair_key="a": emit union-ready attach rows (a, b, emb=None,
+        #   kbucket=hash(a)) for the endpoint-attach verify — skips the
+        #   string-concat pair hash over the raw emission multiset.
         self.cfg = cfg or DedupConfig()
+        self.pair_key = pair_key
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"a": pd.Series(dtype=object), "b": pd.Series(dtype=object),
-             "pbucket": pd.Series(dtype=np.int32)}
-        )
+        if self.pair_key == "a":
+            empty = _attach_empty()
+        else:
+            empty = pd.DataFrame(
+                {"a": pd.Series(dtype=object), "b": pd.Series(dtype=object),
+                 "pbucket": pd.Series(dtype=np.int32)}
+            )
         # drop singleton band groups vectorized
         sizes = g.groupby("band_key", sort=False)["rid"].transform("size")
         g = g[sizes > 1]
@@ -259,6 +267,11 @@ class BandPairBucket:
 
         a = rid_arr[ia]
         b = rid_arr[ib]
+        if self.pair_key == "a":
+            return pd.DataFrame(
+                {"a": a, "b": b, "emb": None,
+                 "kbucket": _kbucket(a, self.cfg.shuffle_buckets)}
+            )
         from distill_ray.kernels.hashing import stable_hash64 as _h
 
         pbucket = (
@@ -283,6 +296,131 @@ def make_dedupe_pairs_bucket(min_band_collisions: int):
 def decode_embeddings(col) -> np.ndarray:
     """binary column -> (n, dim) float32 matrix."""
     return np.stack([np.frombuffer(b, dtype=np.float32) for b in col])
+
+
+# --- join-free endpoint-attach verification (P7) -------------------------
+#
+# Replaces round 1's two sequential hash-shuffle joins with TWO bucketed
+# groupbys over a shared union schema (a, b, emb, kbucket):
+#
+#   stage A (kbucket = hash(a)): raw multi-band pair emissions + (rid, emb)
+#     carrier rows. All emissions of a pair share `a`, so the
+#     >= min_band_collisions dedupe AND the emb_a attach both run in this
+#     one kernel; output pairs re-keyed by hash(b).
+#   stage B (kbucket = hash(b)): stage-A pairs + carrier rows again; attach
+#     emb_b and run the exact cosine verify (reference edge rules).
+#
+# No join aggregator actors, no materialize barriers, and the band shuffle
+# stays light (~40 B/row): carrying the embedding on band rows directly was
+# measured 70% slower at 1M rows — 32 bands x 256 B multiply the band
+# shuffle ~8x. Carrier volume is one 256-byte embedding per unique row per
+# stage; pair volume is one row per band emission (stage A) and one
+# embedding-bearing row per surviving candidate (stage B).
+
+_ATTACH_COLS: list[tuple[str, object]] = [
+    ("a", object), ("b", object), ("emb", object), ("kbucket", np.int32),
+]
+
+
+def _attach_empty() -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _ATTACH_COLS})
+
+
+def _kbucket(keys: np.ndarray, n_buckets: int) -> np.ndarray:
+    return (stable_hash64(keys.astype(str)) % np.uint64(n_buckets)).astype(np.int32)
+
+
+def make_emb_carriers(n_buckets: int):
+    """(rid, emb) signature projection -> union-compatible carrier rows
+    (b is null; a holds the rid; keyed by hash(rid))."""
+
+    def emb_carriers(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _attach_empty()
+        rid = df["rid"].to_numpy()
+        return pd.DataFrame(
+            {"a": rid, "b": None, "emb": df["emb"].to_numpy(),
+             "kbucket": _kbucket(rid, n_buckets)}
+        )
+
+    return emb_carriers
+
+
+def make_pairs_to_attach(n_buckets: int):
+    """BandPairBucket emissions (a, b) -> union-compatible pair rows keyed
+    by hash(a) for stage A."""
+
+    def pairs_to_attach(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _attach_empty()
+        a = df["a"].to_numpy()
+        return pd.DataFrame(
+            {"a": a, "b": df["b"].to_numpy(), "emb": None,
+             "kbucket": _kbucket(a, n_buckets)}
+        )
+
+    return pairs_to_attach
+
+
+def make_attach_a_bucket(n_buckets: int, min_band_collisions: int):
+    """Stage A kernel: dedupe multi-band emissions per (a, b), apply the
+    band-collision-count filter, attach emb_a, re-key by hash(b)."""
+
+    def attach_a_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        prs = g[g["b"].notna()]
+        if prs.empty:
+            return _attach_empty()
+        counts = prs.groupby(["a", "b"], sort=False).size().reset_index(name="n")
+        keep = counts[counts["n"] >= min_band_collisions]
+        if keep.empty:
+            return _attach_empty()
+        carriers = g[g["b"].isna()]
+        lookup = pd.Series(carriers["emb"].to_numpy(), index=carriers["a"])
+        b = keep["b"].to_numpy()
+        return pd.DataFrame(
+            {"a": keep["a"].to_numpy(), "b": b,
+             "emb": keep["a"].map(lookup).to_numpy(),
+             "kbucket": _kbucket(b, n_buckets)}
+        )
+
+    return attach_a_bucket
+
+
+def make_attach_b_verify_bucket(threshold: float):
+    """Stage B kernel: attach emb_b from carrier rows, exact cosine verify
+    (reference edge rules incl. zero-norm -> 2.0), emit true edges."""
+
+    def attach_b_verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype=object), "b": pd.Series(dtype=object)}
+        )
+        prs = g[g["b"].notna()]
+        if prs.empty:
+            return empty
+        carriers = g[g["b"].isna()]
+        lookup = pd.Series(carriers["emb"].to_numpy(), index=carriers["a"])
+        emb_b = prs["b"].map(lookup).to_numpy()
+        n = len(prs)
+        A = np.frombuffer(b"".join(prs["emb"].to_numpy()),
+                          dtype=np.float32).reshape(n, -1).astype(np.float64)
+        B = np.frombuffer(b"".join(emb_b),
+                          dtype=np.float32).reshape(n, -1).astype(np.float64)
+        dots = np.einsum("ij,ij->i", A, B)
+        na = np.sqrt(np.einsum("ij,ij->i", A, A))
+        nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+        denom = na * nb
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(denom > 0, dots / np.where(denom == 0, 1.0, denom), 0.0)
+        dist = 1.0 - np.clip(sims, -1.0, 1.0)
+        dist[denom == 0] = 2.0  # zero-norm edge rule (simd.go:54-57)
+        keep = dist <= threshold
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {"a": prs["a"].to_numpy()[keep], "b": prs["b"].to_numpy()[keep]}
+        )
+
+    return attach_b_verify_bucket
 
 
 def verify_pairs_batch(df: pd.DataFrame, threshold: float) -> pd.DataFrame:

@@ -1,0 +1,290 @@
+"""Distributed K-Means dedup engine (SURVEY §2.3 C8 scale path).
+
+Semantics contract: /root/reference/pkg/dedup/kmeans.go:78-351 via the
+driver-side parity oracle ``distill_ray.oracle.kmeans.kmeans_dedup`` — same
+K rule (floor(sqrt(N/2))), same seeded-permutation init, <= max_iterations
+Lloyd steps, cosine distance with the reference edge rules, first-min
+assignment and medoid selection, and the medoid-prune rule (keep medoid;
+keep member iff cosine_distance(member, medoid) >= threshold).
+
+Execution design (the reference recommends K-Means for N >= 10,000 —
+/root/reference/FAQ.md:169 — i.e. exactly the regime that must distribute):
+
+- the embedding matrix NEVER materializes on the driver. Each Lloyd
+  iteration is ONE ``map_batches`` pass over the (materialized once)
+  encoded base dataset: centroids broadcast via ``ray.put``, each batch
+  computes assignments + per-cluster partial sums/counts, and only the
+  (k x dim) partials travel back — driver state is O(k * dim), not O(N).
+- convergence: exact centroid fixpoint (bitwise equality). If no
+  assignment changed the recomputed means are identical, so this is the
+  reference's "no assignment changed" rule observed one step later —
+  output-equivalent because a centroid fixpoint makes every subsequent
+  assignment pass a no-op.
+- medoid-prune runs as a coarse-bucketed groupby over cluster ids
+  (cluster % shuffle_buckets) with the scalar parity kernel per member —
+  members-per-cluster is O(sqrt N) by the K rule, so the per-group work is
+  bounded and the shuffle moves one 256-byte embedding per row, once.
+
+Float caveat (documented, tested): per-batch partial sums add in a
+different order than the oracle's single ``np.mean``; distances may differ
+in the last ulp. Parity at the output level (identical kept sets on the
+test tables) is asserted in tests/test_kmeans_distributed.py.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+
+from distill_ray.kernels.vmath import cosine_distance
+from distill_ray.oracle.kmeans import _distances_to_centroids
+
+
+def _encode_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """(vec_id, embedding list) -> (vec_id, emb fixed-width float32 bytes)."""
+    return pd.DataFrame(
+        {
+            "vec_id": df["vec_id"].astype("int64"),
+            "emb": [np.asarray(e, dtype=np.float32).tobytes() for e in df["embedding"]],
+        }
+    )
+
+
+def _decode(col) -> np.ndarray:
+    return np.frombuffer(b"".join(col), dtype=np.float32).reshape(len(col), -1)
+
+
+class _AssignPartial:
+    """One Lloyd pass: per-batch first-min assignment + per-cluster partial
+    sums. Emits one row per non-empty cluster in the batch."""
+
+    def __init__(self, cref, k: int):
+        self.c = ray.get(cref)  # float64 (k, dim)
+        self.k = k
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"cluster": pd.Series(dtype="int64"),
+                                 "count": pd.Series(dtype="int64"),
+                                 "sum": pd.Series(dtype=object)})
+        m = _decode(df["emb"].to_numpy())
+        dist = _distances_to_centroids(m, self.c)
+        a = np.argmin(dist, axis=1)  # first-min == reference strict `<` scan
+        present = np.unique(a)
+        m64 = m.astype(np.float64)
+        rows = {
+            "cluster": present.astype(np.int64),
+            "count": np.array([(a == c).sum() for c in present], dtype=np.int64),
+            "sum": [m64[a == c].sum(axis=0).tobytes() for c in present],
+        }
+        return pd.DataFrame(rows)
+
+
+class _AttachAssign:
+    def __init__(self, cref, n_buckets: int):
+        self.c = ray.get(cref)
+        self.n_buckets = n_buckets
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            out = df.copy()
+            out["cluster"] = pd.Series(dtype="int64")
+            out["cbucket"] = pd.Series(dtype="int32")
+            return out
+        m = _decode(df["emb"].to_numpy())
+        a = np.argmin(_distances_to_centroids(m, self.c), axis=1).astype(np.int64)
+        out = df.copy()
+        out["cluster"] = a
+        out["cbucket"] = (a % self.n_buckets).astype(np.int32)
+        return out
+
+
+class _PruneBucket:
+    """Per-cluster medoid + threshold prune inside one coarse bucket.
+
+    Exact kmeans.go:311-351 semantics: members in ascending vec_id (== row
+    rank) order; medoid = first-min cosine distance to the float32-cast
+    centroid; keep medoid, keep others iff distance-to-medoid >= threshold.
+    Uses the scalar parity kernel so distances match the oracle bit-for-bit.
+    """
+
+    def __init__(self, cref, threshold: float):
+        self.cref = cref
+        self.threshold = threshold
+        self._c = None
+
+    @property
+    def c(self) -> np.ndarray:
+        # lazy: resolve the broadcast ONCE per worker process, not on the
+        # driver at closure-build time (the ref, not the matrix, ships)
+        if self._c is None:
+            self._c = ray.get(self.cref)
+        return self._c
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                 "cluster": pd.Series(dtype="int64")})
+        g = g.sort_values(["cluster", "vec_id"], kind="mergesort")
+        kept_ids: list[int] = []
+        kept_cl: list[int] = []
+        for c, grp in g.groupby("cluster", sort=True):
+            ids = grp["vec_id"].to_numpy()
+            m = _decode(grp["emb"].to_numpy())
+            if len(ids) == 1:
+                kept_ids.append(int(ids[0]))
+                kept_cl.append(int(c))
+                continue
+            cvec = self.c[int(c)].astype(np.float32)
+            dists = [cosine_distance(m[i], cvec) for i in range(len(ids))]
+            medoid_pos = 0
+            for p in range(1, len(dists)):
+                if dists[p] < dists[medoid_pos]:
+                    medoid_pos = p
+            kept_ids.append(int(ids[medoid_pos]))
+            kept_cl.append(int(c))
+            mv = m[medoid_pos]
+            for i in range(len(ids)):
+                if i == medoid_pos:
+                    continue
+                if cosine_distance(m[i], mv) >= self.threshold:
+                    kept_ids.append(int(ids[i]))
+                    kept_cl.append(int(c))
+        return pd.DataFrame({"vec_id": pd.Series(kept_ids, dtype="int64"),
+                             "cluster": pd.Series(kept_cl, dtype="int64")})
+
+
+@dataclass
+class KMeansFit:
+    centroids: np.ndarray      # float64 (k, dim)
+    k: int
+    n: int
+    iterations: int
+    centroids_ref: object      # ray.ObjectRef of the float64 centroid matrix
+
+
+def kmeans_fit(
+    ds: rd.Dataset,
+    *,
+    k: int = 0,
+    max_iterations: int = 10,
+    seed: int = 42,
+    batch_size: int = 4096,
+) -> tuple[rd.Dataset, KMeansFit]:
+    """Fit K-Means over a (vec_id, embedding) Dataset with the reference's
+    init/assignment rules; returns (encoded+materialized base ds, fit).
+
+    Init parity note: the oracle permutes ROW RANKS of the vec_id-sorted
+    matrix. ``vec_id`` is the rank key, so the seeded permutation is taken
+    over the sorted vec_id domain; only the k init rows are fetched to the
+    driver (a filtered map_batches + take, not a full materialization).
+    """
+    base = ds.map_batches(_encode_batch, batch_format="pandas",
+                          batch_size=batch_size).materialize()
+    n = base.count()
+    if n == 0:
+        empty = KMeansFit(np.empty((0, 0)), 0, 0, 0, None)
+        return base, empty
+
+    if k <= 0:
+        k = max(1, int(math.sqrt(n / 2)))
+    k = min(k, n)
+
+    # seeded permutation over row ranks (kmeans.go:168-180 / oracle parity)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    init_ranks = perm[:k]
+    # rank -> vec_id: ranks are positions in ascending vec_id order; fetch
+    # the id column ONLY if ids are not the dense 0..n-1 range
+    id_min = base.min("vec_id")
+    id_max = base.max("vec_id")
+    if id_min == 0 and id_max == n - 1:
+        init_ids = init_ranks.astype(np.int64)
+    else:
+        ids_sorted = np.sort(
+            np.concatenate([b["vec_id"].to_numpy()
+                            for b in base.iter_batches(batch_format="pandas",
+                                                       columns=["vec_id"])])
+        )
+        init_ids = ids_sorted[init_ranks]
+
+    want = set(int(i) for i in init_ids)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["vec_id"].isin(want)]
+
+    picked = base.map_batches(pick, batch_format="pandas").to_pandas()
+    by_id = dict(zip(picked["vec_id"], picked["emb"]))
+    dim = len(np.frombuffer(picked["emb"].iloc[0], dtype=np.float32))
+    centroids = np.stack(
+        [np.frombuffer(by_id[int(i)], dtype=np.float32) for i in init_ids]
+    ).astype(np.float64)
+
+    it_done = 0
+    for it in range(max_iterations):
+        cref = ray.put(centroids)
+        partials = base.map_batches(
+            _AssignPartial, fn_constructor_kwargs={"cref": cref, "k": k},
+            batch_format="pandas", batch_size=batch_size,
+            concurrency=(1, max(2, int(ray.cluster_resources().get("CPU", 8)) - 1)),
+        ).to_pandas()
+        sums = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for c, grp in partials.groupby("cluster", sort=True):
+            counts[c] = grp["count"].sum()
+            sums[c] = np.frombuffer(b"".join(grp["sum"]),
+                                    dtype=np.float64).reshape(len(grp), dim).sum(axis=0)
+        new_centroids = centroids.copy()
+        nz = counts > 0
+        new_centroids[nz] = sums[nz] / counts[nz, None]
+        it_done = it + 1
+        if it > 0 and np.array_equal(new_centroids, centroids):
+            break
+        centroids = new_centroids
+
+    cref = ray.put(centroids)
+    return base, KMeansFit(centroids=centroids, k=k, n=n,
+                           iterations=it_done, centroids_ref=cref)
+
+
+def kmeans_dedup_distributed(
+    ds: rd.Dataset,
+    *,
+    threshold: float = 0.05,
+    k: int = 0,
+    max_iterations: int = 10,
+    seed: int = 42,
+    shuffle_buckets: int = 64,
+) -> rd.Dataset:
+    """Full C8 engine on Ray Data: fit -> assign -> medoid-prune.
+    Returns a Dataset of kept (vec_id, cluster) rows."""
+    base, fit = kmeans_fit(ds, k=k, max_iterations=max_iterations, seed=seed)
+    if fit.n == 0:
+        return rd.from_pandas(pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                            "cluster": pd.Series(dtype="int64")}))
+    assigned = base.map_batches(
+        _AttachAssign,
+        fn_constructor_kwargs={"cref": fit.centroids_ref,
+                               "n_buckets": shuffle_buckets},
+        batch_format="pandas",
+        concurrency=(1, max(2, int(ray.cluster_resources().get("CPU", 8)) - 1)),
+    )
+    kept = assigned.groupby("cbucket").map_groups(
+        _named_prune(fit.centroids_ref, threshold), batch_format="pandas"
+    )
+    return kept
+
+
+def _named_prune(cref, threshold):
+    inst = _PruneBucket(cref, threshold)
+
+    def prune_bucket(g):
+        return inst(g)
+
+    return prune_bucket

@@ -1,0 +1,86 @@
+"""Distributed K-Means (Lloyd loop) parity vs the driver-side oracle.
+
+The oracle (distill_ray.oracle.kmeans.kmeans_dedup) is the semantic port of
+/root/reference/pkg/dedup/kmeans.go; the distributed engine must produce the
+IDENTICAL kept-vector set with no driver-side matrix materialization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from distill_ray.oracle.kmeans import kmeans_dedup
+from distill_ray.stages.kmeans_stage import kmeans_dedup_distributed, kmeans_fit
+
+
+def _oracle_kept(sf_dir: str, threshold: float = 0.05, seed: int = 42):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    mat = np.stack([np.asarray(e, dtype=np.float32) for e in df["embedding"]])
+    res = kmeans_dedup(mat, threshold=threshold, seed=seed)
+    return sorted(int(df["vec_id"].iloc[i]) for i in res.unique_indices), res
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_kept_set_matches_oracle():
+    sf = "/root/testdata/sf0.001"
+    oracle_kept, oracle_res = _oracle_kept(sf)
+    ds = rd.read_parquet(f"{sf}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    kept = kmeans_dedup_distributed(ds, threshold=0.05, seed=42).to_pandas()
+    assert sorted(kept["vec_id"].tolist()) == oracle_kept
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_centroids_match_oracle():
+    sf = "/root/testdata/sf0.001"
+    _, oracle_res = _oracle_kept(sf)
+    ds = rd.read_parquet(f"{sf}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    _, fit = kmeans_fit(ds, seed=42)
+    assert fit.k == oracle_res.cluster_count
+    # same init + same update rule: centroids agree to fp-reduction noise
+    # (the oracle result stores centroids rounded to float32)
+    np.testing.assert_allclose(
+        fit.centroids, oracle_res.centroids.astype(np.float64),
+        rtol=0, atol=1e-6,
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_with_injected_duplicates():
+    """Exact duplicate vectors must be pruned; distinct directions kept."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16)).astype(np.float32)
+    # rows 40-44 duplicate row 0 exactly
+    mat = np.vstack([base, np.repeat(base[:1], 5, axis=0)])
+    df = pd.DataFrame({"vec_id": np.arange(len(mat), dtype=np.int64),
+                       "embedding": list(mat)})
+    kept = kmeans_dedup_distributed(
+        rd.from_pandas(df), threshold=0.05, seed=42
+    ).to_pandas()
+    kept_set = set(kept["vec_id"].tolist())
+    dup_ids = {0, 40, 41, 42, 43, 44}
+    assert len(kept_set & dup_ids) == 1, "exact duplicates must collapse to one"
+
+    res = kmeans_dedup(mat, threshold=0.05, seed=42)
+    assert kept_set == set(int(i) for i in res.unique_indices)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_deterministic():
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    a = kmeans_dedup_distributed(ds, threshold=0.05, seed=42).to_pandas()
+    b = kmeans_dedup_distributed(ds, threshold=0.05, seed=42).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("vec_id").reset_index(drop=True),
+        b.sort_values("vec_id").reset_index(drop=True),
+    )

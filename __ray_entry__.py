@@ -59,6 +59,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": qo.q_quality_docs,
         "bpe_token_counts": qo.q_bpe_token_counts,
         "embedding_near_dups": qo.q_embedding_near_dups,
+        "embedding_near_dups_lsh": qo.q_embedding_near_dups_lsh,
+        "prefix_partition": qa.q_prefix_partition,
+        "commit_patterns": qa.q_commit_patterns,
         # dedup / operator surface (rows-only checks)
         "near_dup_clusters_docs": qo.q_near_dup_clusters_docs,
         "near_dup_pairs_docs": qo.q_near_dup_pairs_docs,
@@ -71,7 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": qo.q_fingerprint_docs,
         "compress_extractive_docs": qo.q_compress_extractive_docs,
         "prune_docs": qo.q_prune_docs,
-        "multimodal_stub": qo.q_multimodal_stub,
+        "multimodal_decode": qo.q_multimodal_decode,
         "verbatim_spans": qo.q_verbatim_spans,
         "cluster_transcripts": qo.q_cluster_transcripts,
         "commit_similarity": qo.q_commit_similarity,
@@ -84,6 +87,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blast_radius": qa.q_blast_radius,
         "memory_decay_docs": qa.q_memory_decay_docs,
         "memory_write_dedup": qa.q_memory_write_dedup,
+        "cache_boundary": qa.q_cache_boundary,
+        "prefix_stability": qa.q_prefix_stability,
+        "ttl_tracker": qa.q_ttl_tracker,
+        "compress_placeholder_docs": qa.q_compress_placeholder_docs,
     }
 
 
@@ -117,4 +124,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_docs": qo.QUALITY_DOCS_SQL,
         "bpe_token_counts": qo.BPE_TOKEN_COUNTS_SQL,
         "embedding_near_dups": qo.EMBEDDING_NEAR_DUPS_SQL,
+        "embedding_near_dups_lsh": qo.EMBEDDING_NEAR_DUPS_LSH_SQL,
+        "prefix_partition": qa.PREFIX_PARTITION_SQL,
+        "commit_patterns": qa.COMMIT_PATTERNS_SQL,
+        "multimodal_decode": qo.MULTIMODAL_DECODE_SQL,
     }

@@ -212,23 +212,325 @@ def q_memory_decay_docs(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(decay, batch_format="pandas")
 
 
-def q_memory_write_dedup(sf_dir: str) -> pd.DataFrame:
-    """C11 write-time dedup over the embeddings table in vec_id order:
-    first-wins within 0.15, conflicts in (0.15, 0.35); rows-only."""
+def memory_write_items(sf_dir: str) -> np.ndarray:
+    """Deterministic arrival stream for the C11 write-dedup operator: the
+    embeddings table in vec_id order, followed by planted near-arrivals —
+    per base vector i < 40: a near-duplicate at cosine sim ~0.99 (must
+    dedup against the stored original, first-wins) and for i < 20 a
+    sibling at sim ~0.75 (conflict band, stored). Chains are exercised:
+    the dup of a dup never becomes a dedup target."""
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     df = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
-    entries: list = []
-    res = km.memory_store(
-        entries,
-        [
-            {"text": f"vec{int(v)}", "embedding": np.asarray(e, dtype=np.float32)}
-            for v, e in zip(df["vec_id"], df["embedding"])
-        ],
-    )
+    base = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+    rng = np.random.default_rng(0xDED0)
+
+    def mix(v: np.ndarray, target_sim: float) -> np.ndarray:
+        noise = rng.normal(size=v.shape)
+        vn = v / np.linalg.norm(v)
+        noise = noise - (noise @ vn) * vn
+        noise /= np.linalg.norm(noise)
+        out = target_sim * vn + np.sqrt(1 - target_sim**2) * noise
+        return out * np.linalg.norm(v)
+
+    dups = np.stack([mix(base[i], 0.99) for i in range(min(40, len(base)))])
+    confs = np.stack([mix(base[i], 0.75) for i in range(min(20, len(base)))])
+    return np.vstack([base, dups, confs]).astype(np.float32)
+
+
+def q_memory_write_dedup(sf_dir: str) -> pd.DataFrame:
+    """C11 write-time dedup, STREAMING scale path (stages/memory_stage.py):
+    stored set as object-store blocks with hyperplane band signatures,
+    per-chunk distributed candidate matching + exact chain resolution.
+    First-wins within 0.15, conflicts in [0.15, 0.35); rows-only (parity
+    vs the literal O(N^2) port asserted in tests/test_memory_streaming.py)."""
+    from distill_ray.stages.memory_stage import memory_write_dedup_streaming
+
+    mat = memory_write_items(sf_dir)
+    res = memory_write_dedup_streaming(mat, chunk_size=256)
     return pd.DataFrame(
         {
             "n_stored": pd.Series([res.stored], dtype="int64"),
             "n_deduplicated": pd.Series([res.deduplicated], dtype="int64"),
-            "n_conflicts": pd.Series([len(res.conflicts)], dtype="int64"),
+            "n_conflicts": pd.Series([res.conflicts], dtype="int64"),
         }
     )
+
+
+# --- M19 prefix partitioner (SQL-checked) -----------------------------------
+
+def q_prefix_partition(sf_dir: str) -> pd.DataFrame:
+    """M19 cache-aware prefix partitioner (prefix.go:40-110) per derived
+    conversation: docs grouped 10-per-conv in doc_id order, cache markers
+    at seq 3 and 7 -> split at the LAST marker. Emits per-conv prefix and
+    suffix sizes, frozen prefix tokens and marker count (the sha256 prefix
+    hash is computed too and covered by unit tests; excluded here so the
+    oracle stays pure SQL)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def add_conv(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["conv"] = (out["doc_id"] // 10).astype("int64")
+        out["cbucket"] = (out["conv"] % 64).astype("int32")
+        return out
+
+    def part_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for conv, grp in g.groupby("conv", sort=True):
+            grp = grp.sort_values("doc_id")
+            texts = grp["text"].tolist()
+            markers = [(int(d) % 10) in (3, 7) for d in grp["doc_id"]]
+            r = kc.partition_for_cache_aware_dedup(texts, markers)
+            rows.append((int(conv), np.int64(len(r["prefix"])),
+                         np.int64(len(r["suffix"])),
+                         np.int64(r["frozen_prefix_tokens"]),
+                         np.int64(r["marker_count"])))
+        return pd.DataFrame(
+            rows, columns=["conv", "prefix_len", "suffix_len",
+                           "frozen_prefix_tokens", "marker_count"]
+        )
+
+    return (
+        ds.map_batches(add_conv, batch_format="pandas")
+        .groupby("cbucket")
+        .map_groups(part_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("conv")
+        .reset_index(drop=True)
+    )
+
+
+PREFIX_PARTITION_SQL = """
+WITH d AS (
+  SELECT doc_id, text, doc_id // 10 AS conv, doc_id % 10 AS seq,
+         (doc_id % 10 = 3 OR doc_id % 10 = 7) AS marker
+  FROM documents),
+lastm AS (
+  SELECT conv, max(seq) AS last_seq, count(*) AS marker_count
+  FROM d WHERE marker GROUP BY conv)
+SELECT d.conv,
+  CAST(sum(CASE WHEN d.seq <= COALESCE(lm.last_seq, -1) THEN 1 ELSE 0 END) AS BIGINT)
+    AS prefix_len,
+  CAST(sum(CASE WHEN d.seq > COALESCE(lm.last_seq, -1) THEN 1 ELSE 0 END) AS BIGINT)
+    AS suffix_len,
+  CAST(sum(CASE WHEN d.seq <= COALESCE(lm.last_seq, -1)
+           THEN (strlen(d.text) + 3) // 4 ELSE 0 END) AS BIGINT)
+    AS frozen_prefix_tokens,
+  CAST(COALESCE(any_value(lm.marker_count), 0) AS BIGINT) AS marker_count
+FROM d LEFT JOIN lastm lm ON d.conv = lm.conv
+GROUP BY d.conv
+"""
+
+
+# --- C21 commit pattern detection (SQL-checked) ------------------------------
+
+def q_commit_patterns(sf_dir: str) -> pd.DataFrame:
+    """C21 detect_commit_patterns (commits.go:253-305) distributed: commit
+    type parsed from the derived conventional message (doc_id % 5 prefix,
+    as in q_commit_risk_docs); files churned = file{doc_id%7}.go and
+    mod{doc_id%11}.py per commit. Counts by type plus files touched >= 3
+    times, as (kind, key, n) rows via a distributed groupby count."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        kinds, keys = [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            msg = _COMMIT_PREFIXES[int(doc_id) % 5] + str(text)[:40]
+            ctype, _, _ = kcm.parse_conventional_commit(msg)
+            kinds.append("by_type")
+            keys.append(ctype)
+            kinds.append("high_churn")
+            keys.append(f"file{int(doc_id) % 7}.go")
+            kinds.append("high_churn")
+            keys.append(f"mod{int(doc_id) % 11}.py")
+        return pd.DataFrame({"kind": kinds, "key": keys})
+
+    counts = (
+        ds.map_batches(expand, batch_format="pandas")
+        .groupby(["kind", "key"])
+        .count()
+        .to_pandas()
+    )
+    counts = counts.rename(columns={"count()": "n"})
+    counts["n"] = counts["n"].astype("int64")
+    keep = (counts["kind"] == "by_type") | (counts["n"] >= 3)
+    return (
+        counts[keep]
+        .sort_values(["kind", "key"])
+        .reset_index(drop=True)[["kind", "key", "n"]]
+    )
+
+
+COMMIT_PATTERNS_SQL = """
+WITH c AS (
+  SELECT doc_id,
+    CASE doc_id % 5 WHEN 0 THEN 'feat' WHEN 1 THEN 'fix'
+      WHEN 2 THEN 'revert' WHEN 3 THEN 'docs' ELSE 'perf' END AS ctype
+  FROM documents),
+t AS (SELECT 'by_type' AS kind, ctype AS key, count(*) AS n
+      FROM c GROUP BY ctype),
+f AS (
+  SELECT 'file' || CAST(doc_id % 7 AS VARCHAR) || '.go' AS fname FROM documents
+  UNION ALL
+  SELECT 'mod' || CAST(doc_id % 11 AS VARCHAR) || '.py' FROM documents),
+h AS (SELECT 'high_churn' AS kind, fname AS key, count(*) AS n
+      FROM f GROUP BY fname HAVING count(*) >= 3)
+SELECT kind, key, CAST(n AS BIGINT) AS n FROM t
+UNION ALL
+SELECT kind, key, CAST(n AS BIGINT) AS n FROM h
+"""
+
+
+# --- C15 cache boundary evaluation (rows-only) -------------------------------
+
+def q_cache_boundary(sf_dir: str) -> pd.DataFrame:
+    """C15 evaluate_cache_boundary (cache_boundary.go:91-202) per derived
+    conversation: entries are the conv's docs in seq order with
+    tokens = n_chars % 97 + 10 and inserted_at_push = seq, evaluated at
+    push_count=8 (min_stable_turns=2 -> entries with seq <= 6 stable).
+    Emits per-conv marker count, total stable tokens, advanced flag."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+
+    def add_conv(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["conv"] = (out["doc_id"] // 10).astype("int64")
+        out["cbucket"] = (out["conv"] % 64).astype("int32")
+        return out
+
+    def eval_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for conv, grp in g.groupby("conv", sort=True):
+            grp = grp.sort_values("doc_id")
+            entries = [
+                {"tokens": int(nc) % 97 + 10, "inserted_at_push": int(d) % 10}
+                for d, nc in zip(grp["doc_id"], grp["n_chars"])
+            ]
+            r = kc.evaluate_cache_boundary(
+                entries, push_count=8, min_prefix_tokens=64,
+                prev_boundary_tokens=100,
+            )
+            rows.append((int(conv), np.int64(len(r["markers"])),
+                         np.int64(r["total_stable_tokens"]),
+                         bool(r["advanced"])))
+        return pd.DataFrame(
+            rows, columns=["conv", "n_markers", "total_stable_tokens",
+                           "advanced"]
+        )
+
+    return (
+        ds.map_batches(add_conv, batch_format="pandas")
+        .groupby("cbucket")
+        .map_groups(eval_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("conv")
+        .reset_index(drop=True)
+    )
+
+
+# --- C16 prefix stability validator (rows-only) ------------------------------
+
+def q_prefix_stability(sf_dir: str) -> pd.DataFrame:
+    """C16 CallSiteStability (stability.go:100-209) per derived
+    conversation call site: one check per doc in seq order; the prefix
+    hash 'changes' whenever n_chars % 5 == 0 flips the simulated prefix
+    revision. Emits per-conv checks, stability_rate, warn."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+
+    def add_conv(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["conv"] = (out["doc_id"] // 10).astype("int64")
+        out["cbucket"] = (out["conv"] % 64).astype("int32")
+        return out
+
+    def check_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for conv, grp in g.groupby("conv", sort=True):
+            grp = grp.sort_values("doc_id")
+            site = kc.CallSiteStability()
+            rev = 0
+            last = None
+            for nc in grp["n_chars"]:
+                if int(nc) % 5 == 0:
+                    rev += 1
+                last = site.check(f"h{conv}_{rev}")
+            rows.append((int(conv), np.int64(last["checks"]),
+                         round(float(last["stability_rate"]), 6),
+                         bool(last["warn"])))
+        return pd.DataFrame(
+            rows, columns=["conv", "checks", "stability_rate", "warn"]
+        )
+
+    return (
+        ds.map_batches(add_conv, batch_format="pandas")
+        .groupby("cbucket")
+        .map_groups(check_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("conv")
+        .reset_index(drop=True)
+    )
+
+
+# --- C17 TTL tracker (rows-only) ---------------------------------------------
+
+def q_ttl_tracker(sf_dir: str) -> pd.DataFrame:
+    """C17 TTLTracker (ttl.go:44-152, 300 s TTL, explicit clock) per
+    derived conversation key: touches at cumulative gaps of
+    (n_chars % 7 + 1) * 60 s in seq order. Emits per-conv hit/miss counts
+    and the final refresh deadline at a 30 s margin."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+
+    def add_conv(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["conv"] = (out["doc_id"] // 10).astype("int64")
+        out["cbucket"] = (out["conv"] % 64).astype("int32")
+        return out
+
+    def ttl_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for conv, grp in g.groupby("conv", sort=True):
+            grp = grp.sort_values("doc_id")
+            tracker = kc.TTLTracker()
+            key = f"conv{conv}"
+            now = 0.0
+            hits = 0
+            for nc in grp["n_chars"]:
+                now += (int(nc) % 7 + 1) * 60.0
+                if tracker.touch(key, now):
+                    hits += 1
+            deadline = tracker.schedule_deadline(key, 30.0)
+            rows.append((int(conv), np.int64(hits),
+                         np.int64(len(grp) - hits), float(deadline)))
+        return pd.DataFrame(
+            rows, columns=["conv", "n_hits", "n_misses", "refresh_deadline"]
+        )
+
+    return (
+        ds.map_batches(add_conv, batch_format="pandas")
+        .groupby("cbucket")
+        .map_groups(ttl_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("conv")
+        .reset_index(drop=True)
+    )
+
+
+# --- M9 placeholder compressor (rows-only) -----------------------------------
+
+def q_compress_placeholder_docs(sf_dir: str) -> rd.Dataset:
+    """M9 placeholder compressor (placeholder.go:29-271) per doc."""
+    from distill_ray.kernels.compressors import compress_placeholder
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def comp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"],
+             "compressed": [compress_placeholder(t) for t in df["text"]]}
+        )
+
+    return ds.map_batches(comp, batch_format="pandas")

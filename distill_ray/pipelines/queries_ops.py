@@ -103,49 +103,154 @@ def q_simhash_docs(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(sh, batch_format="pandas")
 
 
-def q_ngram_jaccard_topk(sf_dir: str) -> pd.DataFrame:
-    """Top-20 most similar doc pairs by exact 3-gram Jaccard among LSH
-    candidates (n-gram Jaccard near-dup operator)."""
+def _ngram_doc_sketch(df: pd.DataFrame, cfg: DedupConfig):
+    """Per-doc MinHash band keys + serialized unique shingle-hash set."""
     from distill_ray.kernels.embed import tokenize_series
     from distill_ray.kernels.sketch import (
         lsh_band_keys, minhash_seeds, minhash_signatures, shingle_hashes,
-        jaccard_shingles,
     )
-    from distill_ray.kernels.textproc import tokenize_words
 
-    cfg = DedupConfig()
-    docs = pq.read_table(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"]).to_pandas()
-    th, dl = tokenize_series(docs["text"])
+    th, dl = tokenize_series(df["text"])
     sh, spd = shingle_hashes(th, dl, cfg.shingle_k)
     sig = minhash_signatures(sh, spd, minhash_seeds(cfg.num_perm))
-    bands = lsh_band_keys(sig, cfg.lsh_bands)
-
-    # candidate pairs from band collisions (small table -> driver side here;
-    # the distributed variant is q_near_dup_pairs_docs)
-    from collections import defaultdict
-
-    buckets: dict[int, list[int]] = defaultdict(list)
-    for i in range(len(docs)):
-        for b in bands[i]:
-            buckets[int(b)].append(i)
-    pairs = set()
-    for members in buckets.values():
-        if len(members) < 2 or len(members) > cfg.band_group_cap:
-            continue
-        for x in range(len(members)):
-            for y in range(x + 1, len(members)):
-                pairs.add((members[x], members[y]))
-
-    toks = [tokenize_words(t) for t in docs["text"]]
-    rows = [
-        (int(docs["doc_id"].iloc[i]), int(docs["doc_id"].iloc[j]),
-         jaccard_shingles(toks[i], toks[j], cfg.shingle_k))
-        for i, j in pairs
+    bands = lsh_band_keys(sig, cfg.lsh_bands).view(np.int64)
+    offs = np.r_[0, np.cumsum(spd)]
+    shingle_sets = [
+        np.unique(sh[offs[i]:offs[i + 1]]).tobytes() for i in range(len(df))
     ]
-    out = pd.DataFrame(rows, columns=["a", "b", "jaccard"])
-    out = out.sort_values(["jaccard", "a", "b"], ascending=[False, True, True]).head(20)
-    out["jaccard"] = out["jaccard"].round(6)
+    return bands, shingle_sets
+
+
+def q_ngram_jaccard_topk(sf_dir: str) -> pd.DataFrame:
+    """Top-20 most similar doc pairs by exact unigram-shingle Jaccard among
+    LSH candidates — DISTRIBUTED: per-doc sketch in map_batches, candidate
+    pairs from a bucketed band groupby (groups over band_group_cap skipped,
+    matching the operator's contract), shingle sets attached via the same
+    two-stage hash(a)/hash(b) union-groupby pattern as the flagship verify,
+    exact Jaccard per pair inside the bucket, global top-20 via
+    Dataset.sort + limit. No driver-side table materialization; parity vs
+    a driver-side oracle asserted in tests/test_aux_ops.py."""
+    cfg = DedupConfig()
+    B = cfg.shuffle_buckets
+    from distill_ray.kernels.hashing import stable_hash64
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        bands, shingle_sets = _ngram_doc_sketch(df, cfg)
+        n_bands = bands.shape[1]
+        did = np.repeat(df["doc_id"].to_numpy().astype(np.int64), n_bands)
+        keys = bands.ravel()
+        return pd.DataFrame(
+            {"band_key": keys, "doc_id": did,
+             "bucket": (keys.view(np.uint64) % np.uint64(B)).astype(np.int32)}
+        )
+
+    def carriers_batch(df: pd.DataFrame) -> pd.DataFrame:
+        _, shingle_sets = _ngram_doc_sketch(df, cfg)
+        did = df["doc_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {"a": did, "b": np.int64(-1), "payload": shingle_sets,
+             "kbucket": (stable_hash64(did.astype(str))
+                         % np.uint64(B)).astype(np.int32)}
+        )
+
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64"),
+                              "payload": pd.Series(dtype=object),
+                              "kbucket": pd.Series(dtype="int32")})
+        sizes = g.groupby("band_key", sort=False)["doc_id"].transform("size")
+        # contract: skip singleton AND over-cap band groups entirely
+        g = g[(sizes > 1) & (sizes <= cfg.band_group_cap)]
+        if g.empty:
+            return empty
+        g = g.sort_values(["band_key", "doc_id"], kind="mergesort")
+        keys = g["band_key"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+        ia_all, ib_all = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            nn = e - s
+            if nn < 2:
+                continue
+            ia, ib = np.triu_indices(nn, k=1)
+            ia_all.append(ia + s)
+            ib_all.append(ib + s)
+        if not ia_all:
+            return empty
+        ia = np.concatenate(ia_all)
+        ib = np.concatenate(ib_all)
+        a, b = ids[ia], ids[ib]
+        return pd.DataFrame(
+            {"a": a, "b": b, "payload": None,
+             "kbucket": (stable_hash64(a.astype(str))
+                         % np.uint64(B)).astype(np.int32)}
+        )
+
+    def attach_a(g: pd.DataFrame) -> pd.DataFrame:
+        prs = g[g["b"] >= 0]
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64"),
+                              "payload": pd.Series(dtype=object),
+                              "kbucket": pd.Series(dtype="int32")})
+        if prs.empty:
+            return empty
+        prs = prs.drop_duplicates(["a", "b"])  # multi-band emissions -> set
+        cars = g[g["b"] < 0]
+        lookup = pd.Series(cars["payload"].to_numpy(), index=cars["a"])
+        b = prs["b"].to_numpy()
+        return pd.DataFrame(
+            {"a": prs["a"].to_numpy(), "b": b,
+             "payload": prs["a"].map(lookup).to_numpy(),
+             "kbucket": (stable_hash64(b.astype(str))
+                         % np.uint64(B)).astype(np.int32)}
+        )
+
+    def attach_b_jaccard(g: pd.DataFrame) -> pd.DataFrame:
+        prs = g[g["b"] >= 0]
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64"),
+                              "jaccard": pd.Series(dtype="float64")})
+        if prs.empty:
+            return empty
+        cars = g[g["b"] < 0]
+        lookup = pd.Series(cars["payload"].to_numpy(), index=cars["a"])
+        pb = prs["b"].map(lookup).to_numpy()
+        jac = np.empty(len(prs))
+        pa = prs["payload"].to_numpy()
+        for i in range(len(prs)):
+            sa = np.frombuffer(pa[i], dtype=np.uint64)
+            sb = np.frombuffer(pb[i], dtype=np.uint64)
+            if len(sa) == 0 and len(sb) == 0:
+                jac[i] = 1.0
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac[i] = inter / union if union else 1.0
+        return pd.DataFrame(
+            {"a": prs["a"].to_numpy(), "b": prs["b"].to_numpy(),
+             "jaccard": np.round(jac, 6)}
+        )
+
+    carriers = ds.map_batches(carriers_batch, batch_format="pandas")
+    out = (
+        ds.map_batches(sketch, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(band_pairs, batch_format="pandas")
+        .union(carriers)
+        .groupby("kbucket")
+        .map_groups(attach_a, batch_format="pandas")
+        .union(carriers)
+        .groupby("kbucket")
+        .map_groups(attach_b_jaccard, batch_format="pandas")
+        .sort(["jaccard", "a", "b"], descending=[True, False, False])
+        .limit(20)
+        .to_pandas()
+    )
+    out["a"] = out["a"].astype("int64")
+    out["b"] = out["b"].astype("int64")
     return out.reset_index(drop=True)
 
 
@@ -800,50 +905,148 @@ def q_prune_docs(sf_dir: str) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
-# multimodal stub (binary payload plumbing)
+# multimodal binary columns: real PNG/WAV synthesis + decode
 
 
-def q_multimodal_stub(sf_dir: str) -> pd.DataFrame:
-    """Multimodal plumbing: documents' text bytes stand in for an opaque
-    binary payload column; a stateful actor 'decodes' them (deterministic
-    fake — real image/audio decode would go here behind the same signature)
-    and emits typed metadata. Exercises binary columns + actor-pool stage
-    shape end-to-end; rows-only."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+def _make_png(width: int, height: int, seed: int) -> bytes:
+    """Minimal VALID 8-bit grayscale PNG (signature + IHDR + IDAT + IEND,
+    correct CRCs, zlib-compressed filtered scanlines)."""
+    import struct
+    import zlib
 
-    def to_binary(t: pa.Table) -> pa.Table:
-        payload = pc.cast(t["text"], pa.binary())
-        return pa.table({"doc_id": t["doc_id"], "payload": payload})
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
 
-    class FakeDecoder:
-        """Stands in for an image/audio decoder actor: init-once 'model',
-        per-batch vectorized 'decode' emitting (width, height, checksum)."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    rng = np.random.default_rng(seed)
+    raw = b"".join(
+        b"\x00" + rng.integers(0, 256, width, dtype=np.uint8).tobytes()
+        for _ in range(height)
+    )
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
 
-        def __init__(self):
-            self.magic = np.uint64(0x9E3779B97F4A7C15)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            sizes = df["payload"].map(len).to_numpy(dtype=np.int64)
-            # deterministic fake dimensions derived from payload size
-            width = (sizes % 640) + 1
-            height = (sizes % 480) + 1
-            from distill_ray.kernels.hashing import stable_hash64
+def _make_wav(n_samples: int, rate: int, seed: int) -> bytes:
+    """Minimal VALID 16-bit mono PCM WAV."""
+    import struct
 
-            checksum = stable_hash64(
-                df["payload"].map(bytes).to_numpy()
-            ).view(np.int64)
-            return pd.DataFrame(
-                {
-                    "doc_id": df["doc_id"],
-                    "width": width,
-                    "height": height,
-                    "checksum": checksum,
-                }
-            )
+    rng = np.random.default_rng(seed)
+    data = rng.integers(-32768, 32767, n_samples, dtype=np.int16).tobytes()
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+class MediaDecoder:
+    """Actor-pool decoder for opaque binary payload columns: REAL format
+    parsing (PNG signature/IHDR/CRC + IDAT inflate check; RIFF/WAVE fmt +
+    data chunks), init-once state, vectorized-enough per batch. The shape
+    a production image/audio stage uses — small batches for large
+    payloads, typed metadata out."""
+
+    def __init__(self):
+        import struct
+        import zlib
+
+        self.struct = struct
+        self.zlib = zlib
+
+    def decode_one(self, payload: bytes) -> tuple:
+        struct, zlib = self.struct, self.zlib
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            ln, typ = struct.unpack(">I4s", payload[8:16])
+            if typ != b"IHDR":
+                return ("image", 0, 0, 0, 0, False)
+            ihdr = payload[16:16 + ln]
+            crc = struct.unpack(">I", payload[16 + ln:20 + ln])[0]
+            ok = crc == (zlib.crc32(typ + ihdr) & 0xFFFFFFFF)
+            w, h, depth = struct.unpack(">IIB", ihdr[:9])
+            # walk chunks, inflate IDAT, check scanline volume
+            pos, idat = 20 + ln, b""
+            while pos + 8 <= len(payload):
+                cl, ct = struct.unpack(">I4s", payload[pos:pos + 8])
+                if ct == b"IDAT":
+                    idat += payload[pos + 8:pos + 8 + cl]
+                if ct == b"IEND":
+                    break
+                pos += 12 + cl
+            try:
+                ok = ok and len(zlib.decompress(idat)) == h * (w + 1)
+            except Exception:
+                ok = False
+            return ("image", int(w), int(h), 0, 0, bool(ok))
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            pos = 12
+            rate, bits, channels, data_len = 0, 0, 0, 0
+            while pos + 8 <= len(payload):
+                cid, cl = struct.unpack("<4sI", payload[pos:pos + 8])
+                if cid == b"fmt ":
+                    _, channels, rate, _, _, bits = struct.unpack(
+                        "<HHIIHH", payload[pos + 8:pos + 24])
+                elif cid == b"data":
+                    data_len = cl
+                pos += 8 + cl + (cl & 1)
+            ok = rate > 0 and bits == 16 and channels == 1
+            dur_us = (data_len * 1_000_000 // (rate * channels * (bits // 8))
+                      if ok else 0)
+            return ("audio", 0, 0, int(rate), int(dur_us), bool(ok))
+        return ("unknown", 0, 0, 0, 0, False)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        rows = [self.decode_one(bytes(p)) for p in df["payload"]]
+        out = pd.DataFrame(
+            rows, columns=["kind", "width", "height", "sample_rate",
+                           "duration_us", "valid"]
+        )
+        out.insert(0, "doc_id", df["doc_id"].to_numpy())
+        for c in ("width", "height", "sample_rate", "duration_us"):
+            out[c] = out[c].astype("int64")
+        return out
+
+
+def q_multimodal_decode(sf_dir: str) -> pd.DataFrame:
+    """Multimodal binary columns, REAL decode: even doc_ids carry a valid
+    synthesized PNG (width = doc_id%64+1, height = doc_id%48+1), odd ones
+    a valid 16-bit mono WAV (n_samples = doc_id%400+100, rate cycling
+    8k/16k/44.1k); an actor-pool stage parses the actual bytes (IHDR +
+    CRC + IDAT inflate; RIFF fmt/data walk) back into typed metadata.
+    SQL-checked: the oracle recomputes the expected metadata from doc_id —
+    any header-parse or synthesis defect breaks the round trip."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        payloads = []
+        for d in df["doc_id"].astype(int):
+            if d % 2 == 0:
+                payloads.append(_make_png(d % 64 + 1, d % 48 + 1, seed=d))
+            else:
+                rate = (8000, 16000, 44100)[d % 3]
+                payloads.append(_make_wav(d % 400 + 100, rate, seed=d))
+        return pd.DataFrame({"doc_id": df["doc_id"], "payload": payloads})
 
     out = (
-        ds.map_batches(to_binary, batch_format="pyarrow")
-        .map_batches(FakeDecoder, batch_format="pandas", batch_size=512, concurrency=2)
+        ds.map_batches(synth, batch_format="pandas", batch_size=256)
+        .map_batches(MediaDecoder, batch_format="pandas", batch_size=128,
+                     concurrency=(1, 4))
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+MULTIMODAL_DECODE_SQL = """
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 64 + 1 ELSE 0 END AS BIGINT) AS width,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 48 + 1 ELSE 0 END AS BIGINT) AS height,
+  CAST(CASE WHEN doc_id % 2 = 1 THEN
+    CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END
+    ELSE 0 END AS BIGINT) AS sample_rate,
+  CAST(CASE WHEN doc_id % 2 = 1 THEN
+    (doc_id % 400 + 100) * 1000000 //
+          CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END
+    ELSE 0 END AS BIGINT) AS duration_us,
+  TRUE AS valid
+FROM documents
+"""

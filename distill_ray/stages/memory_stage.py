@@ -1,0 +1,211 @@
+"""C11 memory write-time dedup — the streaming/distributed scale path.
+
+Semantic contract (exact parity with the literal port
+``distill_ray.kernels.memory.memory_store``, itself the port of
+/root/reference/pkg/memory/sqlite.go:117-279):
+
+- items arrive in a total order (arrival_seq);
+- an item is DEDUPLICATED iff some earlier *stored* (live) entry lies
+  within cosine distance < dedup_threshold; the earliest such entry wins
+  (insertion-order scan with break). Dropped items never become dedup
+  targets — chains matter: A stored, B~A dropped, C~B-but-not-A stored.
+- an item that is NOT deduplicated records one conflict per stored entry
+  within [dedup_threshold, conflict_threshold) and is then stored.
+
+The reference implements this as an O(N) scan per insert (flagged TODO in
+sqlite.go:240-242). The scale path here:
+
+- the stored set lives as a list of object-store block refs (pandas blocks
+  of (seq, emb bytes, 256-bit hyperplane signature)); the driver holds
+  only the refs and counters.
+- items stream in arrival-order CHUNKS. Per chunk, ONE map_batches over
+  the stored blocks prefilters stored rows by LSH band collision against
+  the chunk (64 bands x 4 sign bits: P(miss) <= 3e-9 at the 0.15 dedup
+  band and ~2e-9 at the 0.35 conflict band with 64 bands), then verifies
+  the survivors with exact cosine (reference edge rules) and emits
+  (item_idx, stored_seq, dist) matches — compute is bucketed by signature
+  collision instead of all-pairs.
+- a small sequential resolver applies the exact chain semantics within
+  the chunk (chunk x chunk distances are computed locally; the chunk is
+  bounded), producing the chunk's stored rows + counts. Work between
+  chunks is inherently ordered — that is the operator's semantics — but
+  all O(N_stored) work per chunk is distributed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+
+N_PLANES = 256
+BITS_PER_BAND = 4
+N_BANDS = N_PLANES // BITS_PER_BAND  # 64
+
+
+def _planes(dim: int) -> np.ndarray:
+    return np.random.default_rng(0x5EED).normal(size=(N_PLANES, dim))
+
+
+def _band_keys(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, N_BANDS) int64 band keys (band index folded in)."""
+    bits = (mat @ planes.T) >= 0
+    b = bits.reshape(len(mat), N_BANDS, BITS_PER_BAND)
+    keys = np.zeros((len(mat), N_BANDS), dtype=np.int64)
+    for i in range(BITS_PER_BAND):
+        keys = (keys << 1) | b[:, :, i].astype(np.int64)
+    return keys | (np.arange(N_BANDS, dtype=np.int64) << 16)
+
+
+def _cos_dist_block(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """(n, m) cosine distances, float64, reference edge rules."""
+    na = np.sqrt(np.einsum("ij,ij->i", A, A))
+    nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+    denom = np.outer(na, nb)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = np.where(denom > 0, (A @ B.T) / np.where(denom == 0, 1.0, denom), 0.0)
+    dist = 1.0 - np.clip(sims, -1.0, 1.0)
+    dist[na == 0, :] = 2.0
+    dist[:, nb == 0] = 2.0
+    return dist
+
+
+def _make_match_stored(chunk_ref, conflict_threshold: float):
+    """map_batches kernel over stored blocks: band-collision prefilter vs
+    the (broadcast-by-ref) chunk, exact cosine on survivors. A plain task
+    closure — the chunk ships as an object ref resolved once per task."""
+
+    def match_stored(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"item_idx": pd.Series(dtype="int64"),
+                              "stored_seq": pd.Series(dtype="int64"),
+                              "dist": pd.Series(dtype="float64")})
+        if df.empty:
+            return empty
+        chunk = ray.get(chunk_ref)  # dict with 'mat' (m, d) and 'keys' (m, B)
+        cmat = chunk["mat"]
+        ckeys = np.unique(chunk["keys"])
+        skeys = np.frombuffer(b"".join(df["keys"].to_numpy()),
+                              dtype=np.int64).reshape(len(df), N_BANDS)
+        hit = np.isin(skeys, ckeys).any(axis=1)
+        if not hit.any():
+            return empty
+        sub = df[hit]
+        smat = np.frombuffer(b"".join(sub["emb"].to_numpy()),
+                             dtype=np.float64).reshape(int(hit.sum()), -1)
+        dist = _cos_dist_block(cmat, smat)  # (chunk, survivors)
+        ii, jj = np.nonzero(dist < conflict_threshold)
+        return pd.DataFrame(
+            {"item_idx": ii.astype(np.int64),
+             "stored_seq": sub["seq"].to_numpy()[jj].astype(np.int64),
+             "dist": dist[ii, jj]}
+        )
+
+    return match_stored
+
+
+@dataclass
+class StreamDedupResult:
+    stored: int
+    deduplicated: int
+    conflicts: int
+    stored_seqs: list[int]
+
+
+def memory_write_dedup_streaming(
+    mat: "np.ndarray | None" = None,
+    *,
+    items_ds: rd.Dataset | None = None,
+    dedup_threshold: float = 0.15,
+    conflict_threshold: float = 0.35,
+    chunk_size: int = 2048,
+) -> StreamDedupResult:
+    """Run the streaming dedup over items in arrival order.
+
+    ``items_ds``: Dataset with (arrival_seq int64, embedding list) — read
+    chunk-wise in arrival order. For convenience/testing, ``mat`` may be a
+    driver-side (n, d) matrix instead (chunks are sliced from it).
+    """
+    if items_ds is not None:
+        df = items_ds.to_pandas().sort_values("arrival_seq").reset_index(drop=True)
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+    assert mat is not None
+    # mirror the port's storage precision: float32 entries, float64 math
+    mat = np.asarray(mat, dtype=np.float32).astype(np.float64)
+    n, dim = mat.shape
+    planes = _planes(dim)
+
+    stored_blocks: list = []  # ObjectRefs of stored pandas blocks
+    n_stored_rows = 0
+    stored = dedup = conflicts = 0
+    stored_seqs: list[int] = []
+
+    for cs in range(0, n, chunk_size):
+        ce = min(cs + chunk_size, n)
+        cmat = mat[cs:ce]
+        ckeys = _band_keys(cmat, planes)
+        m = ce - cs
+
+        # distributed candidate matches vs ALL stored blocks
+        matches = pd.DataFrame({"item_idx": pd.Series(dtype="int64"),
+                                "stored_seq": pd.Series(dtype="int64"),
+                                "dist": pd.Series(dtype="float64")})
+        if n_stored_rows:
+            chunk_ref = ray.put({"mat": cmat, "keys": ckeys})
+            matches = (
+                rd.from_pandas_refs(stored_blocks)
+                .map_batches(_make_match_stored(chunk_ref, conflict_threshold),
+                             batch_format="pandas")
+                .to_pandas()
+            )
+
+        # exact sequential resolution within the chunk (bounded work)
+        local_dist = _cos_dist_block(cmat, cmat)
+        by_item: dict[int, pd.DataFrame] = (
+            {int(k): g for k, g in matches.groupby("item_idx")} if len(matches)
+            else {}
+        )
+        chunk_stored_pos: list[int] = []
+        for i in range(m):
+            g = by_item.get(i)
+            ext_dup = (
+                g[g["dist"] < dedup_threshold]["stored_seq"].min()
+                if g is not None and (g["dist"] < dedup_threshold).any()
+                else None
+            )
+            # earlier stored items of THIS chunk are later arrivals than any
+            # external stored entry, so an external winner always precedes;
+            # check local chain only if no external winner exists
+            local_hits = [j for j in chunk_stored_pos
+                          if local_dist[i, j] < dedup_threshold]
+            if ext_dup is not None or local_hits:
+                dedup += 1
+                continue
+            n_conf = 0
+            if g is not None:
+                n_conf += int(((g["dist"] >= dedup_threshold)
+                               & (g["dist"] < conflict_threshold)).sum())
+            n_conf += sum(
+                1 for j in chunk_stored_pos
+                if dedup_threshold <= local_dist[i, j] < conflict_threshold
+            )
+            conflicts += n_conf
+            chunk_stored_pos.append(i)
+            stored += 1
+            stored_seqs.append(cs + i)
+
+        if chunk_stored_pos:
+            pos = np.array(chunk_stored_pos)
+            block = pd.DataFrame(
+                {"seq": (cs + pos).astype(np.int64),
+                 "emb": [cmat[p].tobytes() for p in pos],
+                 "keys": [ckeys[p].tobytes() for p in pos]}
+            )
+            stored_blocks.append(ray.put(block))
+            n_stored_rows += len(block)
+
+    return StreamDedupResult(stored=stored, deduplicated=dedup,
+                             conflicts=conflicts, stored_seqs=stored_seqs)

@@ -4,6 +4,7 @@ memory (C11/C13), JSONL source (S1)."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from distill_ray.kernels import cache as kc
@@ -197,3 +198,60 @@ def test_read_vectors_jsonl_drops_malformed(tmp_path):
     assert list(out["id"]) == ["v1", "v3"]
     assert np.frombuffer(out["values"].iloc[0], dtype=np.float32).tolist() == [1.0, 2.0]
     assert list(out["n_dims"]) == [2, 1]
+
+
+# --- distributed n-gram Jaccard top-k parity --------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_jaccard_topk_matches_driver_oracle():
+    """The distributed band-groupby + attach pipeline must reproduce the
+    driver-side oracle: hashed-unigram Jaccard over band-collision
+    candidates (groups over the cap skipped), top-20 by (-j, a, b)."""
+    import pyarrow.parquet as pq
+
+    from distill_ray.config import DedupConfig
+    from distill_ray.pipelines.queries_ops import (
+        _ngram_doc_sketch, q_ngram_jaccard_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cfg = DedupConfig()
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    bands, shingle_sets = _ngram_doc_sketch(docs, cfg)
+    sets = [np.frombuffer(s, dtype=np.uint64) for s in shingle_sets]
+
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for i in range(len(docs)):
+        for b in bands[i]:
+            buckets[int(b)].append(i)
+    pairs = set()
+    for members in buckets.values():
+        if len(members) < 2 or len(members) > cfg.band_group_cap:
+            continue
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                pairs.add((members[x], members[y]))
+
+    rows = []
+    for i, j in pairs:
+        sa, sb = sets[i], sets[j]
+        if len(sa) == 0 and len(sb) == 0:
+            jac = 1.0
+        else:
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac = inter / union if union else 1.0
+        rows.append((int(docs["doc_id"].iloc[i]), int(docs["doc_id"].iloc[j]),
+                     round(jac, 6)))
+    oracle = (
+        pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+        .sort_values(["jaccard", "a", "b"], ascending=[False, True, True])
+        .head(20).reset_index(drop=True)
+    )
+    got = q_ngram_jaccard_topk(sf)
+    pd.testing.assert_frame_equal(
+        got.astype({"a": "int64", "b": "int64"}), oracle.astype({"a": "int64", "b": "int64"})
+    )

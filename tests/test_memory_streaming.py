@@ -1,0 +1,70 @@
+"""Streaming memory write-dedup parity vs the literal O(N^2) port."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from distill_ray.kernels import memory as km
+from distill_ray.pipelines.queries_aux import memory_write_items
+from distill_ray.stages.memory_stage import memory_write_dedup_streaming
+
+
+def _port_counts(mat: np.ndarray):
+    entries: list = []
+    res = km.memory_store(
+        entries,
+        [{"text": f"v{i}", "embedding": mat[i]} for i in range(len(mat))],
+    )
+    stored_ids = [int(e.text[1:]) for e in entries]
+    return res.stored, res.deduplicated, len(res.conflicts), stored_ids
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_streaming_matches_port_on_planted_stream():
+    mat = memory_write_items("/root/testdata/sf0.001")
+    s, d, c, _ = _port_counts(mat)
+    # sanity: the planted stream exercises all three outcomes
+    assert d >= 30 and c >= 10
+    res = memory_write_dedup_streaming(mat, chunk_size=128)
+    assert (res.stored, res.deduplicated, res.conflicts) == (s, d, c)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_streaming_chain_semantics():
+    """A stored; B~A dropped; C within 0.15 of B but NOT of A -> C stored.
+    Dropped items must not become dedup targets."""
+    # deterministic in-plane rotations: a at 0deg, b at ~21.6deg (sim .93,
+    # dist .07 < .15 -> dropped), c at ~43.1deg (dist(b,c)=.07 < .15;
+    # dist(a,c)=.27 -> NOT a dup of a, lands in the conflict band)
+    theta = float(np.arccos(0.93))
+
+    def planar(angle: float) -> np.ndarray:
+        v = np.zeros(32, dtype=np.float64)
+        v[0], v[1] = np.cos(angle), np.sin(angle)
+        return v.astype(np.float32)
+
+    a, b, c = planar(0.0), planar(theta), planar(2 * theta)
+    from distill_ray.kernels.vmath import cosine_distance
+
+    assert cosine_distance(a, b) < 0.15
+    assert cosine_distance(b, c) < 0.15
+    assert 0.15 <= cosine_distance(a, c) < 0.35
+
+    mat = np.stack([a, b, c])
+    s, d, cc, stored_ids = _port_counts(mat)
+    assert stored_ids == [0, 2] and d == 1
+    res = memory_write_dedup_streaming(mat, chunk_size=1)
+    assert (res.stored, res.deduplicated) == (s, d)
+    assert res.stored_seqs == [0, 2]
+    assert res.conflicts == cc
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_streaming_chunk_size_invariant():
+    mat = memory_write_items("/root/testdata/sf0.001")[:200]
+    r1 = memory_write_dedup_streaming(mat, chunk_size=7)
+    r2 = memory_write_dedup_streaming(mat, chunk_size=200)
+    assert (r1.stored, r1.deduplicated, r1.conflicts) == \
+        (r2.stored, r2.deduplicated, r2.conflicts)
+    assert r1.stored_seqs == r2.stored_seqs

@@ -200,10 +200,17 @@ def q_sentence_counts_docs(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def count(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized equivalent of len(split_sentences(t)): every segment
+        # ending in [.!?] survives the strip (it contains the delimiter),
+        # so count = n_delimiters + 1 if the trailing fragment has any
+        # non-whitespace non-delimiter character
+        t = df["text"]
+        n_punct = t.str.count(r"[.!?]").to_numpy(dtype=np.int64)
+        tail = t.str.contains(r"[^.!?\s][^.!?]*$", regex=True).to_numpy()
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
-                "n_sentences": [np.int64(len(split_sentences(t))) for t in df["text"]],
+                "n_sentences": pd.Series(n_punct + tail, dtype="int64"),
             }
         )
 

@@ -22,24 +22,48 @@ from distill_ray.kernels.textproc import estimate_tokens
 # --- M18 cache pattern detection (SQL-checked) ------------------------------
 
 def q_cache_pattern_docs(sf_dir: str) -> rd.Dataset:
+    """M18 cache pattern detection — vectorized pandas str kernels
+    mirroring kernels/cache.py detect_pattern/classify/annotate (the
+    scalar kernels stay the unit-tested reference)."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
+    sys_pats = [str(p) for p in kc.SYSTEM_PROMPT_PREFIXES]
+    tool_pats = [str(m) for m in kc.TOOL_DEFINITION_MARKERS]
+
     def detect(df: pd.DataFrame) -> pd.DataFrame:
-        patterns, tokens, recommended = [], [], []
-        for t in df["text"]:
-            p = kc.detect_pattern(t)
-            if p is None:
-                patterns.append("none")
-                tokens.append(estimate_tokens(t))
-                recommended.append(False)
-            else:
-                patterns.append(p["type"])
-                tokens.append(p["tokens"])
-                recommended.append(bool(p["annotation"].recommended))
+        t = df["text"]
+        lower = t.str.lower()
+        head = lower.str.slice(0, 200)
+        n = len(df)
+        is_sys = np.zeros(n, dtype=bool)
+        for p in sys_pats:
+            is_sys |= head.str.contains(p, regex=False).to_numpy()
+        tool_count = np.zeros(n, dtype=np.int64)
+        for m in tool_pats:
+            tool_count += lower.str.contains(m, regex=False).to_numpy()
+        is_code = (
+            t.str.contains("```", regex=False)
+            | t.str.contains("def ", regex=False)
+            | t.str.contains("func ", regex=False)
+            | t.str.contains("function ", regex=False)
+        ).to_numpy()
+        short = (t.str.len() < kc.MIN_PATTERN_LENGTH).to_numpy()
+        pattern = np.full(n, "document", dtype=object)
+        pattern[is_code] = "code_block"
+        pattern[tool_count >= 2] = "tool_definition"
+        pattern[is_sys] = "system_prompt"
+        pattern[short] = "none"
+        # estimate_tokens: (utf-8 byte length + 3) // 4
+        nbytes = t.str.encode("utf-8").str.len().to_numpy(dtype=np.int64)
+        tokens = np.where(nbytes > 0, (nbytes + 3) // 4, 0)
+        recommended = np.where(
+            pattern == "none", False,
+            np.where(pattern == "code_block", tokens >= 512, True),
+        )
         return pd.DataFrame(
-            {"doc_id": df["doc_id"], "pattern": patterns,
+            {"doc_id": df["doc_id"], "pattern": pattern,
              "tokens": pd.Series(tokens, dtype="int64"),
-             "recommended": recommended}
+             "recommended": recommended.astype(bool)}
         )
 
     return ds.map_batches(detect, batch_format="pandas")
@@ -97,19 +121,44 @@ def q_commit_risk_docs(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "n_chars"])
 
+    _TYPES = np.array(["feat", "fix", "revert", "docs", "perf"], dtype=object)
+    _SCOPES = np.array(["api", "", "", "", "core"], dtype=object)
+    _KW_RE = "|".join(sorted(kcm.RISK_KEYWORDS))
+
     def analyze(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for doc_id, text, n_chars in zip(df["doc_id"], df["text"], df["n_chars"]):
-            msg = _COMMIT_PREFIXES[int(doc_id) % 5] + str(text)[:40]
-            ctype, scope, breaking = kcm.parse_conventional_commit(msg)
-            ins = int(n_chars) % 600
-            dels = int(doc_id) % 300
-            n_files = int(doc_id) % 25
-            risk, score = kcm.score_risk(ctype, breaking, ins, dels, n_files, msg)
-            rows.append((int(doc_id), ctype, scope, breaking, risk, np.int64(score)))
+        # vectorized: the conventional prefix is doc_id%5-determined, so
+        # type/scope come straight from the modulus (identical to the
+        # scalar parse — asserted by the SQL oracle); breaking and the
+        # keyword gate are str kernels over the assembled message
+        did = df["doc_id"].to_numpy().astype(np.int64)
+        mod = did % 5
+        prefix = pd.Series(np.array(_COMMIT_PREFIXES, dtype=object)[mod],
+                           index=df.index)
+        msg = prefix + df["text"].str.slice(0, 40)
+        ctype = _TYPES[mod]
+        scope = _SCOPES[mod]
+        breaking = (
+            msg.str.contains("BREAKING CHANGE", regex=False)
+            | msg.str.contains("!", regex=False)
+        ).to_numpy()
+        ins = df["n_chars"].to_numpy().astype(np.int64) % 600
+        dels = did % 300
+        n_files = did % 25
+        total = ins + dels
+        score = (
+            np.where(breaking, 3, 0)
+            + np.where(total > 500, 2, np.where(total > 200, 1, 0))
+            + np.where(n_files > 20, 2, np.where(n_files > 10, 1, 0))
+            + np.where(ctype == "revert", 3, 0)
+            + np.where((ctype == "fix") & (n_files > 5), 1, 0)
+            + (msg + " ").str.lower().str.contains(_KW_RE, regex=True)
+                .to_numpy().astype(np.int64)
+        )
+        risk = np.where(score >= 3, "high", np.where(score >= 1, "medium", "low"))
         return pd.DataFrame(
-            rows, columns=["doc_id", "commit_type", "scope", "breaking",
-                           "risk", "score"]
+            {"doc_id": did, "commit_type": ctype, "scope": scope,
+             "breaking": breaking, "risk": risk,
+             "score": pd.Series(score, dtype="int64")}
         )
 
     return ds.map_batches(analyze, batch_format="pandas")

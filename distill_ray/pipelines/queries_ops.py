@@ -631,32 +631,38 @@ def q_verbatim_spans(sf_dir: str) -> pd.DataFrame:
 _QUALITY_STOPS = sorted(STOP_WORDS)
 
 
+import re as _re
+
+# full-token stopword pattern: a token is whitespace-delimited; it counts
+# as a stopword when stripping the trim chars off BOTH ends leaves exactly
+# a stop word (case-insensitive) — the vectorized equivalent of
+# `w.strip(_TRIM_CHARS).lower() in STOP_WORDS`
+_TRIM_CLS = "[" + _re.escape(_TRIM_CHARS) + "]*"
+_STOPWORD_RE = (
+    r"(?i)(?<!\S)" + _TRIM_CLS + r"(?:" + "|".join(sorted(STOP_WORDS))
+    + r")" + _TRIM_CLS + r"(?!\S)"
+)
+
+
 def q_quality_docs(sf_dir: str) -> rd.Dataset:
-    """Quality metrics per doc: word count, punct ratio, stopword ratio."""
+    """Quality metrics per doc: word count, punct ratio, stopword ratio —
+    fully vectorized pandas str kernels (no per-row Python loop)."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "n_chars"])
 
     def quality(df: pd.DataFrame) -> pd.DataFrame:
-        import re
-
-        punct_re = re.compile(r"[.,;:!?]")
-        n_words = []
-        stop_ratio = []
-        punct_ratio = []
-        for t in df["text"]:
-            words = [w for w in re.split(r"\s+", t) if w != ""]
-            nw = len(words)
-            n_words.append(nw)
-            stops = sum(
-                1 for w in words if w.strip(_TRIM_CHARS).lower() in STOP_WORDS
-            )
-            stop_ratio.append(round(stops / nw, 6) if nw else 0.0)
-            np_ = len(punct_re.findall(t))
-            punct_ratio.append(round(np_ / len(t), 6) if len(t) else 0.0)
+        t = df["text"]
+        nw = t.str.count(r"\S+").to_numpy(dtype=np.int64)
+        stops = t.str.count(_STOPWORD_RE).to_numpy(dtype=np.float64)
+        npunct = t.str.count(r"[.,;:!?]").to_numpy(dtype=np.float64)
+        tlen = t.str.len().to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            stop_ratio = np.where(nw > 0, np.round(stops / np.maximum(nw, 1), 6), 0.0)
+            punct_ratio = np.where(tlen > 0, np.round(npunct / np.maximum(tlen, 1), 6), 0.0)
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
-                "n_words": pd.Series(n_words, dtype="int64"),
+                "n_words": pd.Series(nw, dtype="int64"),
                 "stopword_ratio": stop_ratio,
                 "punct_ratio": punct_ratio,
             }
@@ -713,17 +719,27 @@ def q_langid_docs(sf_dir: str) -> rd.Dataset:
         "fr": {"le", "la", "les", "et", "des", "un", "une", "est"},
     }
 
+    # vectorized: one full-token count per language + CJK charset gate;
+    # tie-break = alphabetically-first max (the original max(sorted(...)))
+    langs = sorted(MARKERS)
+    pats = {
+        lang: r"(?<!\S)(?:" + "|".join(sorted(MARKERS[lang])) + r")(?!\S)"
+        for lang in langs
+    }
+
     def langid(df: pd.DataFrame) -> pd.DataFrame:
-        preds = []
-        for t in df["text"]:
-            if any("一" <= ch <= "鿿" for ch in t[:400]):
-                preds.append("zh")
-                continue
-            words = t.lower().split()
-            votes = {lang: sum(w in ms for w in words) for lang, ms in MARKERS.items()}
-            best = max(sorted(votes), key=lambda k: votes[k])
-            preds.append(best if votes[best] > 0 else "en")
-        return pd.DataFrame({"doc_id": df["doc_id"], "lang_pred": preds})
+        t = df["text"]
+        is_zh = t.str.slice(0, 400).str.contains("[一-鿿]", regex=True)
+        lower = t.str.lower()
+        votes = np.column_stack(
+            [lower.str.count(pats[lang]).to_numpy(dtype=np.int64)
+             for lang in langs]
+        )
+        best_idx = votes.argmax(axis=1)  # first max in alphabetical order
+        best = np.array(langs, dtype=object)[best_idx]
+        best[votes.max(axis=1) == 0] = "en"
+        best[is_zh.to_numpy()] = "zh"
+        return pd.DataFrame({"doc_id": df["doc_id"], "lang_pred": best})
 
     return ds.map_batches(langid, batch_format="pandas")
 

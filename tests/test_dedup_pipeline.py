@@ -104,3 +104,27 @@ def test_pipeline_per_turn_invariant():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_verify_modes_agree():
+    """endpoint (default) and inband verification must produce identical
+    edges and assignments: the same exact-cosine contract, different
+    shuffle plans."""
+    import ray.data as rd
+
+    from distill_ray.pipelines.dedup import run_dedup
+
+    df = generate_transcripts(n_convs=120, turns_per_conv=6, seed=23)
+    cfg = DedupConfig()
+    a = run_dedup(rd.from_pandas(df), cfg, verify_mode="endpoint")
+    b = run_dedup(rd.from_pandas(df), cfg, verify_mode="inband")
+
+    def edge_set(res):
+        e = res.edges.to_pandas()
+        return set(map(tuple, np.sort(e[["a", "b"]].to_numpy(), axis=1)))
+
+    assert edge_set(a) == edge_set(b)
+    pa_ = a.assignments.to_pandas().sort_values("rid").reset_index(drop=True)
+    pb_ = b.assignments.to_pandas().sort_values("rid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(pa_, pb_)

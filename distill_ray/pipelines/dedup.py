@@ -51,14 +51,16 @@ from distill_ray.kernels.hashing import stable_hash64
 from distill_ray.stages.components import connected_components, union_find_labels
 from distill_ray.stages.dedup_stages import (
     BandPairBucket,
+    BandPairNumericBucket,
     Sketcher,
     make_dedupe_pairs_bucket,
     exact_dedup_bucket,
     make_add_text_hash,
     make_attach_a_bucket,
     make_attach_b_verify_bucket,
-    make_emb_carriers,
+    make_carrier_rows,
     make_expand_bands,
+    make_expand_bands_numeric,
     prep_batch,
 )
 from distill_ray.stages.refine import ComponentBucketRefiner
@@ -200,26 +202,27 @@ def run_dedup(
                                "dedupe_pairs"), batch_format="pandas")
         )
     else:
-        # raw multi-band pair emissions, keyed by hash(a) for stage A
+        # raw multi-band pair emissions as pure-numeric rows (int64
+        # endpoint hashes), keyed by hash(a) for stage A; rid strings +
+        # embeddings travel only on one carrier row per unique input row
         raw_pairs = (
-            sk.map_batches(make_expand_bands(B, carry_emb=False),
-                           batch_format="pandas")
+            sk.map_batches(make_expand_bands_numeric(B), batch_format="pandas")
             .groupby("bucket")
-            .map_groups(_named(BandPairBucket(cfg, pair_key="a"), "band_pairs"),
-                        batch_format="pandas")
+            .map_groups(_named(BandPairNumericBucket(cfg), "band_pairs"),
+                        batch_format="pyarrow")
         )
         carriers = sk.select_columns(["rid", "emb"]).map_batches(
-            make_emb_carriers(B), batch_format="pandas"
+            make_carrier_rows(B), batch_format="pyarrow"
         )
         edges = (
             raw_pairs.union(carriers)
             .groupby("kbucket")
             .map_groups(_named(make_attach_a_bucket(B, cfg.min_band_collisions),
-                               "attach_a"), batch_format="pandas")
+                               "attach_a"), batch_format="pyarrow")
             .union(carriers)
             .groupby("kbucket")
             .map_groups(_named(make_attach_b_verify_bucket(cfg.threshold),
-                               "attach_b_verify"), batch_format="pandas")
+                               "attach_b_verify"), batch_format="pyarrow")
         )
     edges = _ckpt_or("edges", edges)
     n_edges = edges.count()

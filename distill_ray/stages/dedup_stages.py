@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from distill_ray.config import DedupConfig
 from distill_ray.kernels.embed import embed_from_token_hashes, tokenize_series
@@ -182,25 +184,19 @@ class BandPairBucket:
     ~2 GFLOP per 15M candidates (64-dim) — noise next to one hash-shuffle
     join of the pair set, which this replaces.
 
-    Emits a pair-dedupe bucket column keyed on hash(a, b).
+    Emits a pair-dedupe bucket column keyed on hash(a, b). This kernel is
+    the INBAND path; the default endpoint-attach verify uses the numeric
+    BandPairNumericBucket below.
     """
 
-    def __init__(self, cfg: DedupConfig | None = None, pair_key: str = "ab"):
-        # pair_key="ab": emit (a, b, pbucket=hash(a|b)) — inband mode.
-        # pair_key="a": emit union-ready attach rows (a, b, emb=None,
-        #   kbucket=hash(a)) for the endpoint-attach verify — skips the
-        #   string-concat pair hash over the raw emission multiset.
+    def __init__(self, cfg: DedupConfig | None = None):
         self.cfg = cfg or DedupConfig()
-        self.pair_key = pair_key
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-        if self.pair_key == "a":
-            empty = _attach_empty()
-        else:
-            empty = pd.DataFrame(
-                {"a": pd.Series(dtype=object), "b": pd.Series(dtype=object),
-                 "pbucket": pd.Series(dtype=np.int32)}
-            )
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype=object), "b": pd.Series(dtype=object),
+             "pbucket": pd.Series(dtype=np.int32)}
+        )
         # drop singleton band groups vectorized
         sizes = g.groupby("band_key", sort=False)["rid"].transform("size")
         g = g[sizes > 1]
@@ -267,11 +263,6 @@ class BandPairBucket:
 
         a = rid_arr[ia]
         b = rid_arr[ib]
-        if self.pair_key == "a":
-            return pd.DataFrame(
-                {"a": a, "b": b, "emb": None,
-                 "kbucket": _kbucket(a, self.cfg.shuffle_buckets)}
-            )
         from distill_ray.kernels.hashing import stable_hash64 as _h
 
         pbucket = (
@@ -279,6 +270,123 @@ class BandPairBucket:
              % np.uint64(self.cfg.shuffle_buckets)).astype(np.int32)
         )
         return pd.DataFrame({"a": a, "b": b, "pbucket": pbucket})
+
+
+_BAND_SCHEMA = pa.schema(
+    [("band_key", pa.int64()), ("rh", pa.int64()),
+     ("simhash", pa.int64()), ("bucket", pa.int32())]
+)
+
+
+def make_expand_bands_numeric(n_buckets: int):
+    """P6a for the endpoint-attach verify: one NUMERIC row per (band_key,
+    rid-hash, simhash) — pure int64 columns in ARROW blocks, ~32 B/row, so
+    the widest shuffle of the pipeline moves no Python objects at all (the
+    groupby sort runs as pyarrow C++ kernels over int64 columns).
+    Zero-token rows are dropped here — exact dedup canonicalized them."""
+
+    def expand_bands_numeric(df: pd.DataFrame) -> pa.Table:
+        df = df[df["n_tokens"] > 0]
+        if df.empty:
+            return _BAND_SCHEMA.empty_table()
+        n_bands = len(df["bands"].iloc[0]) // 8
+        rh = np.repeat(rid_hash64(df["rid"].to_numpy()), n_bands)
+        sims = np.repeat(df["simhash"].to_numpy(), n_bands)
+        keys = np.concatenate(
+            [np.frombuffer(b, dtype=np.int64) for b in df["bands"]]
+        )
+        bucket = (keys.view(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.Table.from_arrays(
+            [pa.array(keys), pa.array(rh), pa.array(sims), pa.array(bucket)],
+            schema=_BAND_SCHEMA,
+        )
+
+    return expand_bands_numeric
+
+
+class BandPairNumericBucket:
+    """P6b bucket kernel for the endpoint-attach verify: candidate pairs
+    within each band group of one coarse bucket, fully vectorized over
+    int64 rid-hashes. Same semantics as BandPairBucket (singleton-group
+    drop, hot-band salting with chain links, vectorized SimHash hamming
+    pre-gate) with two representation changes:
+
+    - rows are identified by their rid HASH (rh), not the rid string, so
+      sorting, pair generation and the downstream dedupe/attach shuffles
+      are all numeric. Pair order within a band group is rh-ascending
+      (deterministic; the edge set is undirected so the a/b orientation
+      does not affect components or assignments).
+    - intra-group (i<j) index pairs are generated PER GROUP-SIZE rather
+      than per group: all groups of size n share one cached triu index
+      template, so a bucket with 100k size-2 groups costs a handful of
+      numpy broadcasts instead of 100k Python iterations.
+
+    Consumes and emits ARROW tables: union-schema rows (k=h(a), o=h(b),
+    typed-null payloads) keyed by h(a) % B for the stage-A dedupe+attach
+    groupby.
+    """
+
+    def __init__(self, cfg: DedupConfig | None = None):
+        self.cfg = cfg or DedupConfig()
+        self._triu_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _triu(self, n: int) -> tuple[np.ndarray, np.ndarray]:
+        hit = self._triu_cache.get(n)
+        if hit is None:
+            hit = self._triu_cache[n] = np.triu_indices(n, k=1)
+        return hit
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        cap = self.cfg.band_group_cap
+        keys = g["band_key"].to_numpy()
+        rh = g["rh"].to_numpy()
+        order = np.lexsort((rh, keys))
+        keys = keys[order]
+        rh = rh[order]
+        sim = g["simhash"].to_numpy()[order].view(np.uint64)
+
+        boundaries = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+        starts = boundaries[:-1]
+        sizes = np.diff(boundaries)
+        starts = starts[sizes > 1]
+        sizes = sizes[sizes > 1]
+        if len(starts) == 0:
+            return _union_empty()
+
+        ia_all: list[np.ndarray] = []
+        ib_all: list[np.ndarray] = []
+        small = sizes <= cap
+        # bulk path: all groups of one size share a triu template
+        for n in np.unique(sizes[small]):
+            st = starts[small & (sizes == n)]
+            ia0, ib0 = self._triu(int(n))
+            ia_all.append((st[:, None] + ia0[None, :]).ravel())
+            ib_all.append((st[:, None] + ib0[None, :]).ravel())
+        # salted hot bands: within-chunk pairs + chain to the group head
+        for s, n in zip(starts[~small], sizes[~small]):
+            e = s + n
+            for cs in range(s, e, cap):
+                ce = min(cs + cap, e)
+                m = ce - cs
+                if m >= 2:
+                    ia0, ib0 = self._triu(int(m))
+                    ia_all.append(ia0 + cs)
+                    ib_all.append(ib0 + cs)
+                if cs != s:
+                    ia_all.append(np.array([s]))
+                    ib_all.append(np.array([cs]))
+        ia = np.concatenate(ia_all)
+        ib = np.concatenate(ib_all)
+        ham = hamming_distance64(sim[ia], sim[ib])
+        keep = ham <= self.cfg.simhash_hamming_max
+        if not keep.any():
+            return _union_empty()
+        ia, ib = ia[keep], ib[keep]
+        a = rh[ia]
+        b = rh[ib]
+        return _union_table(
+            k=a, o=b, kbucket=_hash_bucket(a, self.cfg.shuffle_buckets)
+        )
 
 
 def make_dedupe_pairs_bucket(min_band_collisions: int):
@@ -298,113 +406,191 @@ def decode_embeddings(col) -> np.ndarray:
     return np.stack([np.frombuffer(b, dtype=np.float32) for b in col])
 
 
-# --- join-free endpoint-attach verification (P7) -------------------------
+# --- join-free endpoint-attach verification (P7), numeric exchange -------
 #
 # Replaces round 1's two sequential hash-shuffle joins with TWO bucketed
-# groupbys over a shared union schema (a, b, emb, kbucket):
+# groupbys over a shared union schema. The exchange is NUMERIC end to end:
+# every row of the pair multiset carries only int64s (rid-hash endpoints +
+# bucket); the rid strings and the 256-byte embeddings travel ONLY on one
+# carrier row per unique input row. At 1M rows that is ~24M 24-byte pair
+# rows instead of ~24M ~130-byte object-string rows — the string version
+# of this exchange was measured 2-5x slower end to end (pandas object
+# columns shuffle and group at pickle speed; int64 columns at memcpy
+# speed).
 #
-#   stage A (kbucket = hash(a)): raw multi-band pair emissions + (rid, emb)
-#     carrier rows. All emissions of a pair share `a`, so the
-#     >= min_band_collisions dedupe AND the emb_a attach both run in this
-#     one kernel; output pairs re-keyed by hash(b).
-#   stage B (kbucket = hash(b)): stage-A pairs + carrier rows again; attach
-#     emb_b and run the exact cosine verify (reference edge rules).
+#   stage A (kbucket = h(a) % B): raw multi-band pair emissions
+#     (k=h(a), o=h(b)) + carrier rows (k=h(rid), rid, emb). All emissions
+#     of a pair share k, so the >= min_band_collisions dedupe AND the
+#     emb_a/rid_a attach both run in this one kernel; output pairs re-keyed
+#     by h(b).
+#   stage B (kbucket = h(b) % B): stage-A pairs + the same carrier rows;
+#     attach emb_b/rid_b and run the exact cosine verify (reference edge
+#     rules) -> edges (a_rid, b_rid) as strings.
+#
+# h = FNV-1a 64 of the rid (kernels/hashing.stable_hash64). A hash
+# collision between two distinct rids would mis-route one pair endpoint;
+# at n rows the expected collision count is n^2/2^65 (~1.5e-8 at 1M) and
+# the attach kernels RAISE on duplicate carrier keys rather than guess —
+# at larger fleet sizes switch the key to 128-bit.
 #
 # No join aggregator actors, no materialize barriers, and the band shuffle
-# stays light (~40 B/row): carrying the embedding on band rows directly was
-# measured 70% slower at 1M rows — 32 bands x 256 B multiply the band
-# shuffle ~8x. Carrier volume is one 256-byte embedding per unique row per
-# stage; pair volume is one row per band emission (stage A) and one
-# embedding-bearing row per surviving candidate (stage B).
+# stays light (~32 B/row): carrying the embedding on band rows directly
+# was measured 70% slower at 1M rows — 32 bands x 256 B multiply the band
+# shuffle ~8x.
 
-_ATTACH_COLS: list[tuple[str, object]] = [
-    ("a", object), ("b", object), ("emb", object), ("kbucket", np.int32),
-]
+UNION_SCHEMA = pa.schema(
+    [("k", pa.int64()), ("o", pa.int64()),
+     ("rid", pa.large_string()), ("emb", pa.large_binary()),
+     ("a_rid", pa.large_string()), ("emb_a", pa.large_binary()),
+     ("kbucket", pa.int32())]
+)
 
-
-def _attach_empty() -> pd.DataFrame:
-    return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _ATTACH_COLS})
-
-
-def _kbucket(keys: np.ndarray, n_buckets: int) -> np.ndarray:
-    return (stable_hash64(keys.astype(str)) % np.uint64(n_buckets)).astype(np.int32)
+_EDGE_SCHEMA = pa.schema([("a", pa.large_string()), ("b", pa.large_string())])
 
 
-def make_emb_carriers(n_buckets: int):
-    """(rid, emb) signature projection -> union-compatible carrier rows
-    (b is null; a holds the rid; keyed by hash(rid))."""
+def _union_empty() -> pa.Table:
+    return UNION_SCHEMA.empty_table()
 
-    def emb_carriers(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return _attach_empty()
-        rid = df["rid"].to_numpy()
-        return pd.DataFrame(
-            {"a": rid, "b": None, "emb": df["emb"].to_numpy(),
-             "kbucket": _kbucket(rid, n_buckets)}
+
+def _union_table(k, o, kbucket, rid=None, emb=None, a_rid=None, emb_a=None) -> pa.Table:
+    """Build a UNION_SCHEMA table; omitted payload columns become typed nulls."""
+    n = len(k)
+
+    def col(v, typ):
+        if v is None:
+            return pa.nulls(n, typ)
+        if isinstance(v, (pa.Array, pa.ChunkedArray)):
+            return v.cast(typ) if v.type != typ else v
+        return pa.array(v, type=typ)
+
+    return pa.Table.from_arrays(
+        [col(k, pa.int64()), col(o, pa.int64()),
+         col(rid, pa.large_string()), col(emb, pa.large_binary()),
+         col(a_rid, pa.large_string()), col(emb_a, pa.large_binary()),
+         col(kbucket, pa.int32())],
+        schema=UNION_SCHEMA,
+    )
+
+
+def rid_hash64(rid: np.ndarray) -> np.ndarray:
+    """int64 view of the stable 64-bit rid hash (the numeric pair-endpoint
+    key)."""
+    return stable_hash64(rid.astype(str)).view(np.int64)
+
+
+def _hash_bucket(k: np.ndarray, n_buckets: int) -> np.ndarray:
+    return (k.view(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
+
+
+def binary_matrix(arr, dtype=np.float32) -> np.ndarray:
+    """Fixed-width Arrow (large_)binary column -> (n, w) numpy matrix.
+    Zero-copy from the Arrow data buffer when values are tightly packed
+    (the common case after filter/take); falls back to a join copy."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset: arr.offset + n + 1
+    ]
+    widths = np.diff(offs)
+    if (widths == widths[0]).all() and offs[-1] - offs[0] == n * widths[0]:
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        return (
+            data[offs[0]: offs[-1]].view(dtype).reshape(n, -1)
+        )
+    return np.frombuffer(b"".join(arr.to_pylist()), dtype=dtype).reshape(n, -1)
+
+
+def _sorted_carrier_lookup(carriers: pa.Table, stage: str):
+    """Sorted int64 keys + a gather function for carrier payload columns."""
+    ck = carriers["k"].to_numpy()
+    corder = np.argsort(ck, kind="mergesort")
+    cks = ck[corder]
+    if len(cks) > 1 and (cks[1:] == cks[:-1]).any():
+        raise ValueError(f"rid hash64 collision in endpoint-attach {stage}")
+
+    def gather(keys: np.ndarray):
+        pos = np.searchsorted(cks, keys)
+        if len(cks) == 0 or pos.max(initial=-1) >= len(cks) or (cks[pos] != keys).any():
+            raise ValueError(f"missing carrier row in endpoint-attach {stage}")
+        idx = corder[pos]
+        return idx
+
+    return gather
+
+
+def make_carrier_rows(n_buckets: int):
+    """(rid, emb) signature projection -> union-schema carrier rows:
+    k = h(rid), rid + emb payload, keyed by h(rid) % B. Carriers are the
+    ONLY rows of the exchange that carry strings/bytes."""
+
+    def carrier_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _union_empty()
+        rid = np.asarray(t["rid"].to_pylist(), dtype=object)
+        k = rid_hash64(rid)
+        return _union_table(
+            k=k, o=np.zeros(len(k), dtype=np.int64),
+            kbucket=_hash_bucket(k, n_buckets),
+            rid=t["rid"], emb=t["emb"],
         )
 
-    return emb_carriers
-
-
-def make_pairs_to_attach(n_buckets: int):
-    """BandPairBucket emissions (a, b) -> union-compatible pair rows keyed
-    by hash(a) for stage A."""
-
-    def pairs_to_attach(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return _attach_empty()
-        a = df["a"].to_numpy()
-        return pd.DataFrame(
-            {"a": a, "b": df["b"].to_numpy(), "emb": None,
-             "kbucket": _kbucket(a, n_buckets)}
-        )
-
-    return pairs_to_attach
+    return carrier_rows
 
 
 def make_attach_a_bucket(n_buckets: int, min_band_collisions: int):
-    """Stage A kernel: dedupe multi-band emissions per (a, b), apply the
-    band-collision-count filter, attach emb_a, re-key by hash(b)."""
+    """Stage A kernel (one coarse bucket): dedupe multi-band emissions per
+    (k, o) endpoint-hash pair, apply the band-collision-count filter,
+    attach the a-side rid + embedding from the bucket's carriers, re-key
+    the survivors by h(b) % B. Pure numpy/pyarrow — no pandas objects."""
 
-    def attach_a_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        prs = g[g["b"].notna()]
-        if prs.empty:
-            return _attach_empty()
-        counts = prs.groupby(["a", "b"], sort=False).size().reset_index(name="n")
-        keep = counts[counts["n"] >= min_band_collisions]
-        if keep.empty:
-            return _attach_empty()
-        carriers = g[g["b"].isna()]
-        lookup = pd.Series(carriers["emb"].to_numpy(), index=carriers["a"])
-        b = keep["b"].to_numpy()
-        return pd.DataFrame(
-            {"a": keep["a"].to_numpy(), "b": b,
-             "emb": keep["a"].map(lookup).to_numpy(),
-             "kbucket": _kbucket(b, n_buckets)}
+    def attach_a_bucket(g: pa.Table) -> pa.Table:
+        is_carrier = pc.is_valid(g["emb"])
+        prs = g.filter(pc.invert(is_carrier))
+        if prs.num_rows == 0:
+            return _union_empty()
+        k = prs["k"].to_numpy()
+        o = prs["o"].to_numpy()
+        order = np.lexsort((o, k))
+        ks, os_ = k[order], o[order]
+        new = np.r_[True, (ks[1:] != ks[:-1]) | (os_[1:] != os_[:-1])]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.r_[starts, len(ks)])
+        keepm = counts >= min_band_collisions
+        if not keepm.any():
+            return _union_empty()
+        a_u = ks[starts[keepm]]
+        b_u = os_[starts[keepm]]
+        carriers = g.filter(is_carrier)
+        gather = _sorted_carrier_lookup(carriers, "stage A")
+        idx = pa.array(gather(a_u))
+        return _union_table(
+            k=b_u, o=a_u, kbucket=_hash_bucket(b_u, n_buckets),
+            a_rid=pc.take(carriers["rid"], idx),
+            emb_a=pc.take(carriers["emb"], idx),
         )
 
     return attach_a_bucket
 
 
 def make_attach_b_verify_bucket(threshold: float):
-    """Stage B kernel: attach emb_b from carrier rows, exact cosine verify
-    (reference edge rules incl. zero-norm -> 2.0), emit true edges."""
+    """Stage B kernel: attach the b-side rid + embedding from carrier rows,
+    exact cosine verify (reference edge rules incl. zero-norm -> 2.0),
+    emit true edges as (a_rid, b_rid) strings."""
 
-    def attach_b_verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"a": pd.Series(dtype=object), "b": pd.Series(dtype=object)}
-        )
-        prs = g[g["b"].notna()]
-        if prs.empty:
-            return empty
-        carriers = g[g["b"].isna()]
-        lookup = pd.Series(carriers["emb"].to_numpy(), index=carriers["a"])
-        emb_b = prs["b"].map(lookup).to_numpy()
-        n = len(prs)
-        A = np.frombuffer(b"".join(prs["emb"].to_numpy()),
-                          dtype=np.float32).reshape(n, -1).astype(np.float64)
-        B = np.frombuffer(b"".join(emb_b),
-                          dtype=np.float32).reshape(n, -1).astype(np.float64)
+    def attach_b_verify_bucket(g: pa.Table) -> pa.Table:
+        has_pair = pc.is_valid(g["emb_a"])
+        prs = g.filter(has_pair)
+        if prs.num_rows == 0:
+            return _EDGE_SCHEMA.empty_table()
+        carriers = g.filter(pc.is_valid(g["emb"]))
+        gather = _sorted_carrier_lookup(carriers, "stage B")
+        idx = pa.array(gather(prs["k"].to_numpy()))
+        A = binary_matrix(prs["emb_a"]).astype(np.float64)
+        B = binary_matrix(pc.take(carriers["emb"], idx)).astype(np.float64)
         dots = np.einsum("ij,ij->i", A, B)
         na = np.sqrt(np.einsum("ij,ij->i", A, A))
         nb = np.sqrt(np.einsum("ij,ij->i", B, B))
@@ -415,9 +601,12 @@ def make_attach_b_verify_bucket(threshold: float):
         dist[denom == 0] = 2.0  # zero-norm edge rule (simd.go:54-57)
         keep = dist <= threshold
         if not keep.any():
-            return empty
-        return pd.DataFrame(
-            {"a": prs["a"].to_numpy()[keep], "b": prs["b"].to_numpy()[keep]}
+            return _EDGE_SCHEMA.empty_table()
+        keep_pa = pa.array(keep)
+        return pa.Table.from_arrays(
+            [prs["a_rid"].filter(keep_pa).combine_chunks(),
+             pc.take(carriers["rid"], idx).filter(keep_pa).combine_chunks()],
+            schema=_EDGE_SCHEMA,
         )
 
     return attach_b_verify_bucket

@@ -138,6 +138,15 @@ def run_dedup(
     total_cpus = int(ray.cluster_resources().get("CPU", 8))
     num_join_partitions = min(num_join_partitions, max(2, total_cpus // 2))
 
+    # Coalesce block count before every wide op: Ray's sort-based shuffle
+    # creates num_input_blocks x num_output_partitions intermediate objects,
+    # and both default to the input block count — measured 2M-row groupby
+    # cost: 2.2 s at 40 blocks, 7.9 s at 200, 27.4 s at 400. Upstream
+    # map/actor stages emit hundreds of small blocks; one cheap repartition
+    # (no all-to-all — split/merge only) per wide op keeps the shuffle
+    # matrix ~(2 x CPUs)^2 regardless of upstream task count.
+    P = max(2 * total_cpus, 16)
+
     # P1 — normalize (stateless tasks)
     prep = transcripts.map_batches(prep_batch, batch_format="pandas",
                                    batch_size=cfg.batch_size)
@@ -145,6 +154,7 @@ def run_dedup(
     # P2 — exact dedup: first-wins per normalized text (bucketed shuffle)
     canon = (
         prep.map_batches(make_add_text_hash(B), batch_format="pandas")
+        .repartition(P)
         .groupby("bucket")
         .map_groups(exact_dedup_bucket, batch_format="pandas")
         .drop_columns(["h"])
@@ -169,7 +179,10 @@ def run_dedup(
     # starves the read/write stages on small CPU counts; scales WITH the
     # cluster (a fixed cap made the sketch stage wall-time flat from 8 to
     # 32 CPUs — measured identical walls — and sank scaling efficiency)
-    signer_pool = (1, max(1, total_cpus - 2))
+    # min > 1 so the pool does not ramp from a single actor (measured: a
+    # cold 1-actor start adds 15-25 s at 1M rows before autoscaling evens
+    # out); max bounded by the cluster so the pool scales WITH it
+    signer_pool = (max(2, total_cpus // 4), max(1, total_cpus - 2))
     sk = uniques.map_batches(
         Sketcher, fn_constructor_kwargs={"cfg": cfg},
         batch_format="pandas", batch_size=cfg.batch_size,
@@ -207,6 +220,7 @@ def run_dedup(
         # embeddings travel only on one carrier row per unique input row
         raw_pairs = (
             sk.map_batches(make_expand_bands_numeric(B), batch_format="pandas")
+            .repartition(P)
             .groupby("bucket")
             .map_groups(_named(BandPairNumericBucket(cfg), "band_pairs"),
                         batch_format="pyarrow")
@@ -216,10 +230,12 @@ def run_dedup(
         )
         edges = (
             raw_pairs.union(carriers)
+            .repartition(P)
             .groupby("kbucket")
             .map_groups(_named(make_attach_a_bucket(B, cfg.min_band_collisions),
                                "attach_a"), batch_format="pyarrow")
             .union(carriers)
+            .repartition(P)
             .groupby("kbucket")
             .map_groups(_named(make_attach_b_verify_bucket(cfg.threshold),
                                "attach_b_verify"), batch_format="pyarrow")
@@ -304,6 +320,7 @@ def run_dedup(
     single_assign = rows.map_batches(singles_out, batch_format="pandas")
     refined = (
         rows.map_batches(labeled_out, batch_format="pandas")
+        .repartition(P)
         .groupby("cbucket")
         .map_groups(_named(ComponentBucketRefiner(cfg), "refine_components"),
                     batch_format="pandas")

@@ -39,36 +39,60 @@ def _min_label_group(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def union_find_labels(edges_df: pd.DataFrame) -> pd.DataFrame:
-    """Driver-side union-find for SMALL edge sets (the auto fast path).
+    """Driver-side component labels for SMALL edge sets (the auto fast path).
 
     Candidate edges at threshold 0.15 are sparse relative to the input; when
     the verified edge count fits comfortably on the driver (two string
-    columns), a local union-find beats several distributed rounds. The
-    distributed loop below is the scale path and computes the same labels
-    (min rid per component).
+    columns), a local pass beats several distributed rounds. The distributed
+    loop below is the scale path and computes the same labels (min rid per
+    component).
+
+    Vectorized hash-min propagation with pointer jumping (the same scheme as
+    the distributed loop, run over numpy int codes): each round takes the
+    min label across every edge (`np.minimum.at`) then jumps labels through
+    themselves twice, so convergence is O(log diameter) rounds of O(E) C
+    kernels. The original Python-loop union-find cost multiple driver
+    seconds at ~1M edges — a pure fixed (CPU-count-independent) cost that
+    sat directly on the measured 8->32 scaling gap.
+
+    Node ids come from Arrow `dictionary_encode` (C++ hash, no string
+    sort), so the converged int label is an ARBITRARY member per component;
+    the returned label is re-derived as the true min rid per component with
+    one Arrow hash-aggregate min — the lexicographically smallest rid ==
+    the earliest turn in stable order — the reference's "first wins" root.
     """
-    parent: dict[str, str] = {}
+    import pyarrow as pa
 
-    def find(x: str) -> str:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:
-            parent[x], x = root, parent[x]
-        return root
-
-    for a, b in zip(edges_df["a"], edges_df["b"]):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # min-rid root keeps the "first wins" semantics
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    nodes = list(parent.keys())
-    for n in list(parent):
-        find(n)  # path-compress fully
-    all_nodes = set(edges_df["a"]) | set(edges_df["b"])
+    n_e = len(edges_df)
+    if n_e == 0:
+        return pd.DataFrame({"node": pd.Series(dtype=object),
+                             "label": pd.Series(dtype=object)})
+    conc = pa.array(
+        np.concatenate([edges_df["a"].to_numpy(), edges_df["b"].to_numpy()]),
+        type=pa.large_string(),
+    )
+    enc = conc.dictionary_encode()
+    codes = enc.indices.to_numpy().astype(np.int64)
+    nodes_pa = enc.dictionary
+    ia, ib = codes[:n_e], codes[n_e:]
+    lbl = np.arange(len(nodes_pa), dtype=np.int64)
+    while True:
+        m = np.minimum(lbl[ia], lbl[ib])
+        new = lbl.copy()
+        np.minimum.at(new, ia, m)
+        np.minimum.at(new, ib, m)
+        new = new[new]
+        new = new[new]
+        if np.array_equal(new, lbl):
+            break
+        lbl = new
+    agg = pa.table({"lbl": pa.array(lbl), "node": nodes_pa}).group_by(
+        "lbl"
+    ).aggregate([("node", "min")])
+    rep = np.empty(len(nodes_pa), dtype=object)
+    rep[agg["lbl"].to_numpy()] = agg["node_min"].to_pandas().to_numpy()
     return pd.DataFrame(
-        {"node": list(all_nodes), "label": [find(n) for n in all_nodes]}
+        {"node": nodes_pa.to_pandas().to_numpy(), "label": rep[lbl]}
     )
 
 

@@ -328,8 +328,12 @@ def run_dedup(
     assignments = _ckpt_or("assignments_core", refined.union(single_assign))
     _mark("p9_refine")
 
-    # fold exact duplicates back onto their canonical row's cluster
-    if dups.count() > 0:
+    # fold exact duplicates back onto their canonical row's cluster.
+    # canon and sk are both materialized, so these counts are metadata-only
+    # (round 1 ran dups.count() here — a full extra pass over canon and a
+    # driver barrier, pure fixed cost on the scaling-critical path)
+    n_dups = canon.count() - sk.count()
+    if n_dups > 0:
         canon_assign = assignments.select_columns(["rid", "cluster_id"]).map_batches(
             _rename({"rid": "canon_rid"}), batch_format="pandas"
         )

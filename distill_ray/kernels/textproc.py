@@ -174,14 +174,32 @@ def normalize_for_dedup(text: str) -> str:
     return prune_text(text)
 
 
+# one combined SEARCH regex over all filler phrases: rows with no match are
+# by definition untouched by every per-phrase replace, so the 30 sequential
+# passes (exact Go order preserved) only run on the matching subset
+_FILLER_ANY_RE = re.compile(
+    r"(?i)\b(?:" + "|".join(re.escape(p) for p in FILLER_PHRASES) + r")\b"
+)
+
+
 def prune_series(s):
     """Vectorized (pandas) prune_text with identical semantics/order —
-    the hot-path form used inside map_batches."""
+    the hot-path form used inside map_batches.
+
+    The 30 filler-phrase replaces keep the reference's sequential order but
+    run only on rows one combined search says contain ANY phrase (typically
+    a few percent); the remaining 6 pattern passes are cheap and run on all
+    rows."""
     import pandas as pd  # local import: kernels stay importable without pandas
 
     s = s.astype(str)
-    for rx in _FILLER_RES:
-        s = s.str.replace(rx, "", regex=True)
+    has_filler = s.str.contains(_FILLER_ANY_RE, regex=True)
+    if has_filler.any():
+        sub = s[has_filler]
+        for rx in _FILLER_RES:
+            sub = sub.str.replace(rx, "", regex=True)
+        s = s.copy()
+        s[has_filler] = sub
     s = s.str.replace(_WS_RE, " ", regex=True)
     s = s.str.replace(_DOTS_RE, ".", regex=True)
     s = s.str.replace(_NL_RE, "\n\n", regex=True)

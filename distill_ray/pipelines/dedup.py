@@ -54,8 +54,8 @@ from distill_ray.stages.dedup_stages import (
     BandPairNumericBucket,
     Sketcher,
     make_dedupe_pairs_bucket,
-    exact_dedup_bucket,
-    make_add_text_hash,
+    exact_dedup_bucket_arrow,
+    make_add_text_hash_arrow,
     make_attach_a_bucket,
     make_attach_b_verify_bucket,
     make_carrier_rows,
@@ -151,26 +151,33 @@ def run_dedup(
     prep = transcripts.map_batches(prep_batch, batch_format="pandas",
                                    batch_size=cfg.batch_size)
 
-    # P2 — exact dedup: first-wins per normalized text (bucketed shuffle)
+    # P2 — exact dedup: first-wins per normalized text (bucketed shuffle).
+    # Arrow end-to-end: the widest string shuffle of the pipeline moves
+    # Arrow buffers (memcpy serialization, C++ key sort), and the bucket
+    # kernel groups via dictionary_encode + group_by min — no pandas
+    # objects, no string sort (VERDICT r1 item 9).
+    import pyarrow.compute as _pc
+
     canon = (
-        prep.map_batches(make_add_text_hash(B), batch_format="pandas")
+        prep.map_batches(make_add_text_hash_arrow(B), batch_format="pandas")
         .repartition(P)
         .groupby("bucket")
-        .map_groups(exact_dedup_bucket, batch_format="pandas")
+        .map_groups(exact_dedup_bucket_arrow, batch_format="pyarrow")
         .drop_columns(["h"])
     )
 
-    def split_uniques(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["rid"] == df["canon_rid"]].drop(columns=["canon_rid"])
+    def split_uniques(t: "pa.Table") -> "pa.Table":
+        keep = _pc.equal(t["rid"], t["canon_rid"])
+        return t.filter(keep).drop_columns(["canon_rid"])
 
-    def split_dups(df: pd.DataFrame) -> pd.DataFrame:
-        return df.loc[df["rid"] != df["canon_rid"],
-                      ["rid", "conv_id", "turn_idx", "canon_rid"]]
+    def split_dups(t: "pa.Table") -> "pa.Table":
+        keep = _pc.invert(_pc.equal(t["rid"], t["canon_rid"]))
+        return t.filter(keep).select(["rid", "conv_id", "turn_idx", "canon_rid"])
 
     canon = _ckpt_or("canon", canon)
     _mark("p2_exact_dedup")
-    uniques = canon.map_batches(split_uniques, batch_format="pandas")
-    dups = canon.map_batches(split_dups, batch_format="pandas")
+    uniques = canon.map_batches(split_uniques, batch_format="pyarrow")
+    dups = canon.map_batches(split_dups, batch_format="pyarrow")
 
     # P5 — sketch: embeddings + MinHash bands + SimHash (actor pool).
     # Materialized: it feeds band expansion, the verify joins, and the

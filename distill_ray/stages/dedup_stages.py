@@ -85,6 +85,55 @@ def exact_dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
     return g.drop(columns=["bucket"])
 
 
+def make_add_text_hash_arrow(n_buckets: int):
+    """Arrow-emitting variant of make_add_text_hash: the P2 shuffle blocks
+    become Arrow tables (string buffers serialize at memcpy speed, and the
+    groupby key sort runs as pyarrow C++ kernels) instead of pandas object
+    frames. 64-bit collisions are harmless: the bucket kernel re-groups on
+    the full normalized text."""
+
+    def add_text_hash_arrow(df: pd.DataFrame) -> pa.Table:
+        h = stable_hash64(df["norm_text"].to_numpy())
+        return pa.Table.from_arrays(
+            [
+                pa.array(df["rid"].to_numpy(), type=pa.string()),
+                pa.array(df["conv_id"].to_numpy(), type=pa.string()),
+                pa.array(df["turn_idx"].to_numpy(), type=pa.int32()),
+                pa.array(df["norm_text"].to_numpy(), type=pa.string()),
+                pa.array(h.view(np.int64)),
+                pa.array((h % np.uint64(n_buckets)).astype(np.int32)),
+            ],
+            names=["rid", "conv_id", "turn_idx", "norm_text", "h", "bucket"],
+        )
+
+    return add_text_hash_arrow
+
+
+def exact_dedup_bucket_arrow(g: pa.Table) -> pa.Table:
+    """P2 bucket kernel, Arrow-native: first-wins per exact normalized text
+    with zero pandas objects and NO string sort — dictionary_encode (C++
+    hash) maps each distinct text to a dense code, group_by(code).min(rid)
+    finds the first (min rid == stable turn order) per text, and one take
+    scatters it back. Same semantics as exact_dedup_bucket."""
+    cols = ["rid", "conv_id", "turn_idx", "norm_text", "h"]
+    if g.num_rows == 0:
+        out = g.select(cols)
+        return out.append_column("canon_rid", pa.nulls(0, pa.string()))
+    txt = g["norm_text"]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    codes = txt.dictionary_encode().indices
+    rid = g["rid"]
+    agg = (
+        pa.table({"c": codes, "rid": rid})
+        .group_by("c")
+        .aggregate([("rid", "min")])
+        .sort_by("c")  # codes are dense 0..k-1, so sorted agg aligns with take
+    )
+    canon = pc.take(agg["rid_min"].combine_chunks(), codes)
+    return g.select(cols).append_column("canon_rid", canon)
+
+
 class Sketcher:
     """P5 actor-pool UDF: embedding + MinHash band keys + SimHash per batch.
 

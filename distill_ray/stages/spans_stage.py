@@ -136,16 +136,23 @@ def make_merge_spans(span_k: int):
 def run_span_pass(prep_ds, span_k: int = 50, n_buckets: int = 128):
     """prep_ds: Dataset with (rid, norm_text). Returns spans Dataset
     (a, b, pos_a, pos_b, length) with length >= span_k."""
+    import ray
+
     from distill_ray.pipelines.dedup import _named
+
+    # coalesce block count before each wide op — Ray's sort shuffle builds a
+    # num_input_blocks x num_output_partitions object matrix (see
+    # pipelines/dedup.py P); upstream map stages emit hundreds of blocks
+    P = max(2 * int(ray.cluster_resources().get("CPU", 8)), 16)
 
     windows = prep_ds.map_batches(
         make_window_rows(span_k, n_buckets), batch_format="pandas"
     )
-    matches = windows.groupby("wbucket").map_groups(
+    matches = windows.repartition(P).groupby("wbucket").map_groups(
         _named(make_window_matches(n_buckets), "window_matches"),
         batch_format="pandas",
     )
-    spans = matches.groupby("pbucket").map_groups(
+    spans = matches.repartition(P).groupby("pbucket").map_groups(
         _named(make_merge_spans(span_k), "merge_spans"), batch_format="pandas"
     )
     return spans

@@ -52,7 +52,7 @@ from distill_ray.stages.components import connected_components, union_find_label
 from distill_ray.stages.dedup_stages import (
     BandPairBucket,
     BandPairNumericBucket,
-    Sketcher,
+    make_sketch_batch,
     make_dedupe_pairs_bucket,
     exact_dedup_bucket_arrow,
     make_add_text_hash_arrow,
@@ -179,21 +179,18 @@ def run_dedup(
     uniques = canon.map_batches(split_uniques, batch_format="pyarrow")
     dups = canon.map_batches(split_dups, batch_format="pyarrow")
 
-    # P5 — sketch: embeddings + MinHash bands + SimHash (actor pool).
-    # Materialized: it feeds band expansion, the verify joins, and the
+    # P5 — sketch: embeddings + MinHash bands + SimHash. STATELESS tasks,
+    # not an actor pool: the only per-worker state is a tiny seed table
+    # (module-cached in dedup_stages._cached_seeds), and the task form
+    # reuses the worker processes P1/P2 already warmed. The actor-pool
+    # variant measured 44 s wall at 2M rows (autoscaling ramp + actor
+    # startup) against ~4 s of kernel core-time and barely scaled 8->32;
+    # tasks ramp instantly and scale with the cluster.
+    # Materialized: it feeds band expansion, the verify exchange, and the
     # refinement rows (this is also the natural signature checkpoint).
-    # autoscaling actor pool bounded by the cluster so the pool never
-    # starves the read/write stages on small CPU counts; scales WITH the
-    # cluster (a fixed cap made the sketch stage wall-time flat from 8 to
-    # 32 CPUs — measured identical walls — and sank scaling efficiency)
-    # min > 1 so the pool does not ramp from a single actor (measured: a
-    # cold 1-actor start adds 15-25 s at 1M rows before autoscaling evens
-    # out); max bounded by the cluster so the pool scales WITH it
-    signer_pool = (max(2, total_cpus // 4), max(1, total_cpus - 2))
     sk = uniques.map_batches(
-        Sketcher, fn_constructor_kwargs={"cfg": cfg},
+        make_sketch_batch(cfg),
         batch_format="pandas", batch_size=cfg.batch_size,
-        concurrency=signer_pool,
     )
     sk = _ckpt_or("signatures", sk)
     _mark("p5_sketch")

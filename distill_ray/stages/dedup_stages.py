@@ -31,6 +31,7 @@ from distill_ray.config import DedupConfig
 from distill_ray.kernels.embed import embed_from_token_hashes, tokenize_series
 from distill_ray.kernels.hashing import stable_hash64
 from distill_ray.kernels.sketch import (
+    _POPCOUNT_TABLE,
     hamming_distance64,
     lsh_band_keys,
     minhash_seeds,
@@ -134,11 +135,37 @@ def exact_dedup_bucket_arrow(g: pa.Table) -> pa.Table:
     return g.select(cols).append_column("canon_rid", canon)
 
 
-class Sketcher:
-    """P5 actor-pool UDF: embedding + MinHash band keys + SimHash per batch.
+_SEEDS_CACHE: dict = {}
 
-    Permutation seeds / config live in actor state (init once per actor),
-    mirroring the reference's per-process setup (SURVEY.md §7.3).
+
+def _cached_seeds(num_perm: int) -> np.ndarray:
+    """Per-worker-process seed table. The sketch state is a tiny numpy
+    array, so P5 runs as STATELESS map_batches tasks over the worker pool
+    that earlier stages already warmed — a measured 2M-row run showed the
+    actor-pool variant costing 44 s wall (autoscaling ramp + actor
+    startup) vs ~4 s of actual kernel core-time; plain tasks need no ramp
+    and scale elastically with the cluster."""
+    s = _SEEDS_CACHE.get(num_perm)
+    if s is None:
+        s = _SEEDS_CACHE[num_perm] = minhash_seeds(num_perm)
+    return s
+
+
+def make_sketch_batch(cfg: DedupConfig | None = None):
+    cfg = cfg or DedupConfig()
+
+    def sketch_batch(df: pd.DataFrame) -> pd.DataFrame:
+        return _sketch_impl(df, cfg, _cached_seeds(cfg.num_perm))
+
+    return sketch_batch
+
+
+class Sketcher:
+    """P5 UDF: embedding + MinHash band keys + SimHash per batch.
+
+    Class form retained for callers that want actor-pool placement (e.g.
+    a GPU embedder would need it); the flagship pipeline uses the
+    stateless ``make_sketch_batch`` task form — see ``_cached_seeds``.
     Input: prep rows where rid == canon_rid. Output columns:
       rid, conv_id, turn_idx, norm_text, embedding(list<float32>),
       simhash(int64 view), band_keys(list<int64 view>)
@@ -149,24 +176,27 @@ class Sketcher:
         self.seeds = minhash_seeds(self.cfg.num_perm)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        cfg = self.cfg
-        texts = df["norm_text"].reset_index(drop=True)
-        th, dl = tokenize_series(texts)
-        emb = embed_from_token_hashes(th, dl, cfg.embed_dim)
-        sh, spd = shingle_hashes(th, dl, cfg.shingle_k)
-        sig = minhash_signatures(sh, spd, self.seeds)
-        bands = lsh_band_keys(sig, cfg.lsh_bands).view(np.int64)
-        sims = simhash64(th, dl).view(np.int64)
-        out = df[["rid", "conv_id", "turn_idx", "norm_text"]].reset_index(drop=True).copy()
-        # embeddings and band keys travel as fixed-width binary: Arrow tensor
-        # extension types don't survive acero joins or parquet checkpoints
-        # (pandas-metadata round-trip), and bytes shuffle cheaper
-        out["emb"] = [e.tobytes() for e in emb]
-        out["simhash"] = sims
-        out["bands"] = [b.tobytes() for b in bands]
-        # rows with zero tokens never band-collide meaningfully; mark them
-        out["n_tokens"] = dl
-        return out
+        return _sketch_impl(df, self.cfg, self.seeds)
+
+
+def _sketch_impl(df: pd.DataFrame, cfg: DedupConfig, seeds: np.ndarray) -> pd.DataFrame:
+    texts = df["norm_text"].reset_index(drop=True)
+    th, dl = tokenize_series(texts)
+    emb = embed_from_token_hashes(th, dl, cfg.embed_dim)
+    sh, spd = shingle_hashes(th, dl, cfg.shingle_k)
+    sig = minhash_signatures(sh, spd, seeds)
+    bands = lsh_band_keys(sig, cfg.lsh_bands).view(np.int64)
+    sims = simhash64(th, dl).view(np.int64)
+    out = df[["rid", "conv_id", "turn_idx", "norm_text"]].reset_index(drop=True).copy()
+    # embeddings and band keys travel as fixed-width binary: Arrow tensor
+    # extension types don't survive acero joins or parquet checkpoints
+    # (pandas-metadata round-trip), and bytes shuffle cheaper
+    out["emb"] = [e.tobytes() for e in emb]
+    out["simhash"] = sims
+    out["bands"] = [b.tobytes() for b in bands]
+    # rows with zero tokens never band-collide meaningfully; mark them
+    out["n_tokens"] = dl
+    return out
 
 
 def make_expand_bands(n_buckets: int, carry_emb: bool = True):
@@ -353,6 +383,53 @@ def make_expand_bands_numeric(n_buckets: int):
     return expand_bands_numeric
 
 
+# Fixed-size per-process scratch for the pair-generation/gating hot path.
+# This sandbox host (and any memory-overcommitted VM) serializes first-
+# touch page faults, so repeated large fresh allocations in 32 concurrent
+# workers ran ~60x slower than the same kernel alone; buffers allocated
+# and touched ONCE per worker process make every later call run at warm
+# memory speed. ~64 MB per worker.
+_PAIR_CHUNK = 1 << 19
+_PAIR_SCRATCH: dict = {}
+
+
+def _pair_scratch() -> dict:
+    sc = _PAIR_SCRATCH.get("v")
+    if sc is None:
+        n = _PAIR_CHUNK
+        sc = {
+            "ia": np.empty(n, np.int64),
+            "ib": np.empty(n, np.int64),
+            "ga": np.empty(n, np.uint64),
+            "gb": np.empty(n, np.uint64),
+            "x8": np.empty(n * 8, np.uint8),
+            "ham": np.empty(n, np.int64),
+        }
+        for arr in sc.values():
+            arr.fill(0)  # force the one-time page-fault cost up front
+        _PAIR_SCRATCH["v"] = sc
+    return sc
+
+
+def _gate_chunk(sim: np.ndarray, rh: np.ndarray, sc: dict, m: int, gate: int):
+    """Hamming-gate the m candidate index pairs in sc.ia/ib against the
+    uint64 simhash array; return the surviving (rh[a], rh[b]) endpoint
+    hashes. All intermediates live in the preallocated scratch."""
+    ia = sc["ia"][:m]
+    ib = sc["ib"][:m]
+    ga = sc["ga"][:m]
+    gb = sc["gb"][:m]
+    np.take(sim, ia, out=ga)
+    np.take(sim, ib, out=gb)
+    np.bitwise_xor(ga, gb, out=ga)
+    x8 = sc["x8"][: 8 * m]
+    np.take(_POPCOUNT_TABLE, ga.view(np.uint8), out=x8)
+    ham = sc["ham"][:m]
+    np.sum(x8.reshape(m, 8), axis=1, out=ham)
+    keep = ham <= gate
+    return rh[ia[keep]], rh[ib[keep]]
+
+
 class BandPairNumericBucket:
     """P6b bucket kernel for the endpoint-attach verify: candidate pairs
     within each band group of one coarse bucket, fully vectorized over
@@ -387,6 +464,7 @@ class BandPairNumericBucket:
 
     def __call__(self, g: pa.Table) -> pa.Table:
         cap = self.cfg.band_group_cap
+        gate = self.cfg.simhash_hamming_max
         keys = g["band_key"].to_numpy()
         rh = g["rh"].to_numpy()
         order = np.lexsort((rh, keys))
@@ -402,37 +480,72 @@ class BandPairNumericBucket:
         if len(starts) == 0:
             return _union_empty()
 
-        ia_all: list[np.ndarray] = []
-        ib_all: list[np.ndarray] = []
+        # Pair emissions stream through fixed per-process scratch buffers
+        # (_pair_scratch) in <= _PAIR_CHUNK slices: candidate index pairs
+        # are written into preallocated arrays and the SimHash hamming
+        # gate runs in place, so only the ~few-percent survivors are ever
+        # freshly allocated. The previous version materialized the full
+        # pre-gate pair set (tens of MB of new arrays per bucket); this
+        # host serializes first-touch page faults across processes
+        # (~14 MB/s/stream), which made exactly those allocations the
+        # entire p6 wall time at 32 CPUs (measured 0.8 s/bucket alone vs
+        # ~51 s/bucket under 32-way concurrency).
+        sc = _pair_scratch()
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+
+        def emit(m: int) -> None:
+            """Gate sc.ia/ib[:m] by hamming(sim) and append survivors."""
+            a_k, b_k = _gate_chunk(sim, rh, sc, m, gate)
+            if len(a_k):
+                out_a.append(a_k)
+                out_b.append(b_k)
+
         small = sizes <= cap
-        # bulk path: all groups of one size share a triu template
+        # bulk path: all groups of one size share a triu index template
         for n in np.unique(sizes[small]):
             st = starts[small & (sizes == n)]
             ia0, ib0 = self._triu(int(n))
-            ia_all.append((st[:, None] + ia0[None, :]).ravel())
-            ib_all.append((st[:, None] + ib0[None, :]).ravel())
-        # salted hot bands: within-chunk pairs + chain to the group head
+            ppg = len(ia0)
+            step = max(1, _PAIR_CHUNK // ppg)
+            for s0 in range(0, len(st), step):
+                sts = st[s0 : s0 + step]
+                cnt = len(sts)
+                m = cnt * ppg
+                np.add(sts[:, None], ia0[None, :], out=sc["ia"][:m].reshape(cnt, ppg))
+                np.add(sts[:, None], ib0[None, :], out=sc["ib"][:m].reshape(cnt, ppg))
+                emit(m)
+        # salted hot bands: within-chunk pairs + chain links to the group
+        # head (links batched and gated identically to the original order-
+        # independent multiset semantics)
+        chain_a: list[int] = []
+        chain_b: list[int] = []
         for s, n in zip(starts[~small], sizes[~small]):
             e = s + n
             for cs in range(s, e, cap):
                 ce = min(cs + cap, e)
-                m = ce - cs
-                if m >= 2:
-                    ia0, ib0 = self._triu(int(m))
-                    ia_all.append(ia0 + cs)
-                    ib_all.append(ib0 + cs)
+                m0 = ce - cs
+                if m0 >= 2:
+                    ia0, ib0 = self._triu(int(m0))
+                    m = len(ia0)
+                    np.add(ia0, cs, out=sc["ia"][:m])
+                    np.add(ib0, cs, out=sc["ib"][:m])
+                    emit(m)
                 if cs != s:
-                    ia_all.append(np.array([s]))
-                    ib_all.append(np.array([cs]))
-        ia = np.concatenate(ia_all)
-        ib = np.concatenate(ib_all)
-        ham = hamming_distance64(sim[ia], sim[ib])
-        keep = ham <= self.cfg.simhash_hamming_max
-        if not keep.any():
+                    chain_a.append(s)
+                    chain_b.append(cs)
+        for c0 in range(0, len(chain_a), _PAIR_CHUNK):
+            ca = np.asarray(chain_a[c0 : c0 + _PAIR_CHUNK], dtype=np.int64)
+            cb = np.asarray(chain_b[c0 : c0 + _PAIR_CHUNK], dtype=np.int64)
+            m = len(ca)
+            sc["ia"][:m] = ca
+            sc["ib"][:m] = cb
+            emit(m)
+
+        if not out_a:
             return _union_empty()
-        ia, ib = ia[keep], ib[keep]
-        a = rh[ia]
-        b = rh[ib]
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
         return _union_table(
             k=a, o=b, kbucket=_hash_bucket(a, self.cfg.shuffle_buckets)
         )

@@ -54,6 +54,8 @@ from distill_ray.stages.dedup_stages import (
     BandPairNumericBucket,
     make_sketch_batch,
     make_dedupe_pairs_bucket,
+    make_dedupe_numeric_bucket,
+    pairs_to_union,
     exact_dedup_bucket_arrow,
     make_add_text_hash_arrow,
     make_attach_a_bucket,
@@ -201,10 +203,11 @@ def run_dedup(
     # fixed 15-35 s per wide stage regardless of CPU count):
     #
     #  endpoint (default): band rows stay light (~40 B). Raw multi-band
-    #    pair emissions union with (rid, emb) carrier rows; a groupby on
-    #    hash(a) runs the >= min_band_collisions dedupe AND attaches emb_a
-    #    in one kernel; a second groupby on hash(b) attaches emb_b and
-    #    verifies. Two bucketed groupbys total for dedupe+verify.
+    #    pair emissions dedupe on a narrow pure-numeric schema (groupby
+    #    hash(a), >= min_band_collisions); the deduped pairs then union
+    #    with (rid, emb) carrier rows for an emb_a attach (hash(a)) and an
+    #    emb_b attach + verify (hash(b)). Three bucketed groupbys, but the
+    #    heavy one (the raw multiset) is 20 B/row numeric.
     #  inband: band rows carry the embedding and each band bucket verifies
     #    its own pairs (zero extra wide ops, but 32 bands x 256 B multiply
     #    the band shuffle ~8x — measured 70% slower at 1M rows x 32 CPUs).
@@ -220,8 +223,13 @@ def run_dedup(
         )
     else:
         # raw multi-band pair emissions as pure-numeric rows (int64
-        # endpoint hashes), keyed by hash(a) for stage A; rid strings +
-        # embeddings travel only on one carrier row per unique input row
+        # endpoint hashes, NARROW 20 B/row schema), keyed by hash(a);
+        # the ~30-50x multiset (near-identical rows collide in most
+        # bands) collapses in a numeric-only dedupe shuffle BEFORE any
+        # rid/embedding payload enters the exchange — deduping inside the
+        # attach stage under the wide union schema shuffled ~33 B/row of
+        # null varlen offsets on every raw emission and measured 2x
+        # slower end to end (106 s -> 51 s p6+p7 at 2M rows x 32 CPUs)
         raw_pairs = (
             sk.map_batches(make_expand_bands_numeric(B), batch_format="pandas")
             .repartition(P)
@@ -229,15 +237,25 @@ def run_dedup(
             .map_groups(_named(BandPairNumericBucket(cfg), "band_pairs"),
                         batch_format="pyarrow")
         )
+        deduped = (
+            raw_pairs.repartition(P)
+            .groupby("kbucket")
+            .map_groups(_named(make_dedupe_numeric_bucket(cfg.min_band_collisions),
+                               "dedupe_pairs"), batch_format="pyarrow")
+        )
+        # rid strings + embeddings travel only on one carrier row per
+        # unique input row; both attach unions are ~2 rows per verified
+        # pair, so the wide varlen schema is cheap here
         carriers = sk.select_columns(["rid", "emb"]).map_batches(
             make_carrier_rows(B), batch_format="pyarrow"
         )
         edges = (
-            raw_pairs.union(carriers)
+            deduped.map_batches(pairs_to_union, batch_format="pyarrow")
+            .union(carriers)
             .repartition(P)
             .groupby("kbucket")
-            .map_groups(_named(make_attach_a_bucket(B, cfg.min_band_collisions),
-                               "attach_a"), batch_format="pyarrow")
+            .map_groups(_named(make_attach_a_bucket(B), "attach_a"),
+                        batch_format="pyarrow")
             .union(carriers)
             .repartition(P)
             .groupby("kbucket")

@@ -543,12 +543,53 @@ class BandPairNumericBucket:
             emit(m)
 
         if not out_a:
-            return _union_empty()
+            return PAIR_SCHEMA.empty_table()
         a = np.concatenate(out_a)
         b = np.concatenate(out_b)
-        return _union_table(
-            k=a, o=b, kbucket=_hash_bucket(a, self.cfg.shuffle_buckets)
+        return pa.Table.from_arrays(
+            [pa.array(a), pa.array(b),
+             pa.array(_hash_bucket(a, self.cfg.shuffle_buckets))],
+            schema=PAIR_SCHEMA,
         )
+
+
+def make_dedupe_numeric_bucket(min_band_collisions: int):
+    """P7a kernel (one coarse h(a)-bucket of the NARROW pair exchange):
+    collapse multi-band emissions of the same (k, o) endpoint-hash pair and
+    apply the >= min_band_collisions count filter. Runs on pure int64
+    columns — the 30-50x multiset (near-identical docs collide in most of
+    the 32 bands) is deduped here BEFORE any varlen payload enters the
+    exchange; shuffling the multiset under the union schema's four null
+    varlen columns (~33 B/row of null offsets on ~36 pair rows per input
+    row) was measured 2x slower end to end at 2M rows."""
+
+    def dedupe_numeric_bucket(g: pa.Table) -> pa.Table:
+        k = g["k"].to_numpy()
+        o = g["o"].to_numpy()
+        order = np.lexsort((o, k))
+        ks, os_ = k[order], o[order]
+        new = np.r_[True, (ks[1:] != ks[:-1]) | (os_[1:] != os_[:-1])]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.r_[starts, len(ks)])
+        keep = counts >= min_band_collisions
+        if not keep.any():
+            return PAIR_SCHEMA.empty_table()
+        a = ks[starts[keep]]
+        b = os_[starts[keep]]
+        kb = g["kbucket"].to_numpy()[order][starts[keep]]
+        return pa.Table.from_arrays(
+            [pa.array(a), pa.array(b), pa.array(kb)], schema=PAIR_SCHEMA
+        )
+
+    return dedupe_numeric_bucket
+
+
+def pairs_to_union(t: pa.Table) -> pa.Table:
+    """Deduped narrow pairs -> union-schema rows (payload columns null) so
+    they can union with carrier rows for the attach stages."""
+    if t.num_rows == 0:
+        return _union_empty()
+    return _union_table(k=t["k"], o=t["o"], kbucket=t["kbucket"])
 
 
 def make_dedupe_pairs_bucket(min_band_collisions: int):
@@ -580,11 +621,14 @@ def decode_embeddings(col) -> np.ndarray:
 # columns shuffle and group at pickle speed; int64 columns at memcpy
 # speed).
 #
-#   stage A (kbucket = h(a) % B): raw multi-band pair emissions
-#     (k=h(a), o=h(b)) + carrier rows (k=h(rid), rid, emb). All emissions
-#     of a pair share k, so the >= min_band_collisions dedupe AND the
-#     emb_a/rid_a attach both run in this one kernel; output pairs re-keyed
-#     by h(b).
+#   stage P7a (kbucket = h(a) % B): raw multi-band pair emissions
+#     (k=h(a), o=h(b)) on the NARROW PAIR_SCHEMA (20 B/row). All emissions
+#     of a pair share k, so the >= min_band_collisions dedupe runs here,
+#     collapsing the ~30-50x multiset before any varlen payload enters the
+#     exchange (make_dedupe_numeric_bucket).
+#   stage A (kbucket = h(a) % B): deduped pairs (via pairs_to_union) +
+#     carrier rows (k=h(rid), rid, emb); attach emb_a/rid_a, re-key by
+#     h(b).
 #   stage B (kbucket = h(b) % B): stage-A pairs + the same carrier rows;
 #     attach emb_b/rid_b and run the exact cosine verify (reference edge
 #     rules) -> edges (a_rid, b_rid) as strings.
@@ -599,6 +643,14 @@ def decode_embeddings(col) -> np.ndarray:
 # stays light (~32 B/row): carrying the embedding on band rows directly
 # was measured 70% slower at 1M rows — 32 bands x 256 B multiply the band
 # shuffle ~8x.
+
+# Narrow schema for the RAW multi-band pair exchange (P6b -> P7a): pure
+# numeric, 20 B/row. The raw multiset is ~30-50x the deduped pair count, so
+# this is the one exchange whose row width dominates the pipeline's shuffle
+# bytes; payload (rid/emb) joins only after the dedupe collapse.
+PAIR_SCHEMA = pa.schema(
+    [("k", pa.int64()), ("o", pa.int64()), ("kbucket", pa.int32())]
+)
 
 UNION_SCHEMA = pa.schema(
     [("k", pa.int64()), ("o", pa.int64()),
@@ -703,29 +755,20 @@ def make_carrier_rows(n_buckets: int):
     return carrier_rows
 
 
-def make_attach_a_bucket(n_buckets: int, min_band_collisions: int):
-    """Stage A kernel (one coarse bucket): dedupe multi-band emissions per
-    (k, o) endpoint-hash pair, apply the band-collision-count filter,
-    attach the a-side rid + embedding from the bucket's carriers, re-key
-    the survivors by h(b) % B. Pure numpy/pyarrow — no pandas objects."""
+def make_attach_a_bucket(n_buckets: int):
+    """Stage A kernel (one coarse bucket): attach the a-side rid +
+    embedding from the bucket's carriers to the already-deduped pairs,
+    re-key by h(b) % B. Pure numpy/pyarrow — no pandas objects. Input is
+    the P7a dedupe output (small) unioned with carrier rows, so the wide
+    varlen union schema only ever covers ~2 rows per verified pair."""
 
     def attach_a_bucket(g: pa.Table) -> pa.Table:
         is_carrier = pc.is_valid(g["emb"])
         prs = g.filter(pc.invert(is_carrier))
         if prs.num_rows == 0:
             return _union_empty()
-        k = prs["k"].to_numpy()
-        o = prs["o"].to_numpy()
-        order = np.lexsort((o, k))
-        ks, os_ = k[order], o[order]
-        new = np.r_[True, (ks[1:] != ks[:-1]) | (os_[1:] != os_[:-1])]
-        starts = np.flatnonzero(new)
-        counts = np.diff(np.r_[starts, len(ks)])
-        keepm = counts >= min_band_collisions
-        if not keepm.any():
-            return _union_empty()
-        a_u = ks[starts[keepm]]
-        b_u = os_[starts[keepm]]
+        a_u = prs["k"].to_numpy()
+        b_u = prs["o"].to_numpy()
         carriers = g.filter(is_carrier)
         gather = _sorted_carrier_lookup(carriers, "stage A")
         idx = pa.array(gather(a_u))

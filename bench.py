@@ -74,6 +74,12 @@ def run_bench() -> dict:
 
     n_rows = rd.read_parquet(path).count()
 
+    # size read parallelism to the cluster: Ray sizes read tasks by target
+    # block size (~128 MB), which caps the fused read->normalize chain at a
+    # handful of cores regardless of CPU count (measured: p2 prep flat
+    # ~20 s at 8 and 32 CPUs without this; 11 s vs 6 s with it)
+    read_blocks = max(2 * NUM_CPUS, 16)
+
     # the sandbox host is noisy (observed +-40% wall variance on identical
     # runs) — time the dedup REPEAT times and report the min
     repeat = int(os.environ.get("RAY_GRAFT_REPEAT", "1"))
@@ -81,7 +87,7 @@ def run_bench() -> dict:
     phases = None
     for _ in range(max(1, repeat)):
         t0 = time.time()
-        res = run_dedup(rd.read_parquet(path))
+        res = run_dedup(rd.read_parquet(path, override_num_blocks=read_blocks))
         n_out = res.assignments.count()
         dt = time.time() - t0
         if best is None or dt < best:
@@ -98,7 +104,8 @@ def run_bench() -> dict:
         from distill_ray.stages.spans_stage import run_span_pass
 
         t0 = time.time()
-        prep = rd.read_parquet(path).map_batches(prep_batch, batch_format="pandas")
+        prep = rd.read_parquet(path, override_num_blocks=read_blocks).map_batches(
+            prep_batch, batch_format="pandas")
         n_spans = run_span_pass(prep, span_k=50).count()
         timings["span_pass_transcripts"] = round(time.time() - t0, 3)
 

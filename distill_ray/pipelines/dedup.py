@@ -230,33 +230,43 @@ def run_dedup(
         # attach stage under the wide union schema shuffled ~33 B/row of
         # null varlen offsets on every raw emission and measured 2x
         # slower end to end (106 s -> 51 s p6+p7 at 2M rows x 32 CPUs)
+        # Explicit materialize BARRIERS between the four consecutive wide
+        # ops: Ray's streaming executor reserves per-operator resource
+        # budgets for every pending all-to-all op in a plan, and chaining
+        # them lazily throttles each shuffle's aggregators (measured p6+p7
+        # 64.4 s lazy vs 36 s barriered at 2M rows x 32 CPUs, 183 s vs
+        # 103 s at 8 CPUs). A sort-shuffle is internally a full barrier
+        # anyway, so the extra cost is one bounded object-store copy of
+        # the (narrow) pair exchange, not a semantic change.
         raw_pairs = (
             sk.map_batches(make_expand_bands_numeric(B), batch_format="pandas")
             .repartition(P)
             .groupby("bucket")
             .map_groups(_named(BandPairNumericBucket(cfg), "band_pairs"),
                         batch_format="pyarrow")
-        )
+        ).materialize()
         deduped = (
             raw_pairs.repartition(P)
             .groupby("kbucket")
             .map_groups(_named(make_dedupe_numeric_bucket(cfg.min_band_collisions),
                                "dedupe_pairs"), batch_format="pyarrow")
-        )
+        ).materialize()
         # rid strings + embeddings travel only on one carrier row per
         # unique input row; both attach unions are ~2 rows per verified
         # pair, so the wide varlen schema is cheap here
         carriers = sk.select_columns(["rid", "emb"]).map_batches(
             make_carrier_rows(B), batch_format="pyarrow"
         )
-        edges = (
+        attached_a = (
             deduped.map_batches(pairs_to_union, batch_format="pyarrow")
             .union(carriers)
             .repartition(P)
             .groupby("kbucket")
             .map_groups(_named(make_attach_a_bucket(B), "attach_a"),
                         batch_format="pyarrow")
-            .union(carriers)
+        ).materialize()
+        edges = (
+            attached_a.union(carriers)
             .repartition(P)
             .groupby("kbucket")
             .map_groups(_named(make_attach_b_verify_bucket(cfg.threshold),
@@ -337,6 +347,9 @@ def run_dedup(
         return l
 
     _mark("p8_components")
+    # barrier: rows feeds two consumers (singleton bypass + refinement);
+    # measured cheaper to copy once than to recompute the attach map twice
+    # (p8+p9 16.1 s materialized vs ~19-20 s recomputed, 2M rows x 32 CPUs)
     rows = rows.materialize()
     _mark("p8_attach")
     single_assign = rows.map_batches(singles_out, batch_format="pandas")

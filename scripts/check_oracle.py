@@ -95,7 +95,21 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: value mismatch: {str(ex).splitlines()[-1]}")
             continue
-        print(f"ok    {name}: rows={len(ours)} MATCH [{dt:.1f}s]")
+        # driver-style hash: dtype-sensitive (int64 5 != float64 5.0)
+        import hashlib
+
+        h_ours = hashlib.md5(
+            pd.util.hash_pandas_object(ours, index=False).values.tobytes()
+        ).hexdigest()
+        h_theirs = hashlib.md5(
+            pd.util.hash_pandas_object(theirs, index=False).values.tobytes()
+        ).hexdigest()
+        if h_ours != h_theirs:
+            failures.append(name)
+            print(f"FAIL  {name}: HASH mismatch (dtype/bit-level): "
+                  f"{ours.dtypes.to_dict()} vs {theirs.dtypes.to_dict()}")
+            continue
+        print(f"ok    {name}: rows={len(ours)} MATCH+HASH [{dt:.1f}s]")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     ray.shutdown()

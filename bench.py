@@ -160,7 +160,7 @@ def run_scaling() -> dict:
     times = {lo: [], hi: []}
     phases = {lo: None, hi: None}
     rows = None
-    for _ in range(2):
+    for _ in range(3):
         for ncpu in (lo, hi):
             r = run(ncpu)
             t = r["queries"]["dedup_transcripts"]
@@ -172,7 +172,7 @@ def run_scaling() -> dict:
     t_hi = min(times[hi])
     eff = (t_lo / t_hi) / (hi / lo)
     return {
-        "metric": "dedup pipeline scaling 8 -> 32 CPUs (interleaved, min of 2)",
+        "metric": "dedup pipeline scaling 8 -> 32 CPUs (interleaved, min of 3)",
         "sec_8": t_lo,
         "sec_32": t_hi,
         "all_sec_8": times[lo],

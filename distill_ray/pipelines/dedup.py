@@ -194,6 +194,16 @@ def run_dedup(
         make_sketch_batch(cfg),
         batch_format="pandas", batch_size=cfg.batch_size,
     )
+    # the normalized text is only consumed by the representative selector's
+    # "length"/"hybrid" strategies; under the default "score" strategy it
+    # would ride ~200 B/row through the signature checkpoint, the component
+    # attach and the refinement shuffle for nothing
+    need_text = cfg.select_strategy in ("length", "hybrid")
+    row_cols = ["rid", "conv_id", "turn_idx"] + (
+        ["norm_text"] if need_text else []
+    ) + ["emb"]
+    if not need_text:
+        sk = sk.drop_columns(["norm_text"])
     sk = _ckpt_or("signatures", sk)
     _mark("p5_sketch")
 
@@ -290,23 +300,23 @@ def run_dedup(
         labels_ref = ray.put(dict(zip(labels_df["node"], labels_df["label"])))
 
         class AttachLabels:
-            def __init__(self, ref):
+            def __init__(self, ref, cols):
                 self.lookup = ray.get(ref)
+                self.cols = cols
 
             def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-                df = df[["rid", "conv_id", "turn_idx", "norm_text", "emb"]].copy()
+                df = df[self.cols].copy()
                 df["component"] = df["rid"].map(self.lookup)
                 return df
 
         rows = sk.map_batches(
-            AttachLabels, fn_constructor_kwargs={"ref": labels_ref},
+            AttachLabels,
+            fn_constructor_kwargs={"ref": labels_ref, "cols": row_cols},
             batch_format="pandas", concurrency=max(2, total_cpus // 4),
         )
     else:
         labels = connected_components(edges)
-        rows = sk.select_columns(
-            ["rid", "conv_id", "turn_idx", "norm_text", "emb"]
-        ).join(
+        rows = sk.select_columns(row_cols).join(
             labels, "left_outer", num_partitions=num_join_partitions,
             on=("rid",), right_on=("node",),
         )
@@ -315,7 +325,7 @@ def run_dedup(
             df = df.copy()
             lbl = df["label"] if "label" in df else pd.Series([None] * len(df))
             df["component"] = lbl.where(lbl.notna(), None)
-            return df[["rid", "conv_id", "turn_idx", "norm_text", "emb", "component"]]
+            return df[row_cols + ["component"]]
 
         rows = rows.map_batches(fill, batch_format="pandas")
 
@@ -335,11 +345,12 @@ def run_dedup(
     def labeled_out(df: pd.DataFrame) -> pd.DataFrame:
         l = df[df["component"].notna()].copy()
         if l.empty:
+            dtypes = {"rid": object, "conv_id": object, "turn_idx": "int32",
+                      "norm_text": object, "emb": object, "component": object,
+                      "cbucket": "int32"}
             return pd.DataFrame(
-                {c: pd.Series(dtype=t) for c, t in
-                 [("rid", object), ("conv_id", object), ("turn_idx", "int32"),
-                  ("norm_text", object), ("emb", object), ("component", object),
-                  ("cbucket", "int32")]}
+                {c: pd.Series(dtype=dtypes[c])
+                 for c in row_cols + ["component", "cbucket"]}
             )
         l["cbucket"] = (
             stable_hash64(l["component"].to_numpy()) % np.uint64(B)

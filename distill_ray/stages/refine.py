@@ -77,7 +77,12 @@ class ComponentRefiner:
         # reference's strict-> first-max rule selects the first member in
         # member order (selector.go:112-120)
         scores = {i: 0.0 for i in range(n)}
-        texts = {i: t for i, t in enumerate(g["norm_text"].to_numpy())}
+        # norm_text is only carried when the selection strategy reads it
+        # ("length"/"hybrid"); "score"/"centroid" never touch texts
+        texts = (
+            {i: t for i, t in enumerate(g["norm_text"].to_numpy())}
+            if "norm_text" in g.columns else {}
+        )
         embs_map = {i: embs[i] for i in range(n)}
 
         cluster_ids = np.empty(n, dtype=object)

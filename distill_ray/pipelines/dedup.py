@@ -47,23 +47,22 @@ import ray
 import ray.data as rd
 
 from distill_ray.config import DedupConfig
-from distill_ray.kernels.hashing import stable_hash64
 from distill_ray.stages.components import connected_components, union_find_labels
 from distill_ray.stages.dedup_stages import (
     BandPairBucket,
     BandPairNumericBucket,
+    EDGE_SCHEMA,
     make_sketch_batch,
     make_dedupe_pairs_bucket,
-    make_dedupe_numeric_bucket,
-    pairs_to_union,
     exact_dedup_bucket_arrow,
     make_add_text_hash_arrow,
-    make_attach_a_bucket,
     make_attach_b_verify_bucket,
     make_carrier_rows,
+    make_dedupe_attach_a_bucket,
     make_expand_bands,
     make_expand_bands_numeric,
     prep_batch,
+    rid_hash64,
 )
 from distill_ray.stages.refine import ComponentBucketRefiner
 
@@ -201,7 +200,7 @@ def run_dedup(
     need_text = cfg.select_strategy in ("length", "hybrid")
     row_cols = ["rid", "conv_id", "turn_idx"] + (
         ["norm_text"] if need_text else []
-    ) + ["emb"]
+    ) + ["rh", "emb"]
     if not need_text:
         sk = sk.drop_columns(["norm_text"])
     sk = _ckpt_or("signatures", sk)
@@ -222,6 +221,18 @@ def run_dedup(
     #    its own pairs (zero extra wide ops, but 32 bands x 256 B multiply
     #    the band shuffle ~8x — measured 70% slower at 1M rows x 32 CPUs).
     if verify_mode == "inband":
+        import pyarrow as _pa
+
+        def _edges_numeric(df: pd.DataFrame) -> "_pa.Table":
+            if df.empty:
+                return EDGE_SCHEMA.empty_table()
+            ha = rid_hash64(df["a"].to_numpy())
+            hb = rid_hash64(df["b"].to_numpy())
+            return _pa.Table.from_arrays(
+                [_pa.array(np.minimum(ha, hb)), _pa.array(np.maximum(ha, hb))],
+                schema=EDGE_SCHEMA,
+            )
+
         edges = (
             sk.map_batches(make_expand_bands(B), batch_format="pandas")
             .groupby("bucket")
@@ -230,20 +241,23 @@ def run_dedup(
             .groupby("pbucket")
             .map_groups(_named(make_dedupe_pairs_bucket(cfg.min_band_collisions),
                                "dedupe_pairs"), batch_format="pandas")
+            .map_batches(_edges_numeric, batch_format="pandas")
         )
     else:
-        # raw multi-band pair emissions as pure-numeric rows (int64
-        # endpoint hashes, NARROW 20 B/row schema), keyed by hash(a);
-        # the ~30-50x multiset (near-identical rows collide in most
-        # bands) collapses in a numeric-only dedupe shuffle BEFORE any
-        # rid/embedding payload enters the exchange — deduping inside the
-        # attach stage under the wide union schema shuffled ~33 B/row of
-        # null varlen offsets on every raw emission and measured 2x
-        # slower end to end (106 s -> 51 s p6+p7 at 2M rows x 32 CPUs)
-        # Explicit materialize BARRIERS between the four consecutive wide
-        # ops: Ray's streaming executor reserves per-operator resource
-        # budgets for every pending all-to-all op in a plan, and chaining
-        # them lazily throttles each shuffle's aggregators (measured p6+p7
+        # Raw multi-band pair emissions as near-pure-numeric rows (int64
+        # endpoint hashes + one null varlen offset, 28 B/row), keyed by
+        # hash(a), UNIONED with the (rh, emb) carrier rows so ONE bucketed
+        # groupby both collapses the ~30-50x multiset (>= min_band
+        # collisions) and attaches emb_a — the separate dedupe shuffle of
+        # round 2a is gone (each Ray all-to-all costs seconds of
+        # driver-side scheduling regardless of CPU count; see the probe
+        # table in BASELINE.md). Stage B re-groups by hash(b) to attach
+        # emb_b and cosine-verify. rid strings never enter the exchange:
+        # edges and component labels are rh-keyed (int64).
+        # Explicit materialize BARRIERS between consecutive wide ops:
+        # Ray's streaming executor reserves per-operator resource budgets
+        # for every pending all-to-all op in a plan, and chaining them
+        # lazily throttles each shuffle's aggregators (measured p6+p7
         # 64.4 s lazy vs 36 s barriered at 2M rows x 32 CPUs, 183 s vs
         # 103 s at 8 CPUs). A sort-shuffle is internally a full barrier
         # anyway, so the extra cost is one bounded object-store copy of
@@ -255,25 +269,19 @@ def run_dedup(
             .map_groups(_named(BandPairNumericBucket(cfg), "band_pairs"),
                         batch_format="pyarrow")
         ).materialize()
-        deduped = (
-            raw_pairs.repartition(P)
-            .groupby("kbucket")
-            .map_groups(_named(make_dedupe_numeric_bucket(cfg.min_band_collisions),
-                               "dedupe_pairs"), batch_format="pyarrow")
-        ).materialize()
-        # rid strings + embeddings travel only on one carrier row per
-        # unique input row; both attach unions are ~2 rows per verified
-        # pair, so the wide varlen schema is cheap here
-        carriers = sk.select_columns(["rid", "emb"]).map_batches(
+        # embeddings travel only on one carrier row per unique input row;
+        # the same carrier dataset feeds both attach stages
+        carriers = sk.select_columns(["rh", "emb"]).map_batches(
             make_carrier_rows(B), batch_format="pyarrow"
         )
         attached_a = (
-            deduped.map_batches(pairs_to_union, batch_format="pyarrow")
-            .union(carriers)
+            raw_pairs.union(carriers)
             .repartition(P)
             .groupby("kbucket")
-            .map_groups(_named(make_attach_a_bucket(B), "attach_a"),
-                        batch_format="pyarrow")
+            .map_groups(
+                _named(make_dedupe_attach_a_bucket(B, cfg.min_band_collisions),
+                       "dedupe_attach_a"),
+                batch_format="pyarrow")
         ).materialize()
         edges = (
             attached_a.union(carriers)
@@ -286,27 +294,43 @@ def run_dedup(
     n_edges = edges.count()
     _mark("p6_p7_candidates_verify")
 
-    # P8 — connected components
+    # P8 — connected components over NUMERIC (rh) nodes. Labels are int64
+    # end to end — no string maps, no float coercion (a pandas int column
+    # with NaN silently becomes float64, which corrupts 64-bit hashes).
     use_driver_labels = (
         component_mode != "distributed" and n_edges <= driver_component_limit
     )
     if use_driver_labels:
-        labels_df = (
-            union_find_labels(edges.to_pandas())
-            if n_edges
-            else pd.DataFrame({"node": pd.Series(dtype=object),
-                               "label": pd.Series(dtype=object)})
-        )
-        labels_ref = ray.put(dict(zip(labels_df["node"], labels_df["label"])))
+        if n_edges:
+            labels_df = union_find_labels(edges.to_pandas())
+            nodes_arr = labels_df["node"].to_numpy()
+            order = np.argsort(nodes_arr, kind="mergesort")
+            nodes_arr = nodes_arr[order]
+            labels_arr = labels_df["label"].to_numpy()[order]
+        else:
+            nodes_arr = np.empty(0, dtype=np.int64)
+            labels_arr = np.empty(0, dtype=np.int64)
+        labels_ref = ray.put((nodes_arr, labels_arr))
 
         class AttachLabels:
             def __init__(self, ref, cols):
-                self.lookup = ray.get(ref)
+                self.nodes, self.labels = ray.get(ref)
                 self.cols = cols
 
             def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
                 df = df[self.cols].copy()
-                df["component"] = df["rid"].map(self.lookup)
+                rh = df["rh"].to_numpy()
+                if len(self.nodes):
+                    pos = np.minimum(
+                        np.searchsorted(self.nodes, rh), len(self.nodes) - 1
+                    )
+                    hit = self.nodes[pos] == rh
+                    comp = np.where(hit, self.labels[pos], np.int64(0))
+                else:
+                    hit = np.zeros(len(rh), dtype=bool)
+                    comp = np.zeros(len(rh), dtype=np.int64)
+                df["component"] = comp
+                df["in_comp"] = hit
                 return df
 
         rows = sk.map_batches(
@@ -315,23 +339,28 @@ def run_dedup(
             batch_format="pandas", concurrency=max(2, total_cpus // 4),
         )
     else:
+        import pyarrow as _pa
+
         labels = connected_components(edges)
         rows = sk.select_columns(row_cols).join(
             labels, "left_outer", num_partitions=num_join_partitions,
-            on=("rid",), right_on=("node",),
+            on=("rh",), right_on=("node",),
         )
 
-        def fill(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            lbl = df["label"] if "label" in df else pd.Series([None] * len(df))
-            df["component"] = lbl.where(lbl.notna(), None)
-            return df[row_cols + ["component"]]
+        def fill(t: "_pa.Table") -> "_pa.Table":
+            # pyarrow batch: a left-outer miss is a NULL int64, not a NaN
+            lbl = t["label"]
+            return (
+                t.select(row_cols)
+                .append_column("component", _pc.fill_null(lbl, 0).cast(_pa.int64()))
+                .append_column("in_comp", _pc.is_valid(lbl))
+            )
 
-        rows = rows.map_batches(fill, batch_format="pandas")
+        rows = rows.map_batches(fill, batch_format="pyarrow")
 
     # P9 — singleton bypass + bucketed exact refinement
     def singles_out(df: pd.DataFrame) -> pd.DataFrame:
-        s = df[df["component"].isna()]
+        s = df[~df["in_comp"]]
         return pd.DataFrame(
             {
                 "rid": s["rid"],
@@ -343,17 +372,18 @@ def run_dedup(
         )
 
     def labeled_out(df: pd.DataFrame) -> pd.DataFrame:
-        l = df[df["component"].notna()].copy()
+        l = df[df["in_comp"]].copy()
+        l = l.drop(columns=["in_comp"])
         if l.empty:
             dtypes = {"rid": object, "conv_id": object, "turn_idx": "int32",
-                      "norm_text": object, "emb": object, "component": object,
-                      "cbucket": "int32"}
+                      "norm_text": object, "rh": "int64", "emb": object,
+                      "component": "int64", "cbucket": "int32"}
             return pd.DataFrame(
                 {c: pd.Series(dtype=dtypes[c])
                  for c in row_cols + ["component", "cbucket"]}
             )
         l["cbucket"] = (
-            stable_hash64(l["component"].to_numpy()) % np.uint64(B)
+            l["component"].to_numpy().view(np.uint64) % np.uint64(B)
         ).astype(np.int32)
         return l
 

@@ -49,9 +49,17 @@ def _docs_dedup(sf_dir: str) -> tuple[pd.DataFrame, pd.DataFrame]:
         from distill_ray.pipelines.dedup import run_dedup
 
         res = run_dedup(_docs_as_transcripts(sf_dir))
-        _DOCS_DEDUP_CACHE[sf_dir] = (
-            res.assignments.to_pandas(), res.edges.to_pandas()
-        )
+        assign = res.assignments.to_pandas()
+        e = res.edges.to_pandas()
+        # edges are numeric (rh endpoints); resolve back to rid strings via
+        # the assignment table (small at query scale)
+        if not e.empty:
+            from distill_ray.stages.dedup_stages import rid_hash64
+
+            rids = assign["rid"].to_numpy()
+            m = dict(zip(rid_hash64(rids).tolist(), rids.tolist()))
+            e = pd.DataFrame({"a": e["a"].map(m), "b": e["b"].map(m)})
+        _DOCS_DEDUP_CACHE[sf_dir] = (assign, e)
     return _DOCS_DEDUP_CACHE[sf_dir]
 
 

@@ -67,8 +67,30 @@ def union_find_labels(edges_df: pd.DataFrame) -> pd.DataFrame:
     if n_e == 0:
         return pd.DataFrame({"node": pd.Series(dtype=object),
                              "label": pd.Series(dtype=object)})
+
+    a_np = edges_df["a"].to_numpy()
+    if np.issubdtype(a_np.dtype, np.integer):
+        # numeric (rh) nodes: np.unique gives codes sorted by VALUE, so the
+        # converged hash-min label code IS the min node per component — no
+        # re-derivation groupby needed
+        allv = np.concatenate([a_np, edges_df["b"].to_numpy()])
+        nodes, codes = np.unique(allv, return_inverse=True)
+        ia, ib = codes[:n_e], codes[n_e:]
+        lbl = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            m = np.minimum(lbl[ia], lbl[ib])
+            new = lbl.copy()
+            np.minimum.at(new, ia, m)
+            np.minimum.at(new, ib, m)
+            new = new[new]
+            new = new[new]
+            if np.array_equal(new, lbl):
+                break
+            lbl = new
+        return pd.DataFrame({"node": nodes, "label": nodes[lbl]})
+
     conc = pa.array(
-        np.concatenate([edges_df["a"].to_numpy(), edges_df["b"].to_numpy()]),
+        np.concatenate([a_np, edges_df["b"].to_numpy()]),
         type=pa.large_string(),
     )
     enc = conc.dictionary_encode()
@@ -112,14 +134,119 @@ def connected_components_auto(
     return connected_components(edges, max_rounds=max_rounds)
 
 
+# sentinel for "no value" in the numeric label-propagation frames: keeps
+# every exchange column pure int64 (None/NaN would coerce to object/float64
+# and float64 corrupts 64-bit hash values)
+_INT_SENT = np.iinfo(np.int64).max
+
+
+def _propagate_group_num(g: pd.DataFrame) -> pd.DataFrame:
+    labels = g["label"].to_numpy()
+    labels = labels[labels != _INT_SENT]
+    own = g["node"].iloc[0]
+    lbl = min(labels.min(), own) if len(labels) else own
+    neighbors = g["neighbor"].to_numpy()
+    neighbors = np.unique(neighbors[neighbors != _INT_SENT])
+    nodes = np.concatenate([[own], neighbors])
+    return pd.DataFrame({"node": nodes, "label": np.full(len(nodes), lbl,
+                                                         dtype=np.int64)})
+
+
 def connected_components(
     edges: rd.Dataset, max_rounds: int = 12
 ) -> rd.Dataset:
-    """edges: Dataset[(a: str, b: str)] -> Dataset[(node: str, label: str)].
+    """edges: Dataset[(a, b)] -> Dataset[(node, label)]. Nodes may be rid
+    strings or int64 rh hashes; the label is the min node per component
+    either way (min rh == deterministic canonical root; min rid string ==
+    the reference's first-wins root).
 
     Only nodes incident to an edge appear in the output; isolated rows keep
     their own rid implicitly (callers treat missing as label == rid).
     """
+    import pyarrow as pa
+
+    sch = edges.schema()
+    t = sch.types[sch.names.index("a")]
+    numeric = (
+        pa.types.is_integer(t) if isinstance(t, pa.DataType)
+        else np.issubdtype(t, np.integer)
+    )
+    if numeric:
+        return _connected_components_numeric(edges, max_rounds)
+    return _connected_components_str(edges, max_rounds)
+
+
+def _connected_components_numeric(
+    edges: rd.Dataset, max_rounds: int = 12
+) -> rd.Dataset:
+    """Numeric-node variant: every exchanged column stays int64 (missing ==
+    _INT_SENT), so the propagation shuffles move fixed-width buffers."""
+
+    def symmetrize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()]),
+                "neighbor": np.concatenate([df["b"].to_numpy(), df["a"].to_numpy()]),
+            }
+        )
+
+    adj = edges.map_batches(symmetrize, batch_format="pandas")
+    adj = adj.materialize()
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = df["node"].unique()
+        return pd.DataFrame({"node": nodes, "label": nodes})
+
+    labels = (
+        adj.map_batches(init_labels, batch_format="pandas")
+        .groupby("node")
+        .map_groups(_min_label_group, batch_format="pandas")
+        .materialize()
+    )
+
+    def checksum(ds: rd.Dataset) -> int:
+        def h(df: pd.DataFrame) -> pd.DataFrame:
+            node = df["node"].to_numpy().view(np.uint64)
+            lbl = df["label"].to_numpy().view(np.uint64)
+            with np.errstate(over="ignore"):
+                v = (node * np.uint64(0x9E3779B97F4A7C15)) ^ lbl
+            return pd.DataFrame({"s": v.view(np.int64)})
+
+        return ds.map_batches(h, batch_format="pandas").sum("s")
+
+    prev = checksum(labels)
+    for _ in range(max_rounds):
+        def tag_label(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["neighbor"] = np.int64(_INT_SENT)
+            return out
+
+        def tag_adj(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["label"] = np.int64(_INT_SENT)
+            return out[["node", "label", "neighbor"]]
+
+        combined = labels.map_batches(tag_label, batch_format="pandas").union(
+            adj.map_batches(tag_adj, batch_format="pandas")
+        )
+        new_labels = (
+            combined.groupby("node")
+            .map_groups(_propagate_group_num, batch_format="pandas")
+            .groupby("node")
+            .map_groups(_min_label_group, batch_format="pandas")
+            .materialize()
+        )
+        cur = checksum(new_labels)
+        labels = new_labels
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
+def _connected_components_str(
+    edges: rd.Dataset, max_rounds: int = 12
+) -> rd.Dataset:
 
     def symmetrize(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

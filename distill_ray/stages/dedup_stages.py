@@ -188,6 +188,10 @@ def _sketch_impl(df: pd.DataFrame, cfg: DedupConfig, seeds: np.ndarray) -> pd.Da
     bands = lsh_band_keys(sig, cfg.lsh_bands).view(np.int64)
     sims = simhash64(th, dl).view(np.int64)
     out = df[["rid", "conv_id", "turn_idx", "norm_text"]].reset_index(drop=True).copy()
+    # rh = the numeric row identity (FNV-1a 64 of rid) used by every
+    # downstream exchange (band rows, carriers, edges, component labels) —
+    # computed ONCE here so no stage re-hashes rid strings
+    out["rh"] = rid_hash64(out["rid"].to_numpy())
     # embeddings and band keys travel as fixed-width binary: Arrow tensor
     # extension types don't survive acero joins or parquet checkpoints
     # (pandas-metadata round-trip), and bytes shuffle cheaper
@@ -369,7 +373,9 @@ def make_expand_bands_numeric(n_buckets: int):
         if df.empty:
             return _BAND_SCHEMA.empty_table()
         n_bands = len(df["bands"].iloc[0]) // 8
-        rh = np.repeat(rid_hash64(df["rid"].to_numpy()), n_bands)
+        rh0 = (df["rh"].to_numpy() if "rh" in df.columns
+               else rid_hash64(df["rid"].to_numpy()))
+        rh = np.repeat(rh0, n_bands)
         sims = np.repeat(df["simhash"].to_numpy(), n_bands)
         keys = np.concatenate(
             [np.frombuffer(b, dtype=np.int64) for b in df["bands"]]
@@ -478,7 +484,7 @@ class BandPairNumericBucket:
         starts = starts[sizes > 1]
         sizes = sizes[sizes > 1]
         if len(starts) == 0:
-            return _union_empty()
+            return PAIRX_SCHEMA.empty_table()
 
         # Pair emissions stream through fixed per-process scratch buffers
         # (_pair_scratch) in <= _PAIR_CHUNK slices: candidate index pairs
@@ -543,53 +549,22 @@ class BandPairNumericBucket:
             emit(m)
 
         if not out_a:
-            return PAIR_SCHEMA.empty_table()
+            return PAIRX_SCHEMA.empty_table()
         a = np.concatenate(out_a)
         b = np.concatenate(out_b)
+        # a == b can only mean an rh collision between distinct rids (the
+        # carrier-duplicate check in the attach stages raises on any such
+        # collision); filter defensively so pair rows never alias the
+        # carrier marker (k == o)
+        ok = a != b
+        if not ok.all():
+            a, b = a[ok], b[ok]
         return pa.Table.from_arrays(
             [pa.array(a), pa.array(b),
+             pa.nulls(len(a), pa.large_binary()),
              pa.array(_hash_bucket(a, self.cfg.shuffle_buckets))],
-            schema=PAIR_SCHEMA,
+            schema=PAIRX_SCHEMA,
         )
-
-
-def make_dedupe_numeric_bucket(min_band_collisions: int):
-    """P7a kernel (one coarse h(a)-bucket of the NARROW pair exchange):
-    collapse multi-band emissions of the same (k, o) endpoint-hash pair and
-    apply the >= min_band_collisions count filter. Runs on pure int64
-    columns — the 30-50x multiset (near-identical docs collide in most of
-    the 32 bands) is deduped here BEFORE any varlen payload enters the
-    exchange; shuffling the multiset under the union schema's four null
-    varlen columns (~33 B/row of null offsets on ~36 pair rows per input
-    row) was measured 2x slower end to end at 2M rows."""
-
-    def dedupe_numeric_bucket(g: pa.Table) -> pa.Table:
-        k = g["k"].to_numpy()
-        o = g["o"].to_numpy()
-        order = np.lexsort((o, k))
-        ks, os_ = k[order], o[order]
-        new = np.r_[True, (ks[1:] != ks[:-1]) | (os_[1:] != os_[:-1])]
-        starts = np.flatnonzero(new)
-        counts = np.diff(np.r_[starts, len(ks)])
-        keep = counts >= min_band_collisions
-        if not keep.any():
-            return PAIR_SCHEMA.empty_table()
-        a = ks[starts[keep]]
-        b = os_[starts[keep]]
-        kb = g["kbucket"].to_numpy()[order][starts[keep]]
-        return pa.Table.from_arrays(
-            [pa.array(a), pa.array(b), pa.array(kb)], schema=PAIR_SCHEMA
-        )
-
-    return dedupe_numeric_bucket
-
-
-def pairs_to_union(t: pa.Table) -> pa.Table:
-    """Deduped narrow pairs -> union-schema rows (payload columns null) so
-    they can union with carrier rows for the attach stages."""
-    if t.num_rows == 0:
-        return _union_empty()
-    return _union_table(k=t["k"], o=t["o"], kbucket=t["kbucket"])
 
 
 def make_dedupe_pairs_bucket(min_band_collisions: int):
@@ -611,79 +586,49 @@ def decode_embeddings(col) -> np.ndarray:
 
 # --- join-free endpoint-attach verification (P7), numeric exchange -------
 #
-# Replaces round 1's two sequential hash-shuffle joins with TWO bucketed
-# groupbys over a shared union schema. The exchange is NUMERIC end to end:
-# every row of the pair multiset carries only int64s (rid-hash endpoints +
-# bucket); the rid strings and the 256-byte embeddings travel ONLY on one
-# carrier row per unique input row. At 1M rows that is ~24M 24-byte pair
-# rows instead of ~24M ~130-byte object-string rows — the string version
-# of this exchange was measured 2-5x slower end to end (pandas object
-# columns shuffle and group at pickle speed; int64 columns at memcpy
-# speed).
+# Replaces round 1's two sequential hash-shuffle joins with bucketed
+# groupbys over ONE shared narrow schema (PAIRX). The exchange is NUMERIC
+# end to end: every row of the pair multiset carries two int64 endpoint
+# hashes + one null varlen offset; the 256-byte embeddings travel ONLY on
+# one carrier row per unique input row, and rid STRINGS never enter the
+# exchange at all — edges, component labels and the component attach are
+# keyed by rh (FNV-1a 64 of rid, computed once in the sketch stage).
 #
-#   stage P7a (kbucket = h(a) % B): raw multi-band pair emissions
-#     (k=h(a), o=h(b)) on the NARROW PAIR_SCHEMA (20 B/row). All emissions
-#     of a pair share k, so the >= min_band_collisions dedupe runs here,
-#     collapsing the ~30-50x multiset before any varlen payload enters the
-#     exchange (make_dedupe_numeric_bucket).
-#   stage A (kbucket = h(a) % B): deduped pairs (via pairs_to_union) +
-#     carrier rows (k=h(rid), rid, emb); attach emb_a/rid_a, re-key by
-#     h(b).
-#   stage B (kbucket = h(b) % B): stage-A pairs + the same carrier rows;
-#     attach emb_b/rid_b and run the exact cosine verify (reference edge
-#     rules) -> edges (a_rid, b_rid) as strings.
+#   stage A (kbucket = h(a) % B): raw multi-band pair emissions
+#     (k=h(a), o=h(b), emb=null) union carrier rows (k=o=rh, emb). All
+#     emissions of a pair share k, so ONE groupby both collapses the
+#     ~30-50x multiset (>= min_band_collisions count filter) and attaches
+#     emb_a from the bucket's carriers; output re-keys by h(b). Merging
+#     the dedupe into the attach removes a whole wide op + barrier over
+#     the heaviest exchange (round-2a ran them as two sequential
+#     groupbys; each Ray all-to-all costs seconds of driver-side
+#     scheduling regardless of CPU count — the measured scaling gap).
+#   stage B (kbucket = h(b) % B): stage-A pairs (k=h(b), o=h(a),
+#     emb=emb_a) + the same carrier rows; attach emb_b and run the exact
+#     cosine verify (reference edge rules) -> numeric edges (a_rh, b_rh).
 #
-# h = FNV-1a 64 of the rid (kernels/hashing.stable_hash64). A hash
-# collision between two distinct rids would mis-route one pair endpoint;
-# at n rows the expected collision count is n^2/2^65 (~1.5e-8 at 1M) and
-# the attach kernels RAISE on duplicate carrier keys rather than guess —
-# at larger fleet sizes switch the key to 128-bit.
+# Carrier marker: k == o (a pair row always has k != o — BandPairNumeric
+# Bucket filters the rh-collision alias, and the attach kernels RAISE on
+# duplicate carrier keys). h = FNV-1a 64 of the rid; a collision between
+# two distinct rids would mis-route one pair endpoint; at n rows the
+# expected collision count is n^2/2^65 (~1.5e-8 at 1M) and the carrier
+# check turns any such collision into a hard error rather than a wrong
+# answer — at larger fleet sizes switch the key to 128-bit.
 #
-# No join aggregator actors, no materialize barriers, and the band shuffle
-# stays light (~32 B/row): carrying the embedding on band rows directly
-# was measured 70% slower at 1M rows — 32 bands x 256 B multiply the band
-# shuffle ~8x.
+# No join aggregator actors, and the band shuffle stays light (~32 B/row):
+# carrying the embedding on band rows directly was measured 70% slower at
+# 1M rows — 32 bands x 256 B multiply the band shuffle ~8x.
 
-# Narrow schema for the RAW multi-band pair exchange (P6b -> P7a): pure
-# numeric, 20 B/row. The raw multiset is ~30-50x the deduped pair count, so
-# this is the one exchange whose row width dominates the pipeline's shuffle
-# bytes; payload (rid/emb) joins only after the dedupe collapse.
-PAIR_SCHEMA = pa.schema(
-    [("k", pa.int64()), ("o", pa.int64()), ("kbucket", pa.int32())]
-)
-
-UNION_SCHEMA = pa.schema(
+# Shared schema of the endpoint exchange: pure numeric + ONE varlen
+# payload column (null on the ~30-50x raw pair multiset, so the multiset
+# costs 28 B/row; a 4-varlen union schema measured 2x slower end to end).
+PAIRX_SCHEMA = pa.schema(
     [("k", pa.int64()), ("o", pa.int64()),
-     ("rid", pa.large_string()), ("emb", pa.large_binary()),
-     ("a_rid", pa.large_string()), ("emb_a", pa.large_binary()),
-     ("kbucket", pa.int32())]
+     ("emb", pa.large_binary()), ("kbucket", pa.int32())]
 )
 
-_EDGE_SCHEMA = pa.schema([("a", pa.large_string()), ("b", pa.large_string())])
-
-
-def _union_empty() -> pa.Table:
-    return UNION_SCHEMA.empty_table()
-
-
-def _union_table(k, o, kbucket, rid=None, emb=None, a_rid=None, emb_a=None) -> pa.Table:
-    """Build a UNION_SCHEMA table; omitted payload columns become typed nulls."""
-    n = len(k)
-
-    def col(v, typ):
-        if v is None:
-            return pa.nulls(n, typ)
-        if isinstance(v, (pa.Array, pa.ChunkedArray)):
-            return v.cast(typ) if v.type != typ else v
-        return pa.array(v, type=typ)
-
-    return pa.Table.from_arrays(
-        [col(k, pa.int64()), col(o, pa.int64()),
-         col(rid, pa.large_string()), col(emb, pa.large_binary()),
-         col(a_rid, pa.large_string()), col(emb_a, pa.large_binary()),
-         col(kbucket, pa.int32())],
-        schema=UNION_SCHEMA,
-    )
+# verified edges: numeric rh endpoints (a < b)
+EDGE_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
 
 
 def rid_hash64(rid: np.ndarray) -> np.ndarray:
@@ -737,64 +682,84 @@ def _sorted_carrier_lookup(carriers: pa.Table, stage: str):
 
 
 def make_carrier_rows(n_buckets: int):
-    """(rid, emb) signature projection -> union-schema carrier rows:
-    k = h(rid), rid + emb payload, keyed by h(rid) % B. Carriers are the
-    ONLY rows of the exchange that carry strings/bytes."""
+    """(rh, emb) signature projection -> carrier rows: k = o = rh, emb
+    payload, keyed by rh % B. Carriers are the ONLY rows of the exchange
+    that carry bytes; the same carrier dataset feeds both attach stages."""
 
     def carrier_rows(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return _union_empty()
-        rid = np.asarray(t["rid"].to_pylist(), dtype=object)
-        k = rid_hash64(rid)
-        return _union_table(
-            k=k, o=np.zeros(len(k), dtype=np.int64),
-            kbucket=_hash_bucket(k, n_buckets),
-            rid=t["rid"], emb=t["emb"],
+            return PAIRX_SCHEMA.empty_table()
+        k = t["rh"].to_numpy()
+        emb = t["emb"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        if emb.type != pa.large_binary():
+            emb = emb.cast(pa.large_binary())
+        return pa.Table.from_arrays(
+            [pa.array(k), pa.array(k), emb,
+             pa.array(_hash_bucket(k, n_buckets))],
+            schema=PAIRX_SCHEMA,
         )
 
     return carrier_rows
 
 
-def make_attach_a_bucket(n_buckets: int):
-    """Stage A kernel (one coarse bucket): attach the a-side rid +
-    embedding from the bucket's carriers to the already-deduped pairs,
-    re-key by h(b) % B. Pure numpy/pyarrow — no pandas objects. Input is
-    the P7a dedupe output (small) unioned with carrier rows, so the wide
-    varlen union schema only ever covers ~2 rows per verified pair."""
+def make_dedupe_attach_a_bucket(n_buckets: int, min_band_collisions: int):
+    """Stage A kernel (one coarse h(a)-bucket): collapse multi-band
+    emissions of the same (k, o) endpoint pair, apply the
+    >= min_band_collisions count filter, attach the a-side embedding from
+    the bucket's carriers, and re-key the surviving pairs by h(b) % B.
+    Pure numpy/pyarrow — no pandas objects. The multiset dedupe runs on
+    two int64 columns BEFORE any payload is gathered, so the 30-50x raw
+    multiset (near-identical docs collide in most of the 32 bands)
+    collapses to unique pairs inside this one groupby."""
 
-    def attach_a_bucket(g: pa.Table) -> pa.Table:
-        is_carrier = pc.is_valid(g["emb"])
+    def dedupe_attach_a(g: pa.Table) -> pa.Table:
+        is_carrier = pc.equal(g["k"], g["o"])
         prs = g.filter(pc.invert(is_carrier))
         if prs.num_rows == 0:
-            return _union_empty()
-        a_u = prs["k"].to_numpy()
-        b_u = prs["o"].to_numpy()
+            return PAIRX_SCHEMA.empty_table()
+        k = prs["k"].to_numpy()
+        o = prs["o"].to_numpy()
+        order = np.lexsort((o, k))
+        ks, os_ = k[order], o[order]
+        new = np.r_[True, (ks[1:] != ks[:-1]) | (os_[1:] != os_[:-1])]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.r_[starts, len(ks)])
+        keep = counts >= min_band_collisions
+        if not keep.any():
+            return PAIRX_SCHEMA.empty_table()
+        a = ks[starts[keep]]
+        b = os_[starts[keep]]
         carriers = g.filter(is_carrier)
         gather = _sorted_carrier_lookup(carriers, "stage A")
-        idx = pa.array(gather(a_u))
-        return _union_table(
-            k=b_u, o=a_u, kbucket=_hash_bucket(b_u, n_buckets),
-            a_rid=pc.take(carriers["rid"], idx),
-            emb_a=pc.take(carriers["emb"], idx),
+        idx = pa.array(gather(a))
+        emb_a = pc.take(carriers["emb"], idx)
+        if isinstance(emb_a, pa.ChunkedArray):
+            emb_a = emb_a.combine_chunks()
+        return pa.Table.from_arrays(
+            [pa.array(b), pa.array(a), emb_a,
+             pa.array(_hash_bucket(b, n_buckets))],
+            schema=PAIRX_SCHEMA,
         )
 
-    return attach_a_bucket
+    return dedupe_attach_a
 
 
 def make_attach_b_verify_bucket(threshold: float):
-    """Stage B kernel: attach the b-side rid + embedding from carrier rows,
-    exact cosine verify (reference edge rules incl. zero-norm -> 2.0),
-    emit true edges as (a_rid, b_rid) strings."""
+    """Stage B kernel (one coarse h(b)-bucket): attach the b-side embedding
+    from carrier rows, exact cosine verify (reference edge rules incl.
+    zero-norm -> 2.0), emit true edges as numeric (a_rh, b_rh)."""
 
     def attach_b_verify_bucket(g: pa.Table) -> pa.Table:
-        has_pair = pc.is_valid(g["emb_a"])
-        prs = g.filter(has_pair)
+        is_carrier = pc.equal(g["k"], g["o"])
+        prs = g.filter(pc.invert(is_carrier))
         if prs.num_rows == 0:
-            return _EDGE_SCHEMA.empty_table()
-        carriers = g.filter(pc.is_valid(g["emb"]))
+            return EDGE_SCHEMA.empty_table()
+        carriers = g.filter(is_carrier)
         gather = _sorted_carrier_lookup(carriers, "stage B")
         idx = pa.array(gather(prs["k"].to_numpy()))
-        A = binary_matrix(prs["emb_a"]).astype(np.float64)
+        A = binary_matrix(prs["emb"]).astype(np.float64)  # emb_a
         B = binary_matrix(pc.take(carriers["emb"], idx)).astype(np.float64)
         dots = np.einsum("ij,ij->i", A, B)
         na = np.sqrt(np.einsum("ij,ij->i", A, A))
@@ -806,13 +771,11 @@ def make_attach_b_verify_bucket(threshold: float):
         dist[denom == 0] = 2.0  # zero-norm edge rule (simd.go:54-57)
         keep = dist <= threshold
         if not keep.any():
-            return _EDGE_SCHEMA.empty_table()
-        keep_pa = pa.array(keep)
-        return pa.Table.from_arrays(
-            [prs["a_rid"].filter(keep_pa).combine_chunks(),
-             pc.take(carriers["rid"], idx).filter(keep_pa).combine_chunks()],
-            schema=_EDGE_SCHEMA,
-        )
+            return EDGE_SCHEMA.empty_table()
+        a = prs["o"].to_numpy()[keep]  # h(a) — orientation a < b preserved
+        b = prs["k"].to_numpy()[keep]
+        return pa.Table.from_arrays([pa.array(a), pa.array(b)],
+                                    schema=EDGE_SCHEMA)
 
     return attach_b_verify_bucket
 

@@ -128,4 +128,5 @@ def oracle_sql() -> dict[str, str]:
         "prefix_partition": qa.PREFIX_PARTITION_SQL,
         "commit_patterns": qa.COMMIT_PATTERNS_SQL,
         "multimodal_decode": qo.MULTIMODAL_DECODE_SQL,
+        "langid_docs": qo.LANGID_SQL,
     }

@@ -717,7 +717,9 @@ FROM documents
 
 def q_langid_docs(sf_dir: str) -> rd.Dataset:
     """Heuristic language ID: CJK charset detection + stopword voting.
-    Deterministic; rows-only check (no SQL equivalent)."""
+    SQL-checked: the lookaround token-count regex is equivalent to
+    whitespace-split + marker-set membership (LANGID_SQL), proven on
+    multilingual fixtures in tests/test_aux_ops.py."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     MARKERS = {
@@ -750,6 +752,36 @@ def q_langid_docs(sf_dir: str) -> rd.Dataset:
         return pd.DataFrame({"doc_id": df["doc_id"], "lang_pred": best})
 
     return ds.map_batches(langid, batch_format="pandas")
+
+
+# Whole-token stopword votes: splitting on \s+ and testing set membership is
+# exactly the (?<!\S)(?:w1|w2|...)(?!\S) count (a match must cover a full
+# whitespace-delimited token). Ties resolve to the alphabetically-first max
+# (de < en < es < fr), zero votes default to en, CJK chars in the first 400
+# chars override to zh — all mirroring the map_batches kernel above.
+LANGID_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+    regexp_matches(substr(text, 1, 400), '[\x{4E00}-\x{9FFF}]') AS is_zh,
+    string_split_regex(lower(text), '\s+') AS w
+  FROM documents
+), votes AS (
+  SELECT doc_id, is_zh,
+    len(list_filter(w, x -> x IN ('the','and','of','to','a','in','is','that'))) AS v_en,
+    len(list_filter(w, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS v_de,
+    len(list_filter(w, x -> x IN ('el','la','los','que','de','y','en','un'))) AS v_es,
+    len(list_filter(w, x -> x IN ('le','la','les','et','des','un','une','est'))) AS v_fr
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN is_zh THEN 'zh'
+       WHEN greatest(v_de, v_en, v_es, v_fr) = 0 THEN 'en'
+       WHEN v_de >= v_en AND v_de >= v_es AND v_de >= v_fr THEN 'de'
+       WHEN v_en >= v_es AND v_en >= v_fr THEN 'en'
+       WHEN v_es >= v_fr THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM votes
+"""
 
 
 def q_fingerprint_docs(sf_dir: str) -> rd.Dataset:

@@ -255,3 +255,47 @@ def test_ngram_jaccard_topk_matches_driver_oracle():
     pd.testing.assert_frame_equal(
         got.astype({"a": "int64", "b": "int64"}), oracle.astype({"a": "int64", "b": "int64"})
     )
+
+
+def test_langid_sql_oracle_parity(tmp_path):
+    """LANGID_SQL (whitespace-split + set membership in DuckDB) must equal
+    the map_batches kernel's lookaround regex counting on inputs that
+    exercise every language, ties, zero-vote default and the CJK gate."""
+    import duckdb
+    import ray.data as rd
+
+    from distill_ray.pipelines.queries_ops import LANGID_SQL, q_langid_docs
+
+    texts = [
+        "the cat and the dog is that a thing of to in",
+        "der die das und ist nicht ein zu der die",
+        "el la los que de y en un el la",
+        "le la les et des un une est le",
+        "这是一个中文文档 with the and of",
+        "la la la",          # es/fr tie -> alphabetical first max (es)
+        "un un de de",       # es 4 votes vs fr 2
+        "xyzzy qwerty",      # zero votes -> en
+        "die la",            # three-way tie -> de
+        "thereafter und,",   # partial tokens never count
+        "",
+        "  le   ",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    sf = str(tmp_path)
+    df.to_parquet(f"{sf}/documents.parquet")
+
+    got = (
+        q_langid_docs(sf).to_pandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(LANGID_SQL).df().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert list(want["lang_pred"]) == [
+        "en", "de", "es", "fr", "zh", "es", "es", "en", "de", "en", "en", "fr"
+    ]

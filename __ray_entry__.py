@@ -129,4 +129,7 @@ def oracle_sql() -> dict[str, str]:
         "commit_patterns": qa.COMMIT_PATTERNS_SQL,
         "multimodal_decode": qo.MULTIMODAL_DECODE_SQL,
         "langid_docs": qo.LANGID_SQL,
+        "cache_boundary": qa.CACHE_BOUNDARY_SQL,
+        "prefix_stability": qa.PREFIX_STABILITY_SQL,
+        "ttl_tracker": qa.TTL_TRACKER_SQL,
     }

@@ -431,7 +431,7 @@ SELECT kind, key, CAST(n AS BIGINT) AS n FROM h
 """
 
 
-# --- C15 cache boundary evaluation (rows-only) -------------------------------
+# --- C15 cache boundary evaluation (SQL-checked) -----------------------------
 
 def q_cache_boundary(sf_dir: str) -> pd.DataFrame:
     """C15 evaluate_cache_boundary (cache_boundary.go:91-202) per derived
@@ -478,7 +478,34 @@ def q_cache_boundary(sf_dir: str) -> pd.DataFrame:
     )
 
 
-# --- C16 prefix stability validator (rows-only) ------------------------------
+# The eligible-candidate cap never changes total_stable_tokens (candidates
+# are taken top-by-cum, so the max survives any cap), which makes the whole
+# evaluation a windowed running sum + filtered aggregate.
+CACHE_BOUNDARY_SQL = r"""
+WITH t AS (
+  SELECT CAST(doc_id // 10 AS BIGINT) AS conv, doc_id,
+         n_chars % 97 + 10 AS tokens,
+         doc_id % 10 AS iap
+  FROM documents
+), c AS (
+  SELECT conv, doc_id, iap,
+         sum(tokens) OVER (PARTITION BY conv ORDER BY doc_id) AS cum
+  FROM t
+), elig AS (
+  SELECT conv, cum FROM c WHERE iap BETWEEN 1 AND 6 AND cum >= 64
+), agg AS (
+  SELECT conv, count(*) AS n_elig, max(cum) AS max_cum FROM elig GROUP BY conv
+)
+SELECT t.conv,
+       CAST(coalesce(least(a.n_elig, 4), 0) AS BIGINT) AS n_markers,
+       CAST(coalesce(a.max_cum, 0) AS BIGINT) AS total_stable_tokens,
+       coalesce(a.max_cum, 0) > 100 AS advanced
+FROM (SELECT DISTINCT conv FROM t) t LEFT JOIN agg a USING (conv)
+ORDER BY t.conv
+"""
+
+
+# --- C16 prefix stability validator (SQL-checked) ----------------------------
 
 def q_prefix_stability(sf_dir: str) -> pd.DataFrame:
     """C16 CallSiteStability (stability.go:100-209) per derived
@@ -522,7 +549,33 @@ def q_prefix_stability(sf_dir: str) -> pd.DataFrame:
     )
 
 
-# --- C17 TTL tracker (rows-only) ---------------------------------------------
+# check() only registers a change when the simulated prefix revision flips
+# (n_chars % 5 == 0) on a non-first check; rate = 1 - changes/(checks-1).
+PREFIX_STABILITY_SQL = r"""
+WITH t AS (
+  SELECT CAST(doc_id // 10 AS BIGINT) AS conv, doc_id,
+         CAST(n_chars % 5 = 0 AS INT) AS flip,
+         row_number() OVER (PARTITION BY doc_id // 10 ORDER BY doc_id) AS rn
+  FROM documents
+), agg AS (
+  SELECT conv,
+         count(*) AS n,
+         sum(CASE WHEN rn > 1 THEN flip ELSE 0 END) AS changes
+  FROM t GROUP BY conv
+)
+SELECT conv,
+       CAST(n AS BIGINT) AS checks,
+       round(CASE WHEN n <= 1 THEN 1.0
+                  ELSE 1.0 - changes / CAST(n - 1 AS DOUBLE) END, 6)
+         AS stability_rate,
+       (n > 3 AND (CASE WHEN n <= 1 THEN 1.0
+                        ELSE 1.0 - changes / CAST(n - 1 AS DOUBLE) END) < 0.8)
+         AS warn
+FROM agg ORDER BY conv
+"""
+
+
+# --- C17 TTL tracker (SQL-checked) --------------------------------------------
 
 def q_ttl_tracker(sf_dir: str) -> pd.DataFrame:
     """C17 TTLTracker (ttl.go:44-152, 300 s TTL, explicit clock) per
@@ -565,6 +618,24 @@ def q_ttl_tracker(sf_dir: str) -> pd.DataFrame:
         .sort_values("conv")
         .reset_index(drop=True)
     )
+
+
+# touch() refreshes the 300 s TTL either way, so a hit is exactly "the gap
+# since the previous touch is < TTL" (strict: hit iff now < expiry) and the
+# final deadline is the cumulative clock + TTL - margin.
+TTL_TRACKER_SQL = r"""
+WITH t AS (
+  SELECT CAST(doc_id // 10 AS BIGINT) AS conv, doc_id,
+         (n_chars % 7 + 1) * 60.0 AS gap,
+         row_number() OVER (PARTITION BY doc_id // 10 ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT conv,
+       CAST(count(*) FILTER (rn > 1 AND gap < 300.0) AS BIGINT) AS n_hits,
+       CAST(count(*) FILTER (NOT (rn > 1 AND gap < 300.0)) AS BIGINT) AS n_misses,
+       sum(gap) + 270.0 AS refresh_deadline
+FROM t GROUP BY conv ORDER BY conv
+"""
 
 
 # --- M9 placeholder compressor (rows-only) -----------------------------------

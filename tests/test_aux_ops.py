@@ -299,3 +299,33 @@ def test_langid_sql_oracle_parity(tmp_path):
     assert list(want["lang_pred"]) == [
         "en", "de", "es", "fr", "zh", "es", "es", "en", "de", "en", "en", "fr"
     ]
+
+
+@pytest.mark.parametrize("qname, sqlname", [
+    ("q_cache_boundary", "CACHE_BOUNDARY_SQL"),
+    ("q_prefix_stability", "PREFIX_STABILITY_SQL"),
+    ("q_ttl_tracker", "TTL_TRACKER_SQL"),
+])
+def test_cache_family_sql_oracle_parity(qname, sqlname):
+    """The C15/C16/C17 window-function SQL oracles must equal the stateful
+    per-conversation kernels on real testdata."""
+    import duckdb
+
+    from distill_ray.pipelines import queries_aux as qa
+
+    sf = "/root/testdata/sf0.001"
+    mine = getattr(qa, qname)(sf)
+    if not isinstance(mine, pd.DataFrame):
+        mine = mine.to_pandas()
+    mine = mine.sort_values("conv").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    want = (
+        con.execute(getattr(qa, sqlname)).df()
+        .sort_values("conv").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(mine[sorted(mine.columns)],
+                                  want[sorted(want.columns)])

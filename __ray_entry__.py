@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": qo.q_bpe_token_counts,
         "embedding_near_dups": qo.q_embedding_near_dups,
         "embedding_near_dups_lsh": qo.q_embedding_near_dups_lsh,
+        "vector_store_topk": qo.q_vector_store_topk,
         "prefix_partition": qa.q_prefix_partition,
         "commit_patterns": qa.q_commit_patterns,
         # dedup / operator surface (rows-only checks)
@@ -132,4 +133,5 @@ def oracle_sql() -> dict[str, str]:
         "cache_boundary": qa.CACHE_BOUNDARY_SQL,
         "prefix_stability": qa.PREFIX_STABILITY_SQL,
         "ttl_tracker": qa.TTL_TRACKER_SQL,
+        "vector_store_topk": qo.VECTOR_STORE_TOPK_SQL,
     }

@@ -1106,3 +1106,58 @@ SELECT doc_id,
   TRUE AS valid
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# S4/S5 vector-store sink + retriever round trip
+
+
+def q_vector_store_topk(sf_dir: str) -> pd.DataFrame:
+    """S4/S5 shim round trip: distributed-upsert the embeddings table into a
+    local parquet vector collection (sources/vector_store.py), then cosine
+    top-10 for vec_id 0 through the retriever. Same contract as knn_query,
+    exercised through the sink -> resolve -> retriever path instead of a
+    direct read (pinecone client.go:104-155 / qdrant client.go:85-178)."""
+    import shutil
+    import tempfile
+
+    from distill_ray.sources.vector_store import LocalVectorStore
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    root = tempfile.mkdtemp(prefix="distill_ray_vstore_")
+    try:
+        store = LocalVectorStore(root)
+        store.upsert_dataset(ds, id_col="vec_id", embedding_col="embedding")
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "=", 0)])
+        q = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+        out = store.query(q, top_k=10)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return pd.DataFrame(
+        {
+            "vec_id": out["id"].astype("int64"),
+            "sim": out["score"].round(6),
+        }
+    )
+
+
+VECTOR_STORE_TOPK_SQL = """
+WITH q AS (
+  SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id = 0),
+flat AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+dots AS (
+  SELECT f.vec_id, sum(f.v * q.v) AS dot, sqrt(sum(f.v * f.v)) AS n
+  FROM flat f JOIN q ON f.i = q.i GROUP BY f.vec_id),
+qn AS (SELECT sqrt(sum(v * v)) AS n FROM q)
+SELECT d.vec_id, round(d.dot / (d.n * qn.n), 6) AS sim
+FROM dots d, qn
+ORDER BY d.dot / (d.n * qn.n) DESC, d.vec_id LIMIT 10
+"""

@@ -1,0 +1,319 @@
+"""S4/S5 — vector-store sink + retriever as a local parquet-backed shim.
+
+This sandbox has no network, so the reference's Pinecone sink
+(pkg/pinecone/client.go:104-155, UpsertBatch with retry/stats) and Qdrant
+retriever (pkg/retriever/qdrant/client.go:85-252, Query / QueryByID /
+exact-match metadata filters) are re-expressed against a log-structured
+parquet collection on local disk:
+
+- Upserts append one parquet shard per generation (a monotone directory
+  sequence); id conflicts resolve last-generation-wins at read time, which
+  is exactly the vector-DB upsert contract. Ids must be unique within one
+  distributed dataset upsert (there is no "later" inside an unordered
+  Dataset) — the reference has the same ambiguity inside one UpsertBatch.
+- Queries are exact cosine top-k: in-process numpy for small collections,
+  or a distributed Ray Data path (broadcast query vector -> map_batches
+  score -> sort -> limit) that scales to sharded 100 TB collections since
+  shards stream through the object store and only top-k rows return.
+- Metadata rides as native parquet columns (not JSON blobs), so filters
+  push down to columnar equality kernels.
+
+The retriever surface (query / query_by_id / close) mirrors
+pkg/retriever/interface.go:20-29; stats mirror pinecone client.go Stats.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_GEN_RE = re.compile(r"^gen_(\d{8})\.parquet$")
+
+# above this many stored vectors the retriever switches to the distributed
+# Ray Data scoring path (stream shards, score per batch, sort+limit)
+DISTRIBUTED_QUERY_THRESHOLD = 100_000
+
+
+@dataclass
+class VectorStoreStats:
+    """pinecone client.go GetStats parity (the retry counter stays 0 —
+    local parquet writes do not rate-limit)."""
+
+    upserted_vectors: int = 0
+    batch_count: int = 0
+    failed_vectors: int = 0
+    retry_count: int = 0
+
+
+@dataclass
+class LocalVectorStore:
+    """A namespaced parquet vector collection with upsert + cosine top-k."""
+
+    root_dir: str
+    namespace: str = "default"
+    stats: VectorStoreStats = field(default_factory=VectorStoreStats)
+
+    # -- paths ---------------------------------------------------------------
+
+    def _ns_dir(self, namespace: str | None = None) -> str:
+        return os.path.join(self.root_dir, namespace or self.namespace)
+
+    def _shards(self, namespace: str | None = None) -> list[str]:
+        d = self._ns_dir(namespace)
+        if not os.path.isdir(d):
+            return []
+        return [os.path.join(d, f) for f in sorted(os.listdir(d)) if _GEN_RE.match(f)]
+
+    def _next_gen(self, namespace: str | None = None) -> int:
+        shards = self._shards(namespace)
+        if not shards:
+            return 0
+        return int(_GEN_RE.match(os.path.basename(shards[-1])).group(1)) + 1
+
+    # -- sink ----------------------------------------------------------------
+
+    def upsert_batch(
+        self,
+        ids: list[str],
+        embeddings: np.ndarray,
+        metadata: list[dict] | None = None,
+        namespace: str | None = None,
+    ) -> None:
+        """UpsertBatch parity: one generation shard per call, last write wins
+        across calls. Empty input is a silent no-op (client.go:105-107)."""
+        if len(ids) == 0:
+            return
+        emb = np.asarray(embeddings, dtype=np.float32)
+        if emb.ndim != 2 or emb.shape[0] != len(ids):
+            self.stats.failed_vectors += len(ids)
+            raise ValueError("embeddings must be (len(ids), dim)")
+        cols: dict = {
+            "id": pa.array([str(i) for i in ids], type=pa.large_string()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.ravel(), type=pa.float32()), emb.shape[1]
+            ),
+        }
+        for key in sorted({k for m in (metadata or []) for k in m}):
+            cols[key] = pa.array([m.get(key) for m in metadata])
+        d = self._ns_dir(namespace)
+        os.makedirs(d, exist_ok=True)
+        gen = self._next_gen(namespace)
+        pq.write_table(pa.table(cols), os.path.join(d, f"gen_{gen:08d}.parquet"))
+        self.stats.upserted_vectors += len(ids)
+        self.stats.batch_count += 1
+
+    def upsert_dataset(
+        self,
+        ds,
+        id_col: str = "id",
+        embedding_col: str = "embedding",
+        namespace: str | None = None,
+    ) -> int:
+        """Distributed sink: stream a Ray Dataset into one generation (many
+        row-groups in one shard directory would break the generation order,
+        so the dataset lands as one generation = one file per block under a
+        gen directory, registered atomically by the rename at the end)."""
+        import ray.data as rd  # noqa: F401  (documents the dependency)
+
+        d = self._ns_dir(namespace)
+        os.makedirs(d, exist_ok=True)
+        gen = self._next_gen(namespace)
+        tmp = os.path.join(d, f".tmp_gen_{gen:08d}")
+
+        def norm(df: pd.DataFrame) -> pa.Table:
+            # normalize storage: id as large_string, embedding as
+            # fixed_size_list<float32> — the SAME types upsert_batch writes,
+            # so generations from either path merge at read time (Ray's
+            # tensor-extension arrow type does not merge with plain lists)
+            if df.empty:
+                return pa.table({"id": pa.array([], type=pa.large_string())})
+            emb = np.stack(
+                [np.asarray(e, dtype=np.float32) for e in df[embedding_col]]
+            )
+            cols: dict = {
+                "id": pa.array(df[id_col].astype(str), type=pa.large_string()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(emb.ravel(), type=pa.float32()), emb.shape[1]
+                ),
+            }
+            for c in df.columns:
+                if c not in (id_col, embedding_col):
+                    cols[c] = pa.array(df[c])
+            return pa.table(cols)
+
+        ds = ds.map_batches(norm, batch_format="pandas")
+        ds.write_parquet(tmp)
+        # one generation == one parquet file: concat the block files so the
+        # shard list stays flat and ordered (block files carry no order)
+        parts = [os.path.join(tmp, f) for f in sorted(os.listdir(tmp))]
+        t = pa.concat_tables([pq.read_table(p) for p in parts]) if parts else None
+        n = 0
+        if t is not None and t.num_rows:
+            pq.write_table(t, os.path.join(d, f"gen_{gen:08d}.parquet"))
+            n = t.num_rows
+        for p in parts:
+            os.unlink(p)
+        os.rmdir(tmp)
+        self.stats.upserted_vectors += n
+        self.stats.batch_count += 1
+        return n
+
+    # -- retriever -----------------------------------------------------------
+
+    def _resolve(self, namespace: str | None = None) -> pa.Table | None:
+        """Materialize the collection with last-generation-wins per id.
+        In-process path; callers guard on collection size."""
+        shards = self._shards(namespace)
+        if not shards:
+            return None
+        tables = []
+        for g, p in enumerate(shards):
+            t = pq.read_table(p)
+            tables.append(t.append_column("_gen", pa.array([g] * t.num_rows,
+                                                           type=pa.int64())))
+        t = pa.concat_tables(tables, promote_options="default")
+        df_idx = pd.DataFrame({"id": t["id"].to_pandas(), "_gen": t["_gen"].to_pandas()})
+        keep = df_idx.groupby("id")["_gen"].idxmax()
+        return t.take(pa.array(np.sort(keep.to_numpy()))).drop_columns(["_gen"])
+
+    def query(
+        self,
+        query_embedding: np.ndarray,
+        top_k: int = 10,
+        namespace: str | None = None,
+        flt: dict | None = None,
+        distributed: bool | None = None,
+    ) -> pd.DataFrame:
+        """Exact cosine top-k; (id, score, metadata...) sorted by
+        (-score, id). TopK <= 0 defaults to 10 (qdrant client.go:92-95)."""
+        if query_embedding is None or len(query_embedding) == 0:
+            raise ValueError("invalid query: must provide an embedding")
+        if top_k <= 0:
+            top_k = 10
+        q = np.asarray(query_embedding, dtype=np.float64)
+        qn = float(np.sqrt(q @ q))
+
+        shards = self._shards(namespace)
+        if not shards:
+            return pd.DataFrame({"id": pd.Series(dtype=object),
+                                 "score": pd.Series(dtype=np.float64)})
+        n_rows = sum(pq.read_metadata(p).num_rows for p in shards)
+        if distributed is None:
+            distributed = n_rows > DISTRIBUTED_QUERY_THRESHOLD
+        if distributed:
+            return self._query_distributed(q, qn, top_k, shards, flt,
+                                           len(shards) > 1)
+
+        t = self._resolve(namespace)
+        df = t.to_pandas()
+        for k, v in (flt or {}).items():
+            df = df[df[k] == v]
+        if df.empty:
+            return pd.DataFrame({"id": pd.Series(dtype=object),
+                                 "score": pd.Series(dtype=np.float64)})
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(norms > 0, (m @ q) / (norms * qn), -1.0)
+        out = df.drop(columns=["embedding"]).copy()
+        out["score"] = sims
+        out = out.sort_values(["score", "id"], ascending=[False, True],
+                              kind="mergesort").head(top_k)
+        cols = ["id", "score"] + [c for c in out.columns if c not in ("id", "score")]
+        return out[cols].reset_index(drop=True)
+
+    def _query_distributed(self, q, qn, top_k, shards, flt, multi_gen) -> pd.DataFrame:
+        """Ray Data path: stream shards, score per batch against the
+        broadcast query, keep per-batch top-k, global sort + limit. With
+        multiple generations a bucketed groupby(id) resolves last-wins
+        before scoring (one shuffle; single-generation stores skip it)."""
+        import ray
+        import ray.data as rd
+
+        ds = rd.read_parquet(shards)
+        if multi_gen:
+            # generation = shard order; re-derive it from the file path,
+            # which rides in no column — so attach it at read time instead
+            tables = []
+            for g, p in enumerate(shards):
+                tables.append(
+                    rd.read_parquet(p).map_batches(
+                        lambda t, _g=g: t.append_column(
+                            "_gen", pa.array([_g] * t.num_rows, type=pa.int64())),
+                        batch_format="pyarrow")
+                )
+            ds = tables[0].union(*tables[1:]) if len(tables) > 1 else tables[0]
+
+            def last_wins(df: pd.DataFrame) -> pd.DataFrame:
+                return df.loc[df.groupby("id")["_gen"].idxmax()].drop(columns=["_gen"])
+
+            ds = ds.groupby("id").map_groups(last_wins, batch_format="pandas")
+
+        q_ref = ray.put(q)
+
+        class Score:
+            def __init__(self, ref, qn, flt, top_k):
+                self.q = ray.get(ref)
+                self.qn = qn
+                self.flt = flt or {}
+                self.k = top_k
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                for k, v in self.flt.items():
+                    df = df[df[k] == v]
+                if df.empty:
+                    return pd.DataFrame({"id": pd.Series(dtype=object),
+                                         "score": pd.Series(dtype=np.float64)})
+                m = np.stack([np.asarray(e, dtype=np.float64)
+                              for e in df["embedding"]])
+                norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = np.where(norms > 0, (m @ self.q) / (norms * self.qn), -1.0)
+                out = df.drop(columns=["embedding"]).copy()
+                out["score"] = sims
+                # per-batch prune: only k candidates per block reach the sort
+                return out.sort_values(["score", "id"],
+                                       ascending=[False, True],
+                                       kind="mergesort").head(self.k)
+
+        out = (
+            ds.map_batches(Score,
+                           fn_constructor_kwargs={"ref": q_ref, "qn": qn,
+                                                  "flt": flt, "top_k": top_k},
+                           batch_format="pandas", batch_size=65536,
+                           concurrency=2)
+            .sort(["score", "id"], descending=[True, False])
+            .limit(top_k)
+            .to_pandas()
+        )
+        cols = ["id", "score"] + [c for c in out.columns if c not in ("id", "score")]
+        return out[cols]
+
+    def query_by_id(
+        self, id: str, top_k: int = 10, namespace: str | None = None
+    ) -> pd.DataFrame:
+        """QueryByID parity (qdrant client.go:181-245): fetch the stored
+        vector, then query with it — the source point itself is NOT
+        excluded from the results. KeyError stands in for ErrNotFound."""
+        t = self._resolve(namespace)
+        if t is None:
+            raise KeyError(id)
+        mask = pa.compute.equal(t["id"], pa.scalar(str(id), type=pa.large_string()))
+        hit = t.filter(mask)
+        if hit.num_rows == 0:
+            raise KeyError(id)
+        vec = np.asarray(hit["embedding"][0].as_py(), dtype=np.float64)
+        return self.query(vec, top_k=top_k, namespace=namespace)
+
+    def count(self, namespace: str | None = None) -> int:
+        t = self._resolve(namespace)
+        return 0 if t is None else t.num_rows
+
+    def close(self) -> None:
+        """Retriever interface parity; nothing to release locally."""

@@ -1,0 +1,111 @@
+"""S4/S5 local vector-store shim: sink semantics (last-generation-wins
+upsert), retriever semantics (cosine top-k, filters, query_by_id), and the
+distributed Ray Data query path vs the in-process path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from distill_ray.sources.vector_store import LocalVectorStore
+
+
+def _unit(v):
+    v = np.asarray(v, dtype=np.float64)
+    return v / np.linalg.norm(v)
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return LocalVectorStore(str(tmp_path / "vstore"))
+
+
+def test_upsert_query_topk_order(store):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 16)).astype(np.float32)
+    ids = [f"v{i}" for i in range(20)]
+    store.upsert_batch(ids, base, metadata=[{"shard": i % 3} for i in range(20)])
+    assert store.stats.upserted_vectors == 20
+    assert store.stats.batch_count == 1
+
+    q = base[4]
+    out = store.query(q, top_k=5)
+    assert list(out.columns[:2]) == ["id", "score"]
+    assert out["id"].iloc[0] == "v4"          # self-similarity == 1.0
+    assert out["score"].iloc[0] == pytest.approx(1.0)
+    assert len(out) == 5
+    assert (np.diff(out["score"].to_numpy()) <= 1e-12).all()  # descending
+
+
+def test_last_generation_wins(store):
+    e1 = np.eye(4, dtype=np.float32)[:2]
+    store.upsert_batch(["a", "b"], e1)
+    # overwrite "a" with a vector orthogonal to its first version
+    store.upsert_batch(["a"], np.eye(4, dtype=np.float32)[2:3])
+    assert store.count() == 2
+    out = store.query(np.eye(4)[2], top_k=1)
+    assert out["id"].iloc[0] == "a"
+    assert out["score"].iloc[0] == pytest.approx(1.0)
+    # the old version of "a" must be gone: query its direction
+    out0 = store.query(np.eye(4)[0], top_k=2)
+    assert (out0["score"] < 0.5).all() or out0["id"].iloc[0] == "b"
+
+
+def test_metadata_filter_and_query_by_id(store):
+    vecs = np.eye(3, dtype=np.float32)
+    store.upsert_batch(["x", "y", "z"], vecs,
+                       metadata=[{"lang": "en"}, {"lang": "de"}, {"lang": "en"}])
+    out = store.query(np.array([1.0, 0.2, 0.2]), top_k=3, flt={"lang": "en"})
+    assert set(out["id"]) == {"x", "z"}
+
+    byid = store.query_by_id("y", top_k=2)
+    assert byid["id"].iloc[0] == "y"  # source point not excluded
+    with pytest.raises(KeyError):
+        store.query_by_id("missing")
+
+
+def test_topk_default_and_empty(store):
+    assert store.query(np.ones(4), top_k=0).empty  # empty store
+    store.upsert_batch([f"i{k}" for k in range(15)],
+                       np.random.default_rng(1).normal(size=(15, 4)).astype(np.float32))
+    out = store.query(np.ones(4), top_k=0)  # <=0 -> default 10
+    assert len(out) == 10
+
+
+def test_distributed_query_matches_inprocess(store, ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    n, d = 500, 8
+    emb = rng.normal(size=(n, d))
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [e.astype(np.float64) for e in emb]})
+    store.upsert_dataset(rd.from_pandas(df), id_col="vec_id",
+                         embedding_col="embedding")
+    assert store.count() == n
+
+    q = emb[42]
+    a = store.query(q, top_k=10, distributed=False)
+    b = store.query(q, top_k=10, distributed=True)
+    assert list(a["id"]) == list(b["id"])
+    np.testing.assert_allclose(a["score"].to_numpy(), b["score"].to_numpy(),
+                               rtol=0, atol=1e-12)
+
+    # second generation through the batch API: overwrite vec 42 away from q
+    store.upsert_batch(["42"], np.asarray([-q], dtype=np.float32))
+    a2 = store.query(q, top_k=10, distributed=False)
+    b2 = store.query(q, top_k=10, distributed=True)
+    assert "42" not in set(a2["id"])
+    assert list(a2["id"]) == list(b2["id"])
+
+
+def test_vector_store_topk_query_matches_knn(ray_session):
+    """The S4/S5 round-trip query must equal the direct-read knn_query."""
+    from distill_ray.pipelines.queries import q_knn_query
+    from distill_ray.pipelines.queries_ops import q_vector_store_topk
+
+    sf = "/root/testdata/sf0.001"
+    knn = q_knn_query(sf).reset_index(drop=True)
+    vs = q_vector_store_topk(sf).reset_index(drop=True)
+    pd.testing.assert_frame_equal(vs, knn)

@@ -26,19 +26,107 @@ from distill_ray.oracle.selector import select_representative
 
 
 class ComponentBucketRefiner:
-    """Bucket kernel: loops the components that hash into this bucket.
+    """Bucket kernel: refines every component that hashes into this bucket.
     Singleton rows (no verified edges) never reach this stage — the
-    pipeline emits them directly without a shuffle."""
+    pipeline emits them directly without a shuffle.
+
+    Written array-at-a-time: one lexsort + boundary scan over the bucket,
+    outputs written into preallocated arrays, ONE DataFrame per bucket.
+    The first version built a DataFrame per component and pd.concat-ed
+    thousands of frames — measured ~15 ms/component of pure pandas
+    overhead (38 s of the 122 s wall at 2M rows x 32 CPUs, with a max
+    component size of 38 rows).
+
+    Size-2 components take a closed-form path under the default "score"
+    strategy: the two members share one verified <=threshold edge, so
+    average-linkage always merges them (cluster.go:149-177 semantics), the
+    cluster id is the min rid, and the all-zero-score first-max rule picks
+    that same min-rid member (selector.go:112-120)."""
 
     def __init__(self, cfg: DedupConfig | None = None):
         self.cfg = cfg or DedupConfig()
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-        out = [
-            ComponentRefiner(self.cfg)(sub)
-            for _, sub in g.groupby("component", sort=False)
-        ]
-        return pd.concat(out, ignore_index=True)
+        cfg = self.cfg
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "rid": pd.Series(dtype=object),
+                    "conv_id": pd.Series(dtype=object),
+                    "turn_idx": pd.Series(dtype="int32"),
+                    "cluster_id": pd.Series(dtype=object),
+                    "is_representative": pd.Series(dtype=bool),
+                }
+            )
+        comp = g["component"].to_numpy()
+        rid_all = g["rid"].to_numpy()
+        order = np.lexsort((rid_all, comp))
+        g = g.iloc[order].reset_index(drop=True)
+        comp = g["component"].to_numpy()
+        rid = g["rid"].to_numpy()
+        emb_col = g["emb"].to_numpy()
+        texts_col = (
+            g["norm_text"].to_numpy() if "norm_text" in g.columns else None
+        )
+
+        bounds = np.flatnonzero(np.r_[True, comp[1:] != comp[:-1], True])
+        starts, ends = bounds[:-1], bounds[1:]
+        sizes = ends - starts
+
+        cluster_ids = np.empty(len(g), dtype=object)
+        is_rep = np.zeros(len(g), dtype=bool)
+
+        if cfg.select_strategy == "score":
+            idx2 = starts[sizes == 2]
+            cluster_ids[idx2] = rid[idx2]
+            cluster_ids[idx2 + 1] = rid[idx2]
+            is_rep[idx2] = True
+            todo = np.flatnonzero(sizes != 2)
+        else:
+            todo = np.arange(len(starts))
+
+        cap = cfg.max_component_size
+        for k in todo:
+            s, e = int(starts[k]), int(ends[k])
+            # pathological mega-components: consecutive chunks in stable
+            # rid order (documented deviation; bounded memory at scale)
+            for cs in range(s, e, cap):
+                ce = min(cs + cap, e)
+                m = ce - cs
+                if m == 1:
+                    cluster_ids[cs] = rid[cs]
+                    is_rep[cs] = True
+                    continue
+                embs = [np.frombuffer(b, dtype=np.float32)
+                        for b in emb_col[cs:ce]]
+                res = agglomerative_cluster(
+                    embs, threshold=cfg.threshold, linkage=cfg.linkage
+                )
+                scores = dict.fromkeys(range(m), 0.0)
+                texts = (
+                    {i: texts_col[cs + i] for i in range(m)}
+                    if texts_col is not None else {}
+                )
+                embs_map = dict(enumerate(embs))
+                for cid, mem in enumerate(res.members):
+                    min_rid = min(rid[cs + mm] for mm in mem)
+                    rep_local = select_representative(
+                        mem, scores, texts, embs_map,
+                        res.centroids[cid], cfg.select_strategy,
+                    )
+                    for mm in mem:
+                        cluster_ids[cs + mm] = min_rid
+                    is_rep[cs + rep_local] = True
+
+        return pd.DataFrame(
+            {
+                "rid": g["rid"],
+                "conv_id": g["conv_id"],
+                "turn_idx": g["turn_idx"],
+                "cluster_id": cluster_ids,
+                "is_representative": is_rep,
+            }
+        )
 
 
 class ComponentRefiner:

@@ -52,8 +52,10 @@ from distill_ray.stages.dedup_stages import (
     BandPairBucket,
     BandPairNumericBucket,
     EDGE_SCHEMA,
+    build_embedding_lookup,
     make_sketch_batch,
     make_dedupe_pairs_bucket,
+    make_dedupe_verify_broadcast,
     exact_dedup_bucket_arrow,
     make_add_text_hash_arrow,
     make_attach_b_verify_bucket,
@@ -96,9 +98,10 @@ def run_dedup(
     *,
     num_join_partitions: int = 16,
     collect_stats: bool = False,
-    verify_mode: str = "endpoint",  # endpoint | inband (see P6+P7 below)
+    verify_mode: str = "auto",  # auto | broadcast | endpoint | inband (P6+P7)
     component_mode: str = "auto",  # auto | distributed
     driver_component_limit: int = 2_000_000,
+    broadcast_verify_limit: int = 8_000_000,
     ckpt=None,                # state.manifest.CheckpointManager for resume
     stop_after: str = "",     # testing hook: abort after this stage's checkpoint
 ) -> DedupRunResult:
@@ -206,20 +209,34 @@ def run_dedup(
     sk = _ckpt_or("signatures", sk)
     _mark("p5_sketch")
 
-    # P6+P7 — LSH candidates + join-free exact-cosine verification. Two
-    # modes, both replacing round 1's two sequential hash-shuffle joins +
+    # P6+P7 — LSH candidates + join-free exact-cosine verification. Three
+    # modes, all replacing round 1's two sequential hash-shuffle joins +
     # materialize barriers (the measured scaling bottleneck — BASELINE.md:
-    # fixed 15-35 s per wide stage regardless of CPU count):
+    # fixed 15-35 s per wide stage regardless of CPU count). Edge semantics
+    # are identical across modes (parity: tests/test_dedup_modes.py).
     #
-    #  endpoint (default): band rows stay light (~40 B). Raw multi-band
-    #    pair emissions dedupe on a narrow pure-numeric schema (groupby
-    #    hash(a), >= min_band_collisions); the deduped pairs then union
-    #    with (rid, emb) carrier rows for an emb_a attach (hash(a)) and an
-    #    emb_b attach + verify (hash(b)). Three bucketed groupbys, but the
-    #    heavy one (the raw multiset) is 20 B/row numeric.
+    #  broadcast (auto below broadcast_verify_limit unique rows): the whole
+    #    (rh, emb) table is ray.put ONCE (plasma shared memory — every
+    #    worker reads it zero-copy, nothing is re-shipped per batch) and
+    #    ONE bucketed groupby over the 20 B/row narrow pair multiset fuses
+    #    the multiset collapse, the >= min_band_collisions filter and the
+    #    exact cosine verify. Two wide ops total for P6+P7, no payload
+    #    bytes in any exchange. At 2M rows the lookup is ~400 MB; the
+    #    limit (default 8M rows ~ 2 GB) keeps it inside a worker heap.
+    #  endpoint (auto above the limit — the 100 TB path): band rows stay
+    #    light (~40 B). Raw multi-band pair emissions dedupe on a narrow
+    #    pure-numeric schema (groupby hash(a), >= min_band_collisions);
+    #    the deduped pairs then union with (rh, emb) carrier rows for an
+    #    emb_a attach (hash(a)) and an emb_b attach + verify (hash(b)).
+    #    Three bucketed groupbys; nothing is broadcast — embeddings travel
+    #    exactly once per unique row as carrier rows.
     #  inband: band rows carry the embedding and each band bucket verifies
     #    its own pairs (zero extra wide ops, but 32 bands x 256 B multiply
     #    the band shuffle ~8x — measured 70% slower at 1M rows x 32 CPUs).
+    if verify_mode == "auto":
+        verify_mode = (
+            "broadcast" if sk.count() <= broadcast_verify_limit else "endpoint"
+        )
     if verify_mode == "inband":
         import pyarrow as _pa
 
@@ -242,6 +259,26 @@ def run_dedup(
             .map_groups(_named(make_dedupe_pairs_bucket(cfg.min_band_collisions),
                                "dedupe_pairs"), batch_format="pandas")
             .map_batches(_edges_numeric, batch_format="pandas")
+        )
+    elif verify_mode == "broadcast":
+        lookup_ref = build_embedding_lookup(sk)
+        raw_pairs = (
+            sk.map_batches(make_expand_bands_numeric(B), batch_format="pandas")
+            .repartition(P)
+            .groupby("bucket")
+            .map_groups(
+                _named(BandPairNumericBucket(cfg, narrow=True), "band_pairs"),
+                batch_format="pyarrow")
+        ).materialize()  # barrier between consecutive wide ops (see endpoint)
+        edges = (
+            raw_pairs.repartition(P)
+            .groupby("kbucket")
+            .map_groups(
+                _named(
+                    make_dedupe_verify_broadcast(
+                        cfg.min_band_collisions, cfg.threshold, lookup_ref),
+                    "dedupe_verify"),
+                batch_format="pyarrow")
         )
     else:
         # Raw multi-band pair emissions as near-pure-numeric rows (int64
@@ -312,32 +349,28 @@ def run_dedup(
             labels_arr = np.empty(0, dtype=np.int64)
         labels_ref = ray.put((nodes_arr, labels_arr))
 
-        class AttachLabels:
-            def __init__(self, ref, cols):
-                self.nodes, self.labels = ray.get(ref)
-                self.cols = cols
+        # stateless tasks, not an actor pool: ray.get of the broadcast is a
+        # zero-copy plasma lookup per batch (immutable shared memory, no
+        # per-worker copy), and plain tasks reuse the worker processes the
+        # earlier stages already warmed — the actor-pool variant paid a
+        # multi-second startup ramp per run, pure fixed cost on the
+        # scaling-critical path
+        def attach_labels(df: pd.DataFrame, *, _cols=row_cols) -> pd.DataFrame:
+            nodes, labels = ray.get(labels_ref)
+            df = df[_cols].copy()
+            rh = df["rh"].to_numpy()
+            if len(nodes):
+                pos = np.minimum(np.searchsorted(nodes, rh), len(nodes) - 1)
+                hit = nodes[pos] == rh
+                comp = np.where(hit, labels[pos], np.int64(0))
+            else:
+                hit = np.zeros(len(rh), dtype=bool)
+                comp = np.zeros(len(rh), dtype=np.int64)
+            df["component"] = comp
+            df["in_comp"] = hit
+            return df
 
-            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-                df = df[self.cols].copy()
-                rh = df["rh"].to_numpy()
-                if len(self.nodes):
-                    pos = np.minimum(
-                        np.searchsorted(self.nodes, rh), len(self.nodes) - 1
-                    )
-                    hit = self.nodes[pos] == rh
-                    comp = np.where(hit, self.labels[pos], np.int64(0))
-                else:
-                    hit = np.zeros(len(rh), dtype=bool)
-                    comp = np.zeros(len(rh), dtype=np.int64)
-                df["component"] = comp
-                df["in_comp"] = hit
-                return df
-
-        rows = sk.map_batches(
-            AttachLabels,
-            fn_constructor_kwargs={"ref": labels_ref, "cols": row_cols},
-            batch_format="pandas", concurrency=max(2, total_cpus // 4),
-        )
+        rows = sk.map_batches(attach_labels, batch_format="pandas")
     else:
         import pyarrow as _pa
 
@@ -409,7 +442,51 @@ def run_dedup(
     # (round 1 ran dups.count() here — a full extra pass over canon and a
     # driver barrier, pure fixed cost on the scaling-critical path)
     n_dups = canon.count() - sk.count()
-    if n_dups > 0:
+    n_uniques = sk.count()
+    if n_dups > 0 and n_uniques <= broadcast_verify_limit:
+        # broadcast fold: the (h(rid) -> cluster_id) map of the canonical
+        # assignments is ~tens of MB under the broadcast limit; ship it once
+        # via the object store instead of running a hash-shuffle join (a
+        # fixed multi-second all-to-all on the scaling-critical tail). The
+        # join below remains the above-limit path.
+        import pyarrow as _pa2
+
+        @ray.remote
+        def _build_fold(*tbls):
+            parts = [t for t in tbls if t.num_rows]
+            if not parts:
+                return (np.empty(0, dtype=np.int64),
+                        _pa2.array([], type=_pa2.string()))
+            t = _pa2.concat_tables(parts).combine_chunks()
+            h = rid_hash64(t["rid"].to_pandas().to_numpy())
+            order = np.argsort(h, kind="mergesort")
+            h = h[order]
+            if len(h) > 1 and (h[1:] == h[:-1]).any():
+                raise ValueError("rid hash64 collision in dup-fold lookup")
+            cl = _pc.take(t["cluster_id"].combine_chunks(),
+                          _pa2.array(order))
+            return h, cl
+
+        fold_ref = _build_fold.remote(
+            *assignments.select_columns(["rid", "cluster_id"]).to_arrow_refs()
+        )
+
+        def fold_dups(df: pd.DataFrame) -> pd.DataFrame:
+            nodes, cl = ray.get(fold_ref)
+            h = rid_hash64(df["canon_rid"].to_numpy())
+            pos = np.searchsorted(nodes, h)
+            if len(nodes) == 0 or pos.max(initial=-1) >= len(nodes) or (
+                    nodes[np.minimum(pos, len(nodes) - 1)] != h).any():
+                raise ValueError("missing canonical row in dup-fold lookup")
+            out = df[["rid", "conv_id", "turn_idx"]].copy()
+            out["cluster_id"] = _pc.take(cl, _pa2.array(pos)).to_pandas().to_numpy()
+            out["is_representative"] = False
+            return out
+
+        assignments = assignments.union(
+            dups.map_batches(fold_dups, batch_format="pandas")
+        )
+    elif n_dups > 0:
         canon_assign = assignments.select_columns(["rid", "cluster_id"]).map_batches(
             _rename({"rid": "canon_rid"}), batch_format="pandas"
         )

@@ -458,8 +458,11 @@ class BandPairNumericBucket:
     groupby.
     """
 
-    def __init__(self, cfg: DedupConfig | None = None):
+    def __init__(self, cfg: DedupConfig | None = None, narrow: bool = False):
+        # narrow=True emits NARROW_PAIR_SCHEMA (no payload column) for the
+        # broadcast verify; default PAIRX feeds the endpoint-attach path.
         self.cfg = cfg or DedupConfig()
+        self.narrow = narrow
         self._triu_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
     def _triu(self, n: int) -> tuple[np.ndarray, np.ndarray]:
@@ -471,6 +474,7 @@ class BandPairNumericBucket:
     def __call__(self, g: pa.Table) -> pa.Table:
         cap = self.cfg.band_group_cap
         gate = self.cfg.simhash_hamming_max
+        empty = (NARROW_PAIR_SCHEMA if self.narrow else PAIRX_SCHEMA).empty_table()
         keys = g["band_key"].to_numpy()
         rh = g["rh"].to_numpy()
         order = np.lexsort((rh, keys))
@@ -484,7 +488,7 @@ class BandPairNumericBucket:
         starts = starts[sizes > 1]
         sizes = sizes[sizes > 1]
         if len(starts) == 0:
-            return PAIRX_SCHEMA.empty_table()
+            return empty
 
         # Pair emissions stream through fixed per-process scratch buffers
         # (_pair_scratch) in <= _PAIR_CHUNK slices: candidate index pairs
@@ -549,7 +553,7 @@ class BandPairNumericBucket:
             emit(m)
 
         if not out_a:
-            return PAIRX_SCHEMA.empty_table()
+            return empty
         a = np.concatenate(out_a)
         b = np.concatenate(out_b)
         # a == b can only mean an rh collision between distinct rids (the
@@ -559,10 +563,14 @@ class BandPairNumericBucket:
         ok = a != b
         if not ok.all():
             a, b = a[ok], b[ok]
+        kbucket = pa.array(_hash_bucket(a, self.cfg.shuffle_buckets))
+        if self.narrow:
+            return pa.Table.from_arrays(
+                [pa.array(a), pa.array(b), kbucket], schema=NARROW_PAIR_SCHEMA
+            )
         return pa.Table.from_arrays(
             [pa.array(a), pa.array(b),
-             pa.nulls(len(a), pa.large_binary()),
-             pa.array(_hash_bucket(a, self.cfg.shuffle_buckets))],
+             pa.nulls(len(a), pa.large_binary()), kbucket],
             schema=PAIRX_SCHEMA,
         )
 
@@ -625,6 +633,12 @@ def decode_embeddings(col) -> np.ndarray:
 PAIRX_SCHEMA = pa.schema(
     [("k", pa.int64()), ("o", pa.int64()),
      ("emb", pa.large_binary()), ("kbucket", pa.int32())]
+)
+
+# Narrow pair-multiset schema for the broadcast verify: no payload column at
+# all (20 B/row) — the embeddings never enter the exchange.
+NARROW_PAIR_SCHEMA = pa.schema(
+    [("k", pa.int64()), ("o", pa.int64()), ("kbucket", pa.int32())]
 )
 
 # verified edges: numeric rh endpoints (a < b)
@@ -778,6 +792,135 @@ def make_attach_b_verify_bucket(threshold: float):
                                     schema=EDGE_SCHEMA)
 
     return attach_b_verify_bucket
+
+
+# --- broadcast verification (P7 small-side path) --------------------------
+#
+# When the unique-row count is bounded (run_dedup's broadcast_verify_limit),
+# the whole (rh, emb) table is a few hundred MB — ray.put it ONCE and let
+# every bucket kernel read it zero-copy from the shared object store
+# (plasma-backed numpy is immutable shared memory: no per-worker copy, no
+# per-batch reshipping). The pair exchange then carries NO payload bytes at
+# all (NARROW_PAIR_SCHEMA, 20 B/row) and ONE bucketed groupby fuses the
+# multiset collapse, the >= min_band_collisions filter AND the exact cosine
+# verify — the endpoint path's two attach exchanges + carrier traffic
+# disappear. Edge semantics are IDENTICAL to the endpoint path (same filter,
+# same float64-accumulation cosine, same edge rules); parity is asserted in
+# tests/test_dedup_pipeline.py::test_verify_modes_agree. Above the limit the
+# endpoint-attach path is the 100 TB design: nothing is broadcast,
+# embeddings travel once per row as carrier rows.
+
+
+def build_embedding_lookup(sig_ds, num_shards: int = 8):
+    """Materialized signature dataset -> (shard object refs, shard shift)
+    for broadcast verification: shard s holds the sorted (rh, emb matrix)
+    rows with rh >> shift == s. The shards build as PARALLEL Ray tasks and
+    this returns their refs immediately (no driver copy, no blocking), so
+    the build overlaps the band shuffle — verify kernels ray.get the shards
+    zero-copy when they start. Raises on rh (FNV-1a 64) collisions — same
+    guard as the endpoint path's carrier check (same rh always lands in the
+    same shard, so the per-shard check is complete)."""
+    import ray
+
+    assert num_shards & (num_shards - 1) == 0, "num_shards must be 2^k"
+    shift = 64 - (num_shards.bit_length() - 1) if num_shards > 1 else 64
+
+    @ray.remote
+    def _build_shard(sid: int, *tbls):
+        nodes_parts, mat_parts = [], []
+        for t in tbls:
+            rh = t["rh"].to_numpy()
+            if num_shards > 1:
+                mask = (rh.view(np.uint64) >> np.uint64(shift)) == sid
+            else:
+                mask = np.ones(len(rh), dtype=bool)
+            if mask.any():
+                nodes_parts.append(rh[mask])
+                mat_parts.append(binary_matrix(t["emb"])[mask])
+        if not nodes_parts:
+            return (np.empty(0, dtype=np.int64),
+                    np.empty((0, 0), dtype=np.float32))
+        nodes = np.concatenate(nodes_parts)
+        mat = np.concatenate(mat_parts)
+        order = np.argsort(nodes, kind="mergesort")
+        nodes = nodes[order]
+        if len(nodes) > 1 and (nodes[1:] == nodes[:-1]).any():
+            raise ValueError("rid hash64 collision in broadcast-verify lookup")
+        return nodes, np.ascontiguousarray(mat[order])
+
+    tbl_refs = sig_ds.select_columns(["rh", "emb"]).to_arrow_refs()
+    shard_refs = [_build_shard.remote(s, *tbl_refs) for s in range(num_shards)]
+    return shard_refs, shift
+
+
+def make_dedupe_verify_broadcast(min_band_collisions: int, threshold: float,
+                                 lookup):
+    """Fused stage kernel (one coarse h(a)-bucket of the narrow pair
+    multiset): collapse multi-band emissions, apply the
+    >= min_band_collisions filter, then exact-cosine-verify both endpoints
+    against the broadcast sharded embedding lookup (reference edge rules
+    incl. zero-norm -> 2.0; float64 accumulation). Emits numeric edges
+    (a < b). ``lookup`` is build_embedding_lookup's (shard refs, shift)."""
+
+    shard_refs, shift = lookup
+
+    def _gather_rows(shards, keys: np.ndarray) -> np.ndarray:
+        """keys -> (n, dim) float32 rows from the sharded sorted lookup."""
+        if len(shards) > 1:
+            sid = (keys.view(np.uint64) >> np.uint64(shift)).astype(np.int64)
+        out = None
+        for s, (nodes, mat) in enumerate(shards):
+            m = sid == s if len(shards) > 1 else np.ones(len(keys), bool)
+            if not m.any():
+                continue
+            ks = keys[m]
+            pos = np.searchsorted(nodes, ks)
+            if len(nodes) == 0 or pos.max(initial=-1) >= len(nodes) or (
+                    nodes[np.minimum(pos, len(nodes) - 1)] != ks).any():
+                raise ValueError("missing row in broadcast-verify lookup")
+            if out is None:
+                out = np.empty((len(keys), mat.shape[1]), dtype=np.float32)
+            out[m] = mat[pos]
+        if out is None:
+            raise ValueError("missing row in broadcast-verify lookup")
+        return out
+
+    def dedupe_verify_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return EDGE_SCHEMA.empty_table()
+        import ray
+
+        k = g["k"].to_numpy()
+        o = g["o"].to_numpy()
+        order = np.lexsort((o, k))
+        ks, os_ = k[order], o[order]
+        new = np.r_[True, (ks[1:] != ks[:-1]) | (os_[1:] != os_[:-1])]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.r_[starts, len(ks)])
+        keep = counts >= min_band_collisions
+        if not keep.any():
+            return EDGE_SCHEMA.empty_table()
+        a = ks[starts[keep]]
+        b = os_[starts[keep]]
+        shards = ray.get(list(shard_refs))  # zero-copy shared-memory views
+        A = _gather_rows(shards, a).astype(np.float64)
+        Bm = _gather_rows(shards, b).astype(np.float64)
+        dots = np.einsum("ij,ij->i", A, Bm)
+        na = np.sqrt(np.einsum("ij,ij->i", A, A))
+        nb = np.sqrt(np.einsum("ij,ij->i", Bm, Bm))
+        denom = na * nb
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(denom > 0, dots / np.where(denom == 0, 1.0, denom), 0.0)
+        dist = 1.0 - np.clip(sims, -1.0, 1.0)
+        dist[denom == 0] = 2.0  # zero-norm edge rule (simd.go:54-57)
+        ok = dist <= threshold
+        if not ok.any():
+            return EDGE_SCHEMA.empty_table()
+        return pa.Table.from_arrays(
+            [pa.array(a[ok]), pa.array(b[ok])], schema=EDGE_SCHEMA
+        )
+
+    return dedupe_verify_bucket
 
 
 def verify_pairs_batch(df: pd.DataFrame, threshold: float) -> pd.DataFrame:

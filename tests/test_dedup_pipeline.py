@@ -119,12 +119,16 @@ def test_verify_modes_agree():
     cfg = DedupConfig()
     a = run_dedup(rd.from_pandas(df), cfg, verify_mode="endpoint")
     b = run_dedup(rd.from_pandas(df), cfg, verify_mode="inband")
+    c = run_dedup(rd.from_pandas(df), cfg, verify_mode="broadcast")
 
     def edge_set(res):
         e = res.edges.to_pandas()
         return set(map(tuple, np.sort(e[["a", "b"]].to_numpy(), axis=1)))
 
     assert edge_set(a) == edge_set(b)
+    assert edge_set(a) == edge_set(c)
     pa_ = a.assignments.to_pandas().sort_values("rid").reset_index(drop=True)
     pb_ = b.assignments.to_pandas().sort_values("rid").reset_index(drop=True)
+    pc_ = c.assignments.to_pandas().sort_values("rid").reset_index(drop=True)
     pd.testing.assert_frame_equal(pa_, pb_)
+    pd.testing.assert_frame_equal(pa_, pc_)

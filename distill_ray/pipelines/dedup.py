@@ -262,12 +262,17 @@ def run_dedup(
         )
     elif verify_mode == "broadcast":
         lookup_ref = build_embedding_lookup(sk)
+        # band rows drop the simhash column (the gate reads it from the
+        # broadcast shards) — the widest exchange shrinks 28 -> 16 B/row
         raw_pairs = (
-            sk.map_batches(make_expand_bands_numeric(B), batch_format="pandas")
+            sk.map_batches(make_expand_bands_numeric(B, include_simhash=False),
+                           batch_format="pandas")
             .repartition(P)
             .groupby("bucket")
             .map_groups(
-                _named(BandPairNumericBucket(cfg, narrow=True), "band_pairs"),
+                _named(BandPairNumericBucket(cfg, narrow=True,
+                                             sim_lookup=lookup_ref),
+                       "band_pairs"),
                 batch_format="pyarrow")
         ).materialize()  # barrier between consecutive wide ops (see endpoint)
         edges = (

@@ -355,36 +355,51 @@ class BandPairBucket:
         return pd.DataFrame({"a": a, "b": b, "pbucket": pbucket})
 
 
+# Band keys are TRUNCATED to int32: grouping only needs equality within a
+# coarse bucket, and a 32-bit collision merely merges two unrelated band
+# groups — the extra candidate pairs are SimHash-gated and exact-cosine
+# verified, so recall can only go up and precision is unaffected (expected
+# collisions at 2M rows: ~16 per 375k-row bucket). This cuts the widest
+# exchange of the pipeline by 4 B/row (and by 12 B/row in the narrow
+# broadcast form, which also drops the simhash column — the verify-side
+# kernels read simhash from the broadcast shards instead).
 _BAND_SCHEMA = pa.schema(
-    [("band_key", pa.int64()), ("rh", pa.int64()),
+    [("band_key", pa.int32()), ("rh", pa.int64()),
      ("simhash", pa.int64()), ("bucket", pa.int32())]
+)
+_BAND_SCHEMA_NARROW = pa.schema(
+    [("band_key", pa.int32()), ("rh", pa.int64()), ("bucket", pa.int32())]
 )
 
 
-def make_expand_bands_numeric(n_buckets: int):
-    """P6a for the endpoint-attach verify: one NUMERIC row per (band_key,
-    rid-hash, simhash) — pure int64 columns in ARROW blocks, ~32 B/row, so
-    the widest shuffle of the pipeline moves no Python objects at all (the
-    groupby sort runs as pyarrow C++ kernels over int64 columns).
+def make_expand_bands_numeric(n_buckets: int, include_simhash: bool = True):
+    """P6a for the endpoint-attach / broadcast verify: one NUMERIC row per
+    (band_key, rid-hash[, simhash]) — fixed-width columns in ARROW blocks
+    (20-28 B/row), so the widest shuffle of the pipeline moves no Python
+    objects at all (the groupby sort runs as pyarrow C++ kernels).
     Zero-token rows are dropped here — exact dedup canonicalized them."""
+
+    schema = _BAND_SCHEMA if include_simhash else _BAND_SCHEMA_NARROW
 
     def expand_bands_numeric(df: pd.DataFrame) -> pa.Table:
         df = df[df["n_tokens"] > 0]
         if df.empty:
-            return _BAND_SCHEMA.empty_table()
+            return schema.empty_table()
         n_bands = len(df["bands"].iloc[0]) // 8
         rh0 = (df["rh"].to_numpy() if "rh" in df.columns
                else rid_hash64(df["rid"].to_numpy()))
         rh = np.repeat(rh0, n_bands)
-        sims = np.repeat(df["simhash"].to_numpy(), n_bands)
-        keys = np.concatenate(
+        keys64 = np.concatenate(
             [np.frombuffer(b, dtype=np.int64) for b in df["bands"]]
         )
-        bucket = (keys.view(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
-        return pa.Table.from_arrays(
-            [pa.array(keys), pa.array(rh), pa.array(sims), pa.array(bucket)],
-            schema=_BAND_SCHEMA,
-        )
+        keys = (keys64.view(np.uint64) & np.uint64(0xFFFFFFFF)).astype(
+            np.uint32).view(np.int32)
+        bucket = (keys.view(np.uint32) % np.uint32(n_buckets)).astype(np.int32)
+        arrays = [pa.array(keys), pa.array(rh)]
+        if include_simhash:
+            arrays.append(pa.array(np.repeat(df["simhash"].to_numpy(), n_bands)))
+        arrays.append(pa.array(bucket))
+        return pa.Table.from_arrays(arrays, schema=schema)
 
     return expand_bands_numeric
 
@@ -458,11 +473,17 @@ class BandPairNumericBucket:
     groupby.
     """
 
-    def __init__(self, cfg: DedupConfig | None = None, narrow: bool = False):
+    def __init__(self, cfg: DedupConfig | None = None, narrow: bool = False,
+                 sim_lookup=None):
         # narrow=True emits NARROW_PAIR_SCHEMA (no payload column) for the
         # broadcast verify; default PAIRX feeds the endpoint-attach path.
+        # sim_lookup = build_embedding_lookup's (shard refs, shift): when
+        # given, band rows omit the simhash column and the hamming gate
+        # reads simhashes from the broadcast shards instead (saves 8 B on
+        # every band row of the widest exchange).
         self.cfg = cfg or DedupConfig()
         self.narrow = narrow
+        self.sim_lookup = sim_lookup
         self._triu_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
     def _triu(self, n: int) -> tuple[np.ndarray, np.ndarray]:
@@ -480,7 +501,14 @@ class BandPairNumericBucket:
         order = np.lexsort((rh, keys))
         keys = keys[order]
         rh = rh[order]
-        sim = g["simhash"].to_numpy()[order].view(np.uint64)
+        if "simhash" in g.column_names:
+            sim = g["simhash"].to_numpy()[order].view(np.uint64)
+        else:
+            import ray
+
+            shard_refs, shift = self.sim_lookup
+            shards = ray.get(list(shard_refs))
+            sim = gather_from_shards(shards, rh, shift, 2).view(np.uint64)
 
         boundaries = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
         starts = boundaries[:-1]
@@ -813,13 +841,13 @@ def make_attach_b_verify_bucket(threshold: float):
 
 def build_embedding_lookup(sig_ds, num_shards: int = 8):
     """Materialized signature dataset -> (shard object refs, shard shift)
-    for broadcast verification: shard s holds the sorted (rh, emb matrix)
-    rows with rh >> shift == s. The shards build as PARALLEL Ray tasks and
-    this returns their refs immediately (no driver copy, no blocking), so
-    the build overlaps the band shuffle — verify kernels ray.get the shards
-    zero-copy when they start. Raises on rh (FNV-1a 64) collisions — same
-    guard as the endpoint path's carrier check (same rh always lands in the
-    same shard, so the per-shard check is complete)."""
+    for broadcast verification: shard s holds the sorted (rh, emb matrix,
+    simhash) rows with rh >> shift == s. The shards build as PARALLEL Ray
+    tasks and this returns their refs immediately (no driver copy, no
+    blocking), so the build overlaps the band shuffle — downstream kernels
+    ray.get the shards zero-copy when they start. Raises on rh (FNV-1a 64)
+    collisions — same guard as the endpoint path's carrier check (same rh
+    always lands in the same shard, so the per-shard check is complete)."""
     import ray
 
     assert num_shards & (num_shards - 1) == 0, "num_shards must be 2^k"
@@ -827,7 +855,7 @@ def build_embedding_lookup(sig_ds, num_shards: int = 8):
 
     @ray.remote
     def _build_shard(sid: int, *tbls):
-        nodes_parts, mat_parts = [], []
+        nodes_parts, mat_parts, sim_parts = [], [], []
         for t in tbls:
             rh = t["rh"].to_numpy()
             if num_shards > 1:
@@ -837,20 +865,49 @@ def build_embedding_lookup(sig_ds, num_shards: int = 8):
             if mask.any():
                 nodes_parts.append(rh[mask])
                 mat_parts.append(binary_matrix(t["emb"])[mask])
+                sim_parts.append(t["simhash"].to_numpy()[mask])
         if not nodes_parts:
             return (np.empty(0, dtype=np.int64),
-                    np.empty((0, 0), dtype=np.float32))
+                    np.empty((0, 0), dtype=np.float32),
+                    np.empty(0, dtype=np.int64))
         nodes = np.concatenate(nodes_parts)
         mat = np.concatenate(mat_parts)
+        sims = np.concatenate(sim_parts)
         order = np.argsort(nodes, kind="mergesort")
         nodes = nodes[order]
         if len(nodes) > 1 and (nodes[1:] == nodes[:-1]).any():
             raise ValueError("rid hash64 collision in broadcast-verify lookup")
-        return nodes, np.ascontiguousarray(mat[order])
+        return nodes, np.ascontiguousarray(mat[order]), sims[order]
 
-    tbl_refs = sig_ds.select_columns(["rh", "emb"]).to_arrow_refs()
+    tbl_refs = sig_ds.select_columns(["rh", "emb", "simhash"]).to_arrow_refs()
     shard_refs = [_build_shard.remote(s, *tbl_refs) for s in range(num_shards)]
     return shard_refs, shift
+
+
+def gather_from_shards(shards, keys: np.ndarray, shift: int,
+                       field_idx: int) -> np.ndarray:
+    """keys -> per-key values from a sharded sorted broadcast lookup.
+    field_idx selects the shard tuple field (1 = emb matrix, 2 = simhash).
+    Raises on any key absent from the lookup."""
+    if len(shards) > 1:
+        sid = (keys.view(np.uint64) >> np.uint64(shift)).astype(np.int64)
+    out = None
+    for s, shard in enumerate(shards):
+        nodes, vals = shard[0], shard[field_idx]
+        m = sid == s if len(shards) > 1 else np.ones(len(keys), bool)
+        if not m.any():
+            continue
+        ks = keys[m]
+        pos = np.searchsorted(nodes, ks)
+        if len(nodes) == 0 or pos.max(initial=-1) >= len(nodes) or (
+                nodes[np.minimum(pos, len(nodes) - 1)] != ks).any():
+            raise ValueError("missing row in broadcast lookup")
+        if out is None:
+            out = np.empty((len(keys),) + vals.shape[1:], dtype=vals.dtype)
+        out[m] = vals[pos]
+    if out is None:
+        raise ValueError("missing row in broadcast lookup")
+    return out
 
 
 def make_dedupe_verify_broadcast(min_band_collisions: int, threshold: float,
@@ -863,27 +920,6 @@ def make_dedupe_verify_broadcast(min_band_collisions: int, threshold: float,
     (a < b). ``lookup`` is build_embedding_lookup's (shard refs, shift)."""
 
     shard_refs, shift = lookup
-
-    def _gather_rows(shards, keys: np.ndarray) -> np.ndarray:
-        """keys -> (n, dim) float32 rows from the sharded sorted lookup."""
-        if len(shards) > 1:
-            sid = (keys.view(np.uint64) >> np.uint64(shift)).astype(np.int64)
-        out = None
-        for s, (nodes, mat) in enumerate(shards):
-            m = sid == s if len(shards) > 1 else np.ones(len(keys), bool)
-            if not m.any():
-                continue
-            ks = keys[m]
-            pos = np.searchsorted(nodes, ks)
-            if len(nodes) == 0 or pos.max(initial=-1) >= len(nodes) or (
-                    nodes[np.minimum(pos, len(nodes) - 1)] != ks).any():
-                raise ValueError("missing row in broadcast-verify lookup")
-            if out is None:
-                out = np.empty((len(keys), mat.shape[1]), dtype=np.float32)
-            out[m] = mat[pos]
-        if out is None:
-            raise ValueError("missing row in broadcast-verify lookup")
-        return out
 
     def dedupe_verify_bucket(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
@@ -903,8 +939,8 @@ def make_dedupe_verify_broadcast(min_band_collisions: int, threshold: float,
         a = ks[starts[keep]]
         b = os_[starts[keep]]
         shards = ray.get(list(shard_refs))  # zero-copy shared-memory views
-        A = _gather_rows(shards, a).astype(np.float64)
-        Bm = _gather_rows(shards, b).astype(np.float64)
+        A = gather_from_shards(shards, a, shift, 1).astype(np.float64)
+        Bm = gather_from_shards(shards, b, shift, 1).astype(np.float64)
         dots = np.einsum("ij,ij->i", A, Bm)
         na = np.sqrt(np.einsum("ij,ij->i", A, A))
         nb = np.sqrt(np.einsum("ij,ij->i", Bm, Bm))

@@ -100,7 +100,7 @@ def run_dedup(
     collect_stats: bool = False,
     verify_mode: str = "auto",  # auto | broadcast | endpoint | inband (P6+P7)
     component_mode: str = "auto",  # auto | distributed
-    driver_component_limit: int = 2_000_000,
+    driver_component_limit: int = 20_000_000,
     broadcast_verify_limit: int = 8_000_000,
     ckpt=None,                # state.manifest.CheckpointManager for resume
     stop_after: str = "",     # testing hook: abort after this stage's checkpoint

@@ -2,15 +2,16 @@
 
 Distributed, join-free formulation (SURVEY.md §7.4): each iteration is a
 tagged union of the current labels with the (static) symmetric adjacency
-rows, one groupby(node) to propagate each node's current min label to its
-neighbors, and one groupby(node) min-reduce. Dup components at threshold
-0.15 are small/star-like, so the loop converges in a few rounds; a round
-cap guards pathological graphs.
+rows, one COARSE-BUCKET groupby (node % n_buckets, vectorized reduceat
+kernel — never one Python call per node) to propagate each node's current
+min label to its neighbors, and one bucketed min-reduce. Dup components at
+threshold 0.15 are small/star-like, so the loop converges in a few rounds;
+a round cap guards pathological graphs.
 
-Labels are rid strings; min(label) == the lexicographically smallest member
-rid == the earliest turn in stable order, so the component root is exactly
-the reference's "first wins" canonical row. No hashed labels -> no label
-collisions at any scale.
+Nodes are int64 rh hashes in the pipeline (min label == deterministic
+canonical root) or rid strings in the generic variant (min(label) == the
+lexicographically smallest member rid == the earliest turn in stable order,
+exactly the reference's "first wins" canonical row).
 """
 
 from __future__ import annotations
@@ -119,7 +120,7 @@ def union_find_labels(edges_df: pd.DataFrame) -> pd.DataFrame:
 
 
 def connected_components_auto(
-    edges: rd.Dataset, driver_limit: int = 2_000_000, max_rounds: int = 12
+    edges: rd.Dataset, driver_limit: int = 20_000_000, max_rounds: int = 12
 ) -> rd.Dataset:
     """Auto: driver union-find when the edge set is small, else the
     distributed hash-min loop."""
@@ -138,18 +139,6 @@ def connected_components_auto(
 # every exchange column pure int64 (None/NaN would coerce to object/float64
 # and float64 corrupts 64-bit hash values)
 _INT_SENT = np.iinfo(np.int64).max
-
-
-def _propagate_group_num(g: pd.DataFrame) -> pd.DataFrame:
-    labels = g["label"].to_numpy()
-    labels = labels[labels != _INT_SENT]
-    own = g["node"].iloc[0]
-    lbl = min(labels.min(), own) if len(labels) else own
-    neighbors = g["neighbor"].to_numpy()
-    neighbors = np.unique(neighbors[neighbors != _INT_SENT])
-    nodes = np.concatenate([[own], neighbors])
-    return pd.DataFrame({"node": nodes, "label": np.full(len(nodes), lbl,
-                                                         dtype=np.int64)})
 
 
 def connected_components(
@@ -176,17 +165,77 @@ def connected_components(
     return _connected_components_str(edges, max_rounds)
 
 
+def _node_bucket(node: np.ndarray, n_buckets: int) -> np.ndarray:
+    return (node.view(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
+
+
+def _propagate_bucket_num(n_buckets: int):
+    """Vectorized propagate kernel over ONE coarse node-bucket: rows are the
+    union of current labels (neighbor == sentinel) and adjacency rows
+    (label == sentinel), all of whose node keys share the bucket. For each
+    node: lbl = min(own id, incoming labels); emit (node, lbl) and
+    (neighbor, lbl) re-keyed by the neighbor's bucket. numpy reduceat over
+    the node-sorted block — NO per-node Python calls (Ray's map_groups costs
+    ~100us per group; one call per graph node was measured at 8M rows to be
+    slower than the whole rest of the pipeline by an order of magnitude)."""
+
+    def propagate_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        node = g["node"].to_numpy()
+        label = g["label"].to_numpy()
+        neigh = g["neighbor"].to_numpy()
+        order = np.argsort(node, kind="mergesort")
+        node, label, neigh = node[order], label[order], neigh[order]
+        starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+        node_u = node[starts]
+        # sentinel == int64 max, so it never wins a min
+        lbl_min = np.minimum(np.minimum.reduceat(label, starts), node_u)
+        sizes = np.diff(np.r_[starts, len(node)])
+        rep = np.repeat(lbl_min, sizes)
+        is_n = neigh != _INT_SENT
+        out_nodes = np.concatenate([node_u, neigh[is_n]])
+        out_labels = np.concatenate([lbl_min, rep[is_n]])
+        return pd.DataFrame(
+            {"node": out_nodes, "label": out_labels,
+             "bucket": _node_bucket(out_nodes, n_buckets)}
+        )
+
+    return propagate_bucket
+
+
+def _min_label_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized min-label reduce over one coarse node-bucket."""
+    node = g["node"].to_numpy()
+    label = g["label"].to_numpy()
+    order = np.argsort(node, kind="mergesort")
+    node, label = node[order], label[order]
+    starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+    return pd.DataFrame(
+        {"node": node[starts], "label": np.minimum.reduceat(label, starts)}
+    )
+
+
 def _connected_components_numeric(
-    edges: rd.Dataset, max_rounds: int = 12
+    edges: rd.Dataset, max_rounds: int = 12, n_buckets: int = 128
 ) -> rd.Dataset:
     """Numeric-node variant: every exchanged column stays int64 (missing ==
-    _INT_SENT), so the propagation shuffles move fixed-width buffers."""
+    _INT_SENT), the propagation shuffles move fixed-width buffers, and every
+    wide op is a coarse-bucket groupby with a vectorized kernel (the same
+    design rule as the dedup pipeline's shuffles — SURVEY.md §7.4)."""
+
+    def named(fn, name):
+        def wrapper(g):
+            return fn(g)
+        wrapper.__name__ = name
+        return wrapper
 
     def symmetrize(df: pd.DataFrame) -> pd.DataFrame:
+        node = np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()])
         return pd.DataFrame(
             {
-                "node": np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()]),
+                "node": node,
                 "neighbor": np.concatenate([df["b"].to_numpy(), df["a"].to_numpy()]),
+                "label": np.full(len(node), _INT_SENT, dtype=np.int64),
+                "bucket": _node_bucket(node, n_buckets),
             }
         )
 
@@ -194,13 +243,16 @@ def _connected_components_numeric(
     adj = adj.materialize()
 
     def init_labels(df: pd.DataFrame) -> pd.DataFrame:
-        nodes = df["node"].unique()
-        return pd.DataFrame({"node": nodes, "label": nodes})
+        nodes = np.unique(df["node"].to_numpy())
+        return pd.DataFrame(
+            {"node": nodes, "label": nodes,
+             "bucket": _node_bucket(nodes, n_buckets)}
+        )
 
     labels = (
         adj.map_batches(init_labels, batch_format="pandas")
-        .groupby("node")
-        .map_groups(_min_label_group, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(named(_min_label_bucket, "min_label"), batch_format="pandas")
         .materialize()
     )
 
@@ -217,23 +269,19 @@ def _connected_components_numeric(
     prev = checksum(labels)
     for _ in range(max_rounds):
         def tag_label(df: pd.DataFrame) -> pd.DataFrame:
-            out = df.copy()
+            out = df[["node", "label"]].copy()
             out["neighbor"] = np.int64(_INT_SENT)
-            return out
+            out["bucket"] = _node_bucket(out["node"].to_numpy(), n_buckets)
+            return out[["node", "neighbor", "label", "bucket"]]
 
-        def tag_adj(df: pd.DataFrame) -> pd.DataFrame:
-            out = df.copy()
-            out["label"] = np.int64(_INT_SENT)
-            return out[["node", "label", "neighbor"]]
-
-        combined = labels.map_batches(tag_label, batch_format="pandas").union(
-            adj.map_batches(tag_adj, batch_format="pandas")
-        )
+        combined = labels.map_batches(tag_label, batch_format="pandas").union(adj)
         new_labels = (
-            combined.groupby("node")
-            .map_groups(_propagate_group_num, batch_format="pandas")
-            .groupby("node")
-            .map_groups(_min_label_group, batch_format="pandas")
+            combined.groupby("bucket")
+            .map_groups(named(_propagate_bucket_num(n_buckets), "propagate"),
+                        batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(named(_min_label_bucket, "min_label"),
+                        batch_format="pandas")
             .materialize()
         )
         cur = checksum(new_labels)
@@ -241,7 +289,18 @@ def _connected_components_numeric(
         if cur == prev:
             break
         prev = cur
-    return labels
+    else:
+        # one-hop propagation converges in O(component diameter) rounds;
+        # dup components at threshold 0.15 are star-like (diameter ~2-4).
+        # A graph that is still moving after max_rounds would get silently
+        # under-merged labels — make that loud instead.
+        import warnings
+
+        warnings.warn(
+            f"connected_components: no fixpoint after {max_rounds} rounds; "
+            "labels may be under-merged (raise max_rounds for "
+            "high-diameter graphs)", RuntimeWarning)
+    return labels.drop_columns(["bucket"]) if "bucket" in labels.schema().names else labels
 
 
 def _connected_components_str(

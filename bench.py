@@ -45,7 +45,9 @@ def transcripts_path() -> str:
     n_convs = int(
         os.environ.get("RAY_GRAFT_CONVS", _SF_TO_CONVS.get(_sf_name(), 12_000))
     )
-    path = f"/tmp/distill_ray_bench/transcripts_{n_convs}x{TURNS_PER_CONV}.parquet"
+    # v2: Heaps-law vocabulary (see sources/transcripts._word_pool) — the tag
+    # keeps stale fixed-vocab caches from earlier rounds out of the bench
+    path = f"/tmp/distill_ray_bench/transcripts_v2_{n_convs}x{TURNS_PER_CONV}.parquet"
     return write_transcripts_parquet(path, n_convs, TURNS_PER_CONV, seed=42)
 
 

@@ -5,7 +5,9 @@ Schema per BASELINE.json input_hint:
   tool: string, ts: timestamp[us]
 
 The text mixture plants the dedup targets the pipeline must find:
-  (a) unique sentences from a word pool
+  (a) unique sentences from a word pool sized to the corpus (Heaps' law —
+      see _word_pool; a fixed pool makes background band collisions grow
+      quadratically with corpus size, a regime no real corpus exhibits)
   (b) exact duplicates of other turns (cross- and intra-conversation)
   (c) near-duplicates: 1-2 word substitutions, or filler-phrase/whitespace
       perturbations that the normalizer (pruner.go semantics) removes
@@ -26,17 +28,36 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-_WORD_POOL = np.array(
-    [f"tok{i:03d}" for i in range(160)]
-    + [
-        "data", "query", "table", "batch", "merge", "filter", "value",
-        "result", "index", "shard", "block", "stream", "window", "group",
-        "order", "join", "scan", "hash", "sort", "cache", "plan", "stage",
-        "agent", "model", "prompt", "context", "memory", "session",
-        "should", "important", "decided", "error", "timeout", "running",
-        "finished", "restart", "deploy", "config", "update", "review",
-    ]
-)
+_COMMON_WORDS = [
+    "data", "query", "table", "batch", "merge", "filter", "value",
+    "result", "index", "shard", "block", "stream", "window", "group",
+    "order", "join", "scan", "hash", "sort", "cache", "plan", "stage",
+    "agent", "model", "prompt", "context", "memory", "session",
+    "should", "important", "decided", "error", "timeout", "running",
+    "finished", "restart", "deploy", "config", "update", "review",
+]
+
+
+def _word_pool(n_rows: int, vocab_size: int | None = None) -> np.ndarray:
+    """Word pool sized to the corpus (Heaps' law: V ~ K * W^beta).
+
+    A FIXED pool is degenerate at scale: with 200 words, two *unrelated*
+    8-18-word rows share ~0.7 tokens in expectation (unigram Jaccard
+    ~0.03), so MinHash band collisions between non-duplicates grow
+    QUADRATICALLY with corpus size — measured 71.9M gated pair emissions
+    for only 3.09M real candidates at 2M rows, and an object-store
+    spill-out at 8M rows. No real transcript corpus behaves like this:
+    vocabulary grows with corpus size (Heaps' law, beta ~ 0.4-0.6), which
+    keeps the background near-dup rate ~zero while true duplicates stay
+    true. V = max(200, 2*sqrt(W)) gives ~200 at unit-test scale (so the
+    oracle-checked fixtures keep their planted structure) and ~10k at the
+    2M-row bench (background band collisions ~ O(1) instead of O(N^2)).
+    """
+    if vocab_size is None:
+        est_words = max(1, n_rows) * 13  # mean sentence length
+        vocab_size = max(200, int(2.0 * est_words ** 0.5))
+    n_tok = max(0, vocab_size - len(_COMMON_WORDS))
+    return np.array([f"tok{i:05d}" for i in range(n_tok)] + _COMMON_WORDS)
 
 _HOT_ROWS = np.array(["ok", "done", "thanks", "yes", "sounds good", "on it"])
 
@@ -48,11 +69,15 @@ _FILLER_PREFIXES = np.array(
 ROLES = ("user", "assistant", "tool", "system")
 
 
-def _make_sentences(rng: np.random.Generator, n: int, min_w=8, max_w=18) -> np.ndarray:
+def _make_sentences(
+    rng: np.random.Generator, n: int, min_w=8, max_w=18, pool: np.ndarray | None = None
+) -> np.ndarray:
     """n random sentences from the pool, vectorized draw + python join."""
+    if pool is None:
+        pool = _word_pool(n)
     lens = rng.integers(min_w, max_w + 1, size=n)
     total = int(lens.sum())
-    words = _WORD_POOL[rng.integers(0, len(_WORD_POOL), size=total)]
+    words = pool[rng.integers(0, len(pool), size=total)]
     out = np.empty(n, dtype=object)
     pos = 0
     for i in range(n):
@@ -67,9 +92,11 @@ def generate_transcripts(
     turns_per_conv: int = 8,
     seed: int = 42,
     shuffled: bool = True,
+    vocab_size: int | None = None,
 ) -> pd.DataFrame:
     rng = np.random.default_rng(seed)
     n = n_convs * turns_per_conv
+    pool = _word_pool(n, vocab_size)
 
     conv_num = np.repeat(np.arange(n_convs), turns_per_conv)
     turn_idx = np.tile(np.arange(turns_per_conv), n_convs).astype(np.int32)
@@ -88,7 +115,7 @@ def generate_transcripts(
     )
 
     # text mixture
-    base = _make_sentences(rng, n)
+    base = _make_sentences(rng, n, pool=pool)
     kind = rng.choice(
         np.array(["unique", "exact", "near", "span", "hot"]),
         size=n,
@@ -129,12 +156,12 @@ def generate_transcripts(
     span_rows = np.flatnonzero(kind == "span")
     n_spans = max(1, len(span_rows) // 20)
     span_texts = [
-        " ".join(_WORD_POOL[rng.integers(0, len(_WORD_POOL), size=55)])
+        " ".join(pool[rng.integers(0, len(pool), size=55)])
         for _ in range(n_spans)
     ]
     which = rng.integers(0, n_spans, size=len(span_rows))
-    pre = _make_sentences(rng, len(span_rows), 4, 8)
-    post = _make_sentences(rng, len(span_rows), 4, 8)
+    pre = _make_sentences(rng, len(span_rows), 4, 8, pool=pool)
+    post = _make_sentences(rng, len(span_rows), 4, 8, pool=pool)
     for k, row in enumerate(span_rows):
         text[row] = pre[k] + " " + span_texts[which[k]] + " " + post[k]
 

@@ -157,8 +157,14 @@ def run_scaling() -> dict:
 
     # the sandbox host drifts (observed +-40% between identical runs minutes
     # apart) — interleave the legs A/B style and take the per-leg MIN so
-    # slow phases of the host hit both levels symmetrically
-    lo, hi = 8, 32
+    # slow phases of the host hit both levels symmetrically.
+    # Levels are N and 4N (the north rule's cluster-size ratio); see
+    # BASELINE.md for why both (2, 8) and (8, 32) are reported on this
+    # single-box stand-in (at 32 CPUs all workers share ONE memory bus, so
+    # the wide exchanges hit a bandwidth floor a real 4N-node cluster —
+    # which adds a bus per node — does not have).
+    lo = int(os.environ.get("RAY_GRAFT_SCALE_LO", "8"))
+    hi = 4 * lo
     times = {lo: [], hi: []}
     phases = {lo: None, hi: None}
     rows = None
@@ -174,17 +180,17 @@ def run_scaling() -> dict:
     t_hi = min(times[hi])
     eff = (t_lo / t_hi) / (hi / lo)
     return {
-        "metric": "dedup pipeline scaling 8 -> 32 CPUs (interleaved, min of 3)",
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "all_sec_8": times[lo],
-        "all_sec_32": times[hi],
+        "metric": f"dedup pipeline scaling {lo} -> {hi} CPUs (interleaved, min of 3)",
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"all_sec_{lo}": times[lo],
+        f"all_sec_{hi}": times[hi],
         "rows": rows,
-        "throughput_8": round(rows / t_lo, 1),
-        "throughput_32": round(rows / t_hi, 1),
+        f"throughput_{lo}": round(rows / t_lo, 1),
+        f"throughput_{hi}": round(rows / t_hi, 1),
         "scaling_efficiency": round(eff, 3),
-        "phases_8": phases[lo],
-        "phases_32": phases[hi],
+        f"phases_{lo}": phases[lo],
+        f"phases_{hi}": phases[hi],
     }
 
 

@@ -262,12 +262,33 @@ def run_dedup(
         )
     elif verify_mode == "broadcast":
         lookup_ref = build_embedding_lookup(sk)
+
+        def _bounded(ds: rd.Dataset) -> rd.Dataset:
+            """Coalesce before a wide op ONLY when the (materialized, so
+            metadata-only) block count is actually unbounded. The sort
+            shuffle's cost is quadratic in partition count (see the P
+            comment above), but when the upstream already has ~P blocks the
+            repartition is a full extra copy pass over the exchange for
+            nothing — on the band multiset that is ~0.8 GB of single-box
+            bus time, pure fixed cost on the scaling-critical path."""
+            import os as _os
+
+            if _os.environ.get("DISTILL_RAY_FORCE_REPART") == "1":
+                return ds.repartition(P)  # A/B hook: pre-round-2c behavior
+            try:
+                n = ds.num_blocks()  # metadata-only on MaterializedDataset
+            except (NotImplementedError, AttributeError):
+                n = None  # lazy (e.g. checkpoint re-read): bound it
+            return ds.repartition(P) if (n is None or n > 2 * P) else ds
+
         # band rows drop the simhash column (the gate reads it from the
-        # broadcast shards) — the widest exchange shrinks 28 -> 16 B/row
+        # broadcast shards) — the widest exchange shrinks 28 -> 16 B/row.
+        # The expand map keeps sk's (bounded) block count, so the band
+        # multiset goes straight into the sort shuffle un-repartitioned.
         raw_pairs = (
-            sk.map_batches(make_expand_bands_numeric(B, include_simhash=False),
-                           batch_format="pandas")
-            .repartition(P)
+            _bounded(sk).map_batches(
+                make_expand_bands_numeric(B, include_simhash=False),
+                batch_format="pandas")
             .groupby("bucket")
             .map_groups(
                 _named(BandPairNumericBucket(cfg, narrow=True,
@@ -276,7 +297,7 @@ def run_dedup(
                 batch_format="pyarrow")
         ).materialize()  # barrier between consecutive wide ops (see endpoint)
         edges = (
-            raw_pairs.repartition(P)
+            _bounded(raw_pairs)
             .groupby("kbucket")
             .map_groups(
                 _named(
@@ -373,6 +394,13 @@ def run_dedup(
                 comp = np.zeros(len(rh), dtype=np.int64)
             df["component"] = comp
             df["in_comp"] = hit
+            # the embedding is only read by the per-component refiner;
+            # singletons (the vast majority) carry 256 dead bytes each
+            # through the p8 materialize otherwise — null it out here
+            if not hit.all():
+                emb = df["emb"].to_numpy(copy=True)
+                emb[~hit] = None
+                df["emb"] = emb
             return df
 
         rows = sk.map_batches(attach_labels, batch_format="pandas")

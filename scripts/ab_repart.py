@@ -1,0 +1,62 @@
+"""A/B probe: skip-vs-force the pre-groupby repartition in broadcast verify.
+
+Interleaved legs (A/B/A/B x repeat, fresh process each) at one CPU level on
+the cached 2M-row bench input; reports per-variant min (the only trustworthy
+statistic on this host — see BASELINE.md's noise note). Variant A = guarded
+skip (HEAD), variant B = DISTILL_RAY_FORCE_REPART=1 (always repartition).
+
+Usage: python scripts/ab_repart.py [num_cpus] [repeat]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def leg(ncpu: int, force: bool) -> dict:
+    env = dict(
+        os.environ,
+        RAY_GRAFT_CPUS=str(ncpu),
+        RAY_GRAFT_REPEAT="1",
+        RAY_GRAFT_DEDUP_ONLY="1",
+        RAY_GRAFT_CONVS="250000",
+    )
+    if force:
+        env["DISTILL_RAY_FORCE_REPART"] = "1"
+    out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bench.py")],
+        env=env, capture_output=True, text=True, check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ncpu = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    repeat = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    res = {"skip": [], "force": []}
+    phases = {"skip": None, "force": None}
+    for _ in range(repeat):
+        for name, force in (("skip", False), ("force", True)):
+            r = leg(ncpu, force)
+            t = r["queries"]["dedup_transcripts"]
+            if not res[name] or t < min(res[name]):
+                phases[name] = r.get("dedup_phases")
+            res[name].append(t)
+    print(json.dumps({
+        "num_cpus": ncpu,
+        "min_skip": min(res["skip"]),
+        "min_force": min(res["force"]),
+        "all_skip": res["skip"],
+        "all_force": res["force"],
+        "phases_skip": phases["skip"],
+        "phases_force": phases["force"],
+    }))
+
+
+if __name__ == "__main__":
+    main()

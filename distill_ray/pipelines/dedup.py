@@ -288,7 +288,7 @@ def run_dedup(
         raw_pairs = (
             _bounded(sk).map_batches(
                 make_expand_bands_numeric(B, include_simhash=False),
-                batch_format="pandas")
+                batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(
                 _named(BandPairNumericBucket(cfg, narrow=True,
@@ -326,7 +326,7 @@ def run_dedup(
         # anyway, so the extra cost is one bounded object-store copy of
         # the (narrow) pair exchange, not a semantic change.
         raw_pairs = (
-            sk.map_batches(make_expand_bands_numeric(B), batch_format="pandas")
+            sk.map_batches(make_expand_bands_numeric(B), batch_format="pyarrow")
             .repartition(P)
             .groupby("bucket")
             .map_groups(_named(BandPairNumericBucket(cfg), "band_pairs"),

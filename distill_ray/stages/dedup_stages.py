@@ -179,7 +179,14 @@ class Sketcher:
         return _sketch_impl(df, self.cfg, self.seeds)
 
 
-def _sketch_impl(df: pd.DataFrame, cfg: DedupConfig, seeds: np.ndarray) -> pd.DataFrame:
+def _fixed_binary(mat: np.ndarray, width: int) -> pa.Array:
+    """(n, w) numpy matrix -> Arrow fixed_size_binary(width) column with ONE
+    memcpy of the packed data buffer — no per-row Python bytes objects."""
+    buf = pa.py_buffer(np.ascontiguousarray(mat).tobytes())
+    return pa.Array.from_buffers(pa.binary(width), len(mat), [None, buf])
+
+
+def _sketch_impl(df: pd.DataFrame, cfg: DedupConfig, seeds: np.ndarray) -> pa.Table:
     texts = df["norm_text"].reset_index(drop=True)
     th, dl = tokenize_series(texts)
     emb = embed_from_token_hashes(th, dl, cfg.embed_dim)
@@ -187,20 +194,29 @@ def _sketch_impl(df: pd.DataFrame, cfg: DedupConfig, seeds: np.ndarray) -> pd.Da
     sig = minhash_signatures(sh, spd, seeds)
     bands = lsh_band_keys(sig, cfg.lsh_bands).view(np.int64)
     sims = simhash64(th, dl).view(np.int64)
-    out = df[["rid", "conv_id", "turn_idx", "norm_text"]].reset_index(drop=True).copy()
-    # rh = the numeric row identity (FNV-1a 64 of rid) used by every
-    # downstream exchange (band rows, carriers, edges, component labels) —
-    # computed ONCE here so no stage re-hashes rid strings
-    out["rh"] = rid_hash64(out["rid"].to_numpy())
-    # embeddings and band keys travel as fixed-width binary: Arrow tensor
-    # extension types don't survive acero joins or parquet checkpoints
-    # (pandas-metadata round-trip), and bytes shuffle cheaper
-    out["emb"] = [e.tobytes() for e in emb]
-    out["simhash"] = sims
-    out["bands"] = [b.tobytes() for b in bands]
-    # rows with zero tokens never band-collide meaningfully; mark them
-    out["n_tokens"] = dl
-    return out
+    # Arrow table out (this is the signature checkpoint, materialized and
+    # read by three consumers — pandas blocks would pickle ~550 B/row of
+    # Python objects per copy). Embeddings and band keys travel as
+    # fixed-width binary: Arrow tensor extension types don't survive acero
+    # joins or parquet checkpoints (pandas-metadata round-trip), and the
+    # packed buffers are built with one memcpy each.
+    return pa.table(
+        {
+            "rid": pa.array(df["rid"].to_numpy()),
+            "conv_id": pa.array(df["conv_id"].to_numpy()),
+            "turn_idx": pa.array(df["turn_idx"].to_numpy()),
+            "norm_text": pa.array(texts.to_numpy()),
+            # rh = the numeric row identity (FNV-1a 64 of rid) used by every
+            # downstream exchange (band rows, carriers, edges, component
+            # labels) — computed ONCE here so no stage re-hashes rid strings
+            "rh": pa.array(rid_hash64(df["rid"].to_numpy())),
+            "emb": _fixed_binary(emb, cfg.embed_dim * 4),
+            "simhash": pa.array(sims),
+            "bands": _fixed_binary(bands, cfg.lsh_bands * 8),
+            # rows with zero tokens never band-collide meaningfully
+            "n_tokens": pa.array(dl),
+        }
+    )
 
 
 def make_expand_bands(n_buckets: int, carry_emb: bool = True):
@@ -381,23 +397,27 @@ def make_expand_bands_numeric(n_buckets: int, include_simhash: bool = True):
 
     schema = _BAND_SCHEMA if include_simhash else _BAND_SCHEMA_NARROW
 
-    def expand_bands_numeric(df: pd.DataFrame) -> pa.Table:
-        df = df[df["n_tokens"] > 0]
-        if df.empty:
+    def expand_bands_numeric(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.greater(t["n_tokens"], 0))
+        if t.num_rows == 0:
             return schema.empty_table()
-        n_bands = len(df["bands"].iloc[0]) // 8
-        rh0 = (df["rh"].to_numpy() if "rh" in df.columns
-               else rid_hash64(df["rid"].to_numpy()))
+        # (n, n_bands) int64 view straight off the fixed-width Arrow buffer
+        bm = binary_matrix(t["bands"], dtype=np.int64)
+        n_bands = bm.shape[1]
+        if "rh" in t.column_names:
+            rh0 = t["rh"].to_numpy()
+        else:
+            rh0 = rid_hash64(t["rid"].to_pandas().to_numpy())
         rh = np.repeat(rh0, n_bands)
-        keys64 = np.concatenate(
-            [np.frombuffer(b, dtype=np.int64) for b in df["bands"]]
-        )
+        keys64 = bm.reshape(-1)  # row-major: row i's bands are consecutive
         keys = (keys64.view(np.uint64) & np.uint64(0xFFFFFFFF)).astype(
             np.uint32).view(np.int32)
         bucket = (keys.view(np.uint32) % np.uint32(n_buckets)).astype(np.int32)
         arrays = [pa.array(keys), pa.array(rh)]
         if include_simhash:
-            arrays.append(pa.array(np.repeat(df["simhash"].to_numpy(), n_bands)))
+            arrays.append(pa.array(np.repeat(t["simhash"].to_numpy(), n_bands)))
         arrays.append(pa.array(bucket))
         return pa.Table.from_arrays(arrays, schema=schema)
 
@@ -692,6 +712,11 @@ def binary_matrix(arr, dtype=np.float32) -> np.ndarray:
     n = len(arr)
     if n == 0:
         return np.empty((0, 0), dtype=dtype)
+    if pa.types.is_fixed_size_binary(arr.type):
+        w = arr.type.byte_width
+        data = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+        start = arr.offset * w
+        return data[start: start + n * w].view(dtype).reshape(n, -1)
     off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
     offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
         arr.offset: arr.offset + n + 1
@@ -735,7 +760,18 @@ def make_carrier_rows(n_buckets: int):
         emb = t["emb"]
         if isinstance(emb, pa.ChunkedArray):
             emb = emb.combine_chunks()
-        if emb.type != pa.large_binary():
+        if pa.types.is_fixed_size_binary(emb.type):
+            # fixed_size_binary -> large_binary via one offsets build (the
+            # PAIRX schema's emb slot must also hold the null varlen of
+            # non-carrier pair rows, which fixed width cannot)
+            mat = binary_matrix(emb, dtype=np.uint8)
+            w = emb.type.byte_width
+            offs = np.arange(0, (len(emb) + 1) * w, w, dtype=np.int64)
+            emb = pa.Array.from_buffers(
+                pa.large_binary(), len(emb),
+                [None, pa.py_buffer(offs), pa.py_buffer(mat.tobytes())],
+            )
+        elif emb.type != pa.large_binary():
             emb = emb.cast(pa.large_binary())
         return pa.Table.from_arrays(
             [pa.array(k), pa.array(k), emb,

@@ -129,6 +129,7 @@ def oracle_sql() -> dict[str, str]:
         "prefix_partition": qa.PREFIX_PARTITION_SQL,
         "commit_patterns": qa.COMMIT_PATTERNS_SQL,
         "multimodal_decode": qo.MULTIMODAL_DECODE_SQL,
+        "prune_docs": qo.PRUNE_DOCS_SQL,
         "langid_docs": qo.LANGID_SQL,
         "cache_boundary": qa.CACHE_BOUNDARY_SQL,
         "prefix_stability": qa.PREFIX_STABILITY_SQL,

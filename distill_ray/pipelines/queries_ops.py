@@ -960,6 +960,44 @@ def q_prune_docs(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(pr, batch_format="pandas")
 
 
+def _prune_docs_sql() -> str:
+    """DuckDB oracle for q_prune_docs, generated from the SAME pattern list
+    as the kernel (kernels/textproc.FILLER_PHRASES + the 6 pattern passes of
+    pruner.go:105-137) so the two can never drift. DuckDB's regex engine is
+    RE2; every pattern here is RE2-compatible ((?i), \\b, literal phrases),
+    and RE2's global replace has the same non-overlapping left-to-right
+    restart semantics as Python re.sub. Python str.strip() strips all
+    whitespace, so trim() gets the explicit whitespace charset."""
+    import re as _re
+
+    from distill_ray.kernels.textproc import FILLER_PHRASES
+
+    expr = "text"
+    for p in FILLER_PHRASES:
+        pat = r"(?i)\b" + _re.escape(p) + r"\b[,]?\s*"
+        expr = f"regexp_replace({expr}, '{pat}', '', 'g')"
+    # replacement strings are SQL fragments: the \n\n must be REAL newlines
+    # (RE2 replacements only interpret backreferences, not escape codes),
+    # and the \1 backref must NOT go through e-string escape processing
+    for pat, rep_sql in (
+        (r"\s+", "' '"),
+        (r"\.{2,}", "'.'"),
+        (r"\n{3,}", "e'\\n\\n'"),
+        (r"(?i)\b(very|really|quite)\s+", "''"),
+        (r"\s{2,}", "' '"),
+        (r"\s+([.,;:!?])", r"'\1'"),
+    ):
+        expr = f"regexp_replace({expr}, '{pat}', {rep_sql}, 'g')"
+    # Python str.strip() charset, as a DuckDB e-string
+    return (
+        f"SELECT doc_id, trim({expr}, e' \\t\\n\\r\\x0b\\x0c') AS pruned "
+        "FROM documents"
+    )
+
+
+PRUNE_DOCS_SQL = _prune_docs_sql()
+
+
 # ---------------------------------------------------------------------------
 # multimodal binary columns: real PNG/WAV synthesis + decode
 

@@ -329,3 +329,40 @@ def test_cache_family_sql_oracle_parity(qname, sqlname):
     )
     pd.testing.assert_frame_equal(mine[sorted(mine.columns)],
                                   want[sorted(want.columns)])
+
+
+def test_prune_sql_oracle_parity(tmp_path):
+    """PRUNE_DOCS_SQL (generated regexp_replace chain, RE2) must equal the
+    sequential-regex kernel on inputs exercising every pass: filler phrases
+    (with/without trailing comma), whitespace runs, dot runs, newline runs,
+    intensifiers, space-before-punctuation and edge trimming."""
+    import duckdb
+
+    from distill_ray.pipelines.queries_ops import PRUNE_DOCS_SQL, q_prune_docs
+
+    texts = [
+        "Basically, the plan is simple.",
+        "It is important to note that X.  As a matter of fact , Y...",
+        "very   spaced    out , text !",
+        "needless to say this is REALLY loud\n\n\n\nnew paragraph",
+        "  \t padded  ...... and quite done .  ",
+        "no fillers here",
+        "",
+        "OF COURSE, case insensitive; allow me to demonstrate",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    sf = str(tmp_path)
+    df.to_parquet(f"{sf}/documents.parquet")
+
+    got = (
+        q_prune_docs(sf).to_pandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(PRUNE_DOCS_SQL).df().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)

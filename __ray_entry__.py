@@ -130,6 +130,7 @@ def oracle_sql() -> dict[str, str]:
         "commit_patterns": qa.COMMIT_PATTERNS_SQL,
         "multimodal_decode": qo.MULTIMODAL_DECODE_SQL,
         "prune_docs": qo.PRUNE_DOCS_SQL,
+        "ngram_jaccard_topk": qo.NGRAM_JACCARD_TOPK_SQL,
         "langid_docs": qo.LANGID_SQL,
         "cache_boundary": qa.CACHE_BOUNDARY_SQL,
         "prefix_stability": qa.PREFIX_STABILITY_SQL,

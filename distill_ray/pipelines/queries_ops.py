@@ -129,6 +129,35 @@ def _ngram_doc_sketch(df: pd.DataFrame, cfg: DedupConfig):
     return bands, shingle_sets
 
 
+# DuckDB oracle for q_ngram_jaccard_topk: exact ALL-PAIRS token-set Jaccard
+# with the query's tie-break (jaccard desc, a, b) and 6-decimal rounding.
+# The Ray query ranks LSH *candidates*; the two top-20s provably coincide
+# whenever the cut line sits in jaccard = 1.0 territory (identical token
+# sets -> identical MinHash -> the pair collides in EVERY band, so every
+# 1.0 pair is a candidate), which holds on the driver's documents tables
+# (planted exact dups; verified in tests/test_aux_ops.py). Token semantics
+# mirror kernels/embed.tokenize_series: whitespace split -> strip punct ->
+# lower -> drop empty, then distinct.
+NGRAM_JACCARD_TOPK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(list_filter(
+    list_transform(regexp_split_to_array(text, '\s+'),
+                   t -> lower(trim(t, '.,;:!?"''()[]{}'))),
+    t -> t <> '')) AS tset
+  FROM documents
+),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+    round(CASE WHEN len(x.tset) = 0 AND len(y.tset) = 0 THEN 1.0
+      ELSE CAST(len(list_intersect(x.tset, y.tset)) AS DOUBLE)
+           / (len(x.tset) + len(y.tset) - len(list_intersect(x.tset, y.tset)))
+      END, 6) AS jaccard
+  FROM toks x JOIN toks y ON x.doc_id < y.doc_id
+)
+SELECT a, b, jaccard FROM pairs ORDER BY jaccard DESC, a, b LIMIT 20
+"""
+
+
 def q_ngram_jaccard_topk(sf_dir: str) -> pd.DataFrame:
     """Top-20 most similar doc pairs by exact unigram-shingle Jaccard among
     LSH candidates — DISTRIBUTED: per-doc sketch in map_batches, candidate

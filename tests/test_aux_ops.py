@@ -256,6 +256,23 @@ def test_ngram_jaccard_topk_matches_driver_oracle():
         got.astype({"a": "int64", "b": "int64"}), oracle.astype({"a": "int64", "b": "int64"})
     )
 
+    # the ALL-PAIRS SQL oracle must agree too: the cut line sits among
+    # jaccard = 1.0 pairs, which are full-band LSH candidates by identity
+    import duckdb
+
+    from distill_ray.pipelines.queries_ops import NGRAM_JACCARD_TOPK_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(NGRAM_JACCARD_TOPK_SQL).df()
+    pd.testing.assert_frame_equal(
+        got.astype({"a": "int64", "b": "int64"}),
+        want.astype({"a": "int64", "b": "int64"}),
+    )
+
 
 def test_langid_sql_oracle_parity(tmp_path):
     """LANGID_SQL (whitespace-split + set membership in DuckDB) must equal

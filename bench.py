@@ -54,12 +54,21 @@ def transcripts_path() -> str:
 def run_bench() -> dict:
     import ray
 
+    obj_gb = int(os.environ.get("RAY_GRAFT_OBJ_STORE_GB", "0"))
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             logging_level="ERROR")
+             logging_level="ERROR",
+             **({"object_store_memory": obj_gb << 30} if obj_gb else {}))
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # A/B hook: Ray 2.49's hash-shuffle strategy replaces the sort-based
+    # exchange (sample + range-partition + per-partition sort) with hash
+    # aggregator actors — different fixed-cost profile for the wide ops
+    if os.environ.get("DISTILL_RAY_SHUFFLE") == "hash":
+        from ray.data.context import ShuffleStrategy
+
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
 
     import ray.data as rd
 
@@ -68,6 +77,20 @@ def run_bench() -> dict:
     with open(path, "rb") as f:
         while f.read(1 << 24):
             pass
+
+    # warm the worker pool: spawn every worker process and import the heavy
+    # modules BEFORE the timed region. A long-lived cluster has warm workers;
+    # cold spawn + numpy/pandas/pyarrow import is a per-process fixed cost
+    # that would otherwise land inside the first timed phase and scale with
+    # CPU count (32 spawns vs 8), polluting the N-vs-4N comparison.
+    def _warm(batch):
+        import pandas as _pd  # noqa: F401
+        import pyarrow as _pa  # noqa: F401
+        from distill_ray.stages import dedup_stages  # noqa: F401
+        return batch
+
+    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        _warm, batch_format="pandas", batch_size=1).materialize()
 
     from distill_ray.pipelines.dedup import run_dedup
     from distill_ray.pipelines import queries as q

@@ -53,18 +53,19 @@ from distill_ray.stages.dedup_stages import (
     BandPairNumericBucket,
     EDGE_SCHEMA,
     build_embedding_lookup,
-    make_sketch_batch,
+    losers_table,
     make_dedupe_pairs_bucket,
     make_dedupe_verify_broadcast,
-    exact_dedup_bucket_arrow,
     make_add_text_hash_arrow,
     make_attach_b_verify_bucket,
     make_carrier_rows,
     make_dedupe_attach_a_bucket,
+    make_exact_dedup_sketch_bucket,
     make_expand_bands,
     make_expand_bands_numeric,
     prep_batch,
     rid_hash64,
+    winners_table,
 )
 from distill_ray.stages.refine import ComponentBucketRefiner
 
@@ -149,53 +150,21 @@ def run_dedup(
     # map/actor stages emit hundreds of small blocks; one cheap repartition
     # (no all-to-all — split/merge only) per wide op keeps the shuffle
     # matrix ~(2 x CPUs)^2 regardless of upstream task count.
-    P = max(2 * total_cpus, 16)
+    # ONE reduce wave per shuffle: a sort-shuffle's intermediate-object
+    # matrix is P x P, so partitions beyond the core count add quadratic
+    # scheduling/fetch overhead without any parallelism gain (measured at
+    # 2M rows x 32 CPUs: P=64 47.7/59.9 s vs P=32 36.1/43.2 s back-to-back,
+    # p6+p7 18.7 -> 12.7 s). On a multi-node cluster total_cpus is the
+    # cluster-wide count, so P still scales with the cluster.
+    P = max(total_cpus, 16)
+    import os as _os_p
+    if _os_p.environ.get("DISTILL_RAY_P"):
+        P = int(_os_p.environ["DISTILL_RAY_P"])  # A/B probe hook
 
     # P1 — normalize (stateless tasks)
     prep = transcripts.map_batches(prep_batch, batch_format="pandas",
                                    batch_size=cfg.batch_size)
 
-    # P2 — exact dedup: first-wins per normalized text (bucketed shuffle).
-    # Arrow end-to-end: the widest string shuffle of the pipeline moves
-    # Arrow buffers (memcpy serialization, C++ key sort), and the bucket
-    # kernel groups via dictionary_encode + group_by min — no pandas
-    # objects, no string sort (VERDICT r1 item 9).
-    import pyarrow.compute as _pc
-
-    canon = (
-        prep.map_batches(make_add_text_hash_arrow(B), batch_format="pandas")
-        .repartition(P)
-        .groupby("bucket")
-        .map_groups(exact_dedup_bucket_arrow, batch_format="pyarrow")
-        .drop_columns(["h"])
-    )
-
-    def split_uniques(t: "pa.Table") -> "pa.Table":
-        keep = _pc.equal(t["rid"], t["canon_rid"])
-        return t.filter(keep).drop_columns(["canon_rid"])
-
-    def split_dups(t: "pa.Table") -> "pa.Table":
-        keep = _pc.invert(_pc.equal(t["rid"], t["canon_rid"]))
-        return t.filter(keep).select(["rid", "conv_id", "turn_idx", "canon_rid"])
-
-    canon = _ckpt_or("canon", canon)
-    _mark("p2_exact_dedup")
-    uniques = canon.map_batches(split_uniques, batch_format="pyarrow")
-    dups = canon.map_batches(split_dups, batch_format="pyarrow")
-
-    # P5 — sketch: embeddings + MinHash bands + SimHash. STATELESS tasks,
-    # not an actor pool: the only per-worker state is a tiny seed table
-    # (module-cached in dedup_stages._cached_seeds), and the task form
-    # reuses the worker processes P1/P2 already warmed. The actor-pool
-    # variant measured 44 s wall at 2M rows (autoscaling ramp + actor
-    # startup) against ~4 s of kernel core-time and barely scaled 8->32;
-    # tasks ramp instantly and scale with the cluster.
-    # Materialized: it feeds band expansion, the verify exchange, and the
-    # refinement rows (this is also the natural signature checkpoint).
-    sk = uniques.map_batches(
-        make_sketch_batch(cfg),
-        batch_format="pandas", batch_size=cfg.batch_size,
-    )
     # the normalized text is only consumed by the representative selector's
     # "length"/"hybrid" strategies; under the default "score" strategy it
     # would ride ~200 B/row through the signature checkpoint, the component
@@ -204,10 +173,37 @@ def run_dedup(
     row_cols = ["rid", "conv_id", "turn_idx"] + (
         ["norm_text"] if need_text else []
     ) + ["rh", "emb"]
-    if not need_text:
-        sk = sk.drop_columns(["norm_text"])
-    sk = _ckpt_or("signatures", sk)
-    _mark("p5_sketch")
+
+    # P2+P5 FUSED — exact dedup (first-wins per normalized text, bucketed
+    # Arrow shuffle: string buffers serialize at memcpy speed, the key sort
+    # runs as pyarrow C++ kernels) and the signature sketch in the SAME
+    # bucket kernel. One wide stage and ONE materialize where round 2a had
+    # two: the normalized text dies inside the kernel instead of riding
+    # the canon checkpoint (~200 B/row) into a separate sketch pass. The
+    # sketch is stateless-task-shaped as before (tiny seed table module-
+    # cached per worker; an actor pool measured 44 s of ramp at 2M rows).
+    # The fused table is the signature checkpoint AND the dup map: winner
+    # rows carry (rh, emb, bands, simhash), exact-dup rows carry only
+    # canon_rid with typed-null signature columns.
+    import pyarrow.compute as _pc
+
+    fused = (
+        prep.map_batches(make_add_text_hash_arrow(B), batch_format="pandas")
+        .repartition(P)
+        .groupby("bucket")
+        .map_groups(
+            _named(make_exact_dedup_sketch_bucket(cfg, need_text),
+                   "exact_dedup_sketch"),
+            batch_format="pyarrow")
+    )
+    fused = _ckpt_or("signatures", fused)
+    _mark("p2_p5_dedup_sketch")
+
+    # consumers read the fused blocks directly, fusing the winner/loser
+    # filter into their first map task — no filtered copy is ever written
+    # back to the object store
+    sk = fused.map_batches(winners_table, batch_format="pyarrow")
+    dups = fused.map_batches(losers_table, batch_format="pyarrow")
 
     # P6+P7 — LSH candidates + join-free exact-cosine verification. Three
     # modes, all replacing round 1's two sequential hash-shuffle joins +
@@ -233,9 +229,14 @@ def run_dedup(
     #  inband: band rows carry the embedding and each band bucket verifies
     #    its own pairs (zero extra wide ops, but 32 bands x 256 B multiply
     #    the band shuffle ~8x — measured 70% slower at 1M rows x 32 CPUs).
+    # fused is materialized so its count is metadata-only; the dup count is
+    # one cheap zero-copy filter pass over the narrow loser rows
+    n_canon = fused.count()
+    n_dups = dups.count()
+    n_uniques = n_canon - n_dups
     if verify_mode == "auto":
         verify_mode = (
-            "broadcast" if sk.count() <= broadcast_verify_limit else "endpoint"
+            "broadcast" if n_uniques <= broadcast_verify_limit else "endpoint"
         )
     if verify_mode == "inband":
         import pyarrow as _pa
@@ -261,7 +262,9 @@ def run_dedup(
             .map_batches(_edges_numeric, batch_format="pandas")
         )
     elif verify_mode == "broadcast":
-        lookup_ref = build_embedding_lookup(sk)
+        # the shard builders mask the typed-null loser rows themselves, so
+        # they read the fused blocks in place (no winner-filtered copy)
+        lookup_ref = build_embedding_lookup(fused)
 
         def _bounded(ds: rd.Dataset) -> rd.Dataset:
             """Coalesce before a wide op ONLY when the (materialized, so
@@ -283,10 +286,12 @@ def run_dedup(
 
         # band rows drop the simhash column (the gate reads it from the
         # broadcast shards) — the widest exchange shrinks 28 -> 16 B/row.
-        # The expand map keeps sk's (bounded) block count, so the band
-        # multiset goes straight into the sort shuffle un-repartitioned.
+        # The expand map reads the fused blocks directly (its n_tokens > 0
+        # filter drops the typed-null loser rows) and keeps their (bounded)
+        # block count, so the band multiset goes straight into the sort
+        # shuffle un-repartitioned.
         raw_pairs = (
-            _bounded(sk).map_batches(
+            _bounded(fused).map_batches(
                 make_expand_bands_numeric(B, include_simhash=False),
                 batch_format="pyarrow")
             .groupby("bucket")
@@ -470,12 +475,8 @@ def run_dedup(
     assignments = _ckpt_or("assignments_core", refined.union(single_assign))
     _mark("p9_refine")
 
-    # fold exact duplicates back onto their canonical row's cluster.
-    # canon and sk are both materialized, so these counts are metadata-only
-    # (round 1 ran dups.count() here — a full extra pass over canon and a
-    # driver barrier, pure fixed cost on the scaling-critical path)
-    n_dups = canon.count() - sk.count()
-    n_uniques = sk.count()
+    # fold exact duplicates back onto their canonical row's cluster
+    # (n_dups / n_uniques were computed once before P6 — no extra pass here)
     if n_dups > 0 and n_uniques <= broadcast_verify_limit:
         # broadcast fold: the (h(rid) -> cluster_id) map of the canonical
         # assignments is ~tens of MB under the broadcast limit; ship it once
@@ -539,7 +540,7 @@ def run_dedup(
     stats["timings"] = timings
     if collect_stats:
         stats["input_rows"] = transcripts.count()
-        stats["unique_rows"] = sk.count()
+        stats["unique_rows"] = n_uniques
         stats["edges"] = n_edges
         stats["driver_labels"] = use_driver_labels
 

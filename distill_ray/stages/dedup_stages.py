@@ -135,6 +135,107 @@ def exact_dedup_bucket_arrow(g: pa.Table) -> pa.Table:
     return g.select(cols).append_column("canon_rid", canon)
 
 
+def make_exact_dedup_sketch_bucket(cfg: DedupConfig | None = None,
+                                   need_text: bool = False):
+    """FUSED P2+P5 bucket kernel: first-wins exact dedup (identical
+    semantics to exact_dedup_bucket_arrow) and, in the same pass, the
+    signature sketch (embedding + MinHash bands + SimHash, identical to
+    _sketch_impl) for the WINNERS only. Emits one union-schema Arrow table:
+
+      winners: rid, conv_id, turn_idx, canon_rid(=rid), rh, emb, simhash,
+               bands, n_tokens [, norm_text when the representative
+               selector needs it]
+      losers:  rid, conv_id, turn_idx, canon_rid -> typed-null signature
+               columns
+
+    Why fused: the normalized text (the widest column of the pipeline)
+    dies inside this kernel instead of being materialized in the canon
+    checkpoint and re-read by a separate sketch stage — one wide stage,
+    one materialize, ~40% fewer plasma bytes on the P2-P5 span (this
+    host's memory subsystem is the measured scaling floor; BASELINE.md)."""
+    cfg = cfg or DedupConfig()
+    emb_w = cfg.embed_dim * 4
+    bands_w = cfg.lsh_bands * 8
+    fields = [
+        ("rid", pa.string()), ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()), ("canon_rid", pa.string()),
+        ("rh", pa.int64()), ("emb", pa.binary(emb_w)),
+        ("simhash", pa.int64()), ("bands", pa.binary(bands_w)),
+        ("n_tokens", pa.int64()),
+    ]
+    if need_text:
+        fields.append(("norm_text", pa.string()))
+    schema = pa.schema(fields)
+
+    def exact_dedup_sketch(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return schema.empty_table()
+        txt = g["norm_text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        codes = txt.dictionary_encode().indices
+        agg = (
+            pa.table({"c": codes, "rid": g["rid"]})
+            .group_by("c")
+            .aggregate([("rid", "min")])
+            .sort_by("c")  # codes are dense 0..k-1: sorted agg aligns with take
+        )
+        canon = pc.take(agg["rid_min"].combine_chunks(), codes)
+        wmask = pc.equal(g["rid"].combine_chunks()
+                         if isinstance(g["rid"], pa.ChunkedArray) else g["rid"],
+                         canon)
+        w = g.filter(wmask)
+        texts_w = w["norm_text"].to_pandas()
+        emb, sims, bands, dl = _sketch_arrays(texts_w, cfg,
+                                              _cached_seeds(cfg.num_perm))
+        rid_w = w["rid"].to_pandas().to_numpy()
+        win_cols = {
+            "rid": w["rid"], "conv_id": w["conv_id"],
+            "turn_idx": w["turn_idx"], "canon_rid": w["rid"],
+            "rh": pa.array(rid_hash64(rid_w)),
+            "emb": _fixed_binary(emb, emb_w),
+            "simhash": pa.array(sims),
+            "bands": _fixed_binary(bands, bands_w),
+            "n_tokens": pa.array(np.asarray(dl, dtype=np.int64)),
+        }
+        if need_text:
+            win_cols["norm_text"] = w["norm_text"]
+        wt = pa.table(win_cols).cast(schema)
+        lmask = pc.invert(wmask)
+        n_l = g.num_rows - w.num_rows
+        if n_l == 0:
+            return wt
+        l = g.filter(lmask)
+        lose_cols = {
+            "rid": l["rid"], "conv_id": l["conv_id"],
+            "turn_idx": l["turn_idx"],
+            "canon_rid": canon.filter(lmask),
+            "rh": pa.nulls(n_l, pa.int64()),
+            "emb": pa.nulls(n_l, pa.binary(emb_w)),
+            "simhash": pa.nulls(n_l, pa.int64()),
+            "bands": pa.nulls(n_l, pa.binary(bands_w)),
+            "n_tokens": pa.nulls(n_l, pa.int64()),
+        }
+        if need_text:
+            lose_cols["norm_text"] = pa.nulls(n_l, pa.string())
+        lt = pa.table(lose_cols).cast(schema)
+        return pa.concat_tables([wt, lt])
+
+    return exact_dedup_sketch
+
+
+def winners_table(t: pa.Table) -> pa.Table:
+    """Fused-table consumer filter: the signature (winner) rows. Arrow-side
+    so nullable int64 columns never pass through a pandas float coercion."""
+    return t.filter(pc.is_valid(t["simhash"]))
+
+
+def losers_table(t: pa.Table) -> pa.Table:
+    """Fused-table consumer filter: exact-duplicate rows, narrow schema."""
+    return t.filter(pc.is_null(t["simhash"])).select(
+        ["rid", "conv_id", "turn_idx", "canon_rid"])
+
+
 _SEEDS_CACHE: dict = {}
 
 
@@ -186,14 +287,22 @@ def _fixed_binary(mat: np.ndarray, width: int) -> pa.Array:
     return pa.Array.from_buffers(pa.binary(width), len(mat), [None, buf])
 
 
-def _sketch_impl(df: pd.DataFrame, cfg: DedupConfig, seeds: np.ndarray) -> pa.Table:
-    texts = df["norm_text"].reset_index(drop=True)
-    th, dl = tokenize_series(texts)
+def _sketch_arrays(texts: pd.Series, cfg: DedupConfig, seeds: np.ndarray):
+    """Vectorized signature core shared by the standalone P5 stage and the
+    fused P2+P5 bucket kernel: (emb matrix, simhash int64, band-key matrix,
+    token counts) for a series of normalized texts."""
+    th, dl = tokenize_series(texts.reset_index(drop=True))
     emb = embed_from_token_hashes(th, dl, cfg.embed_dim)
     sh, spd = shingle_hashes(th, dl, cfg.shingle_k)
     sig = minhash_signatures(sh, spd, seeds)
     bands = lsh_band_keys(sig, cfg.lsh_bands).view(np.int64)
     sims = simhash64(th, dl).view(np.int64)
+    return emb, sims, bands, dl
+
+
+def _sketch_impl(df: pd.DataFrame, cfg: DedupConfig, seeds: np.ndarray) -> pa.Table:
+    texts = df["norm_text"].reset_index(drop=True)
+    emb, sims, bands, dl = _sketch_arrays(texts, cfg, seeds)
     # Arrow table out (this is the signature checkpoint, materialized and
     # read by three consumers — pandas blocks would pickle ~550 B/row of
     # Python objects per copy). Embeddings and band keys travel as
@@ -893,6 +1002,12 @@ def build_embedding_lookup(sig_ds, num_shards: int = 8):
     def _build_shard(sid: int, *tbls):
         nodes_parts, mat_parts, sim_parts = [], [], []
         for t in tbls:
+            # fused P2+P5 blocks carry typed-null signature columns on
+            # exact-duplicate rows: mask them out Arrow-side (a pandas/numpy
+            # conversion of a nullable int64 would coerce to float64 and
+            # corrupt 64-bit hashes)
+            if t["rh"].null_count:
+                t = t.filter(pc.is_valid(t["rh"]))
             rh = t["rh"].to_numpy()
             if num_shards > 1:
                 mask = (rh.view(np.uint64) >> np.uint64(shift)) == sid
@@ -915,7 +1030,12 @@ def build_embedding_lookup(sig_ds, num_shards: int = 8):
             raise ValueError("rid hash64 collision in broadcast-verify lookup")
         return nodes, np.ascontiguousarray(mat[order]), sims[order]
 
-    tbl_refs = sig_ds.select_columns(["rh", "emb", "simhash"]).to_arrow_refs()
+    # sig_ds is materialized: to_arrow_refs() on it is metadata-only (the
+    # existing blocks), whereas a select_columns would execute a new plan
+    # and write a column-pruned COPY of every block to plasma. The shard
+    # tasks read the blocks zero-copy and only copy the masked rows of the
+    # three columns they keep.
+    tbl_refs = sig_ds.to_arrow_refs()
     shard_refs = [_build_shard.remote(s, *tbl_refs) for s in range(num_shards)]
     return shard_refs, shift
 

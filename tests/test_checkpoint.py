@@ -35,20 +35,21 @@ def test_resume_after_mid_stage_kill(tmp_path):
     with pytest.raises(Exception, match="edges"):
         run_dedup(rd.from_pandas(df), cfg, ckpt=ckpt, stop_after="edges")
 
-    assert ckpt.has("canon") and ckpt.has("signatures") and ckpt.has("edges")
+    # "signatures" is the fused P2+P5 stage (exact dedup + sketch)
+    assert ckpt.has("signatures") and ckpt.has("edges")
     assert not ckpt.has("assignments_core")
 
     # run 2: resume — completed stages are reused, output identical
     ckpt2 = CheckpointManager(root, cfg.config_hash())
     res = run_dedup(rd.from_pandas(df), cfg, ckpt=ckpt2)
     resumed = _sorted(res.assignments.to_pandas())
-    assert res.stats["timings"].get("canon_resumed") is True
+    assert res.stats["timings"].get("signatures_resumed") is True
     assert res.stats["timings"].get("edges_resumed") is True
     pd.testing.assert_frame_equal(clean, resumed)
 
     # metrics lineage recorded per stage
     metrics = [json.loads(l) for l in open(os.path.join(root, "metrics.jsonl"))]
-    assert {m["stage"] for m in metrics} >= {"canon", "signatures",
+    assert {m["stage"] for m in metrics} >= {"signatures",
                                              "edges", "assignments_core"}
 
 
@@ -64,14 +65,14 @@ def test_config_change_invalidates_checkpoints(tmp_path):
     cfg1 = DedupConfig()
     ckpt = CheckpointManager(root, cfg1.config_hash())
     run_dedup(rd.from_pandas(df), cfg1, ckpt=ckpt)
-    assert ckpt.has("canon")
+    assert ckpt.has("signatures")
 
     cfg2 = DedupConfig(threshold=0.05)
     ckpt2 = CheckpointManager(root, cfg2.config_hash())
     # changed config -> stale checkpoints are NOT reused
-    assert not ckpt2.has("canon")
+    assert not ckpt2.has("signatures")
     res = run_dedup(rd.from_pandas(df), cfg2, ckpt=ckpt2)
-    assert "canon_resumed" not in res.stats["timings"]
+    assert "signatures_resumed" not in res.stats["timings"]
 
 
 def test_manifest_detects_corruption(tmp_path, ray_session):

@@ -1,0 +1,100 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry at sf0.01 and compare rows/schema/values against oracle_sql() via
+DuckDB (columns sorted by name, values hashed after stable sort).
+
+Usage: python scripts/check_correctness.py [sf_dir]
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def value_hash(df) -> str:
+    import pandas as pd
+
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(6)
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return hashlib.sha256(
+        pd.util.hash_pandas_object(df, index=False).to_numpy().tobytes()
+    ).hexdigest()
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    import duckdb
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+
+    import __ray_entry__ as e
+
+    qs, sqls = e.queries(), e.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+    results, n_pass, n_fail = {}, 0, 0
+    for name, fn in sorted(qs.items()):
+        try:
+            out = fn(sf)
+            df = out.to_pandas() if hasattr(out, "to_pandas") else out
+            if hasattr(df, "to_pandas"):  # pyarrow.Table
+                df = df.to_pandas()
+        except Exception as ex:  # noqa: BLE001
+            results[name] = {"err": f"query: {ex}"}
+            n_fail += 1
+            print(f"FAIL  {name}: query error {ex}")
+            continue
+        if name not in sqls:
+            results[name] = {"rows": len(df), "err": "no_oracle"}
+            print(f"rows  {name}: {len(df)} (no oracle)")
+            continue
+        try:
+            odf = con.execute(sqls[name]).fetchdf()
+        except Exception as ex:  # noqa: BLE001
+            results[name] = {"err": f"oracle: {ex}"}
+            n_fail += 1
+            print(f"FAIL  {name}: oracle error {ex}")
+            continue
+        rows = len(df) == len(odf)
+        schema = sorted(map(str, df.columns)) == sorted(map(str, odf.columns))
+        try:
+            hmatch = schema and value_hash(df) == value_hash(odf)
+        except Exception as ex:  # noqa: BLE001
+            hmatch = False
+            results.setdefault(name, {})["hash_err"] = str(ex)
+        results[name] = {"rows_match": rows, "schema_match": schema,
+                         "hash_match": hmatch, "rows": len(df),
+                         "oracle_rows": len(odf)}
+        ok = rows and schema and hmatch
+        n_pass += ok
+        n_fail += not ok
+        print(f"{'pass' if ok else 'FAIL'}  {name}: rows {len(df)}/{len(odf)} "
+              f"schema {schema} hash {hmatch}")
+
+    print(f"\n{n_pass} pass / {n_fail} fail / "
+          f"{sum(1 for r in results.values() if r.get('err') == 'no_oracle')} no-oracle")
+    with open("/tmp/correctness_local.json", "w") as f:
+        json.dump(results, f, indent=1)
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

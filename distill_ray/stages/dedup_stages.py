@@ -497,12 +497,106 @@ _BAND_SCHEMA_NARROW = pa.schema(
 )
 
 
-def make_expand_bands_numeric(n_buckets: int, include_simhash: bool = True):
+def band_keys32(t: pa.Table) -> np.ndarray:
+    """Signature rows -> (n, n_bands) int32 band-key matrix (the low 32
+    bits of each band hash — see the truncation note on _BAND_SCHEMA).
+    Callers must pre-filter to n_tokens > 0 rows. Shared by the band
+    expansion and the pairable-key counting pass so both derive EXACTLY
+    the same keys."""
+    bm = binary_matrix(t["bands"], dtype=np.int64)
+    return (bm.reshape(-1).view(np.uint64) & np.uint64(0xFFFFFFFF)).astype(
+        np.uint32).view(np.int32).reshape(bm.shape)
+
+
+def build_pairable_keys(sig_ds, num_ranges: int = 16):
+    """Materialized fused/signature dataset -> ObjectRef of the SORTED
+    uint32 array of band keys that occur >= 2 times globally.
+
+    Band rows whose key occurs exactly once can never form a candidate
+    pair (the pair kernel drops singleton groups), yet measured at 2M
+    transcript rows they are 88% of the band multiset — so filtering
+    them BEFORE the band groupby shrinks the widest exchange of the
+    pipeline ~8x at zero semantic cost.
+
+    Shape: a semi-join reduction, all narrow numpy —
+      per block: np.unique of its (already deduped) band keys, counts
+        capped at 2, range-partitioned by the key's high bits
+        (num_returns=R refs, no concatenated driver copy);
+      per range: concat + bincount over the per-block uniques, keep
+        keys with global count >= 2 (~4% of uniques);
+      finally one concat of the R (disjoint, ordered) range results.
+    Total bytes through the object store ~= 5 B per unique (block, key)
+    pair — an order of magnitude lighter than the 16 B/row band-row
+    sort shuffle it prunes, with no all-to-all: the reduce is R
+    independent tasks and a tree-shaped concat. The result is only ever
+    broadcast under the broadcast-verify row limit, which bounds it to
+    tens of MB; the unbounded endpoint path keeps the unpruned shuffle.
+    """
+    import ray
+
+    R = num_ranges
+    shift = np.uint32(32 - (R - 1).bit_length())
+    assert 1 << (32 - int(shift)) == R, "num_ranges must be a power of two"
+
+    @ray.remote
+    def _block_ranges(*tbls):
+        """Unique (key, min(count,2)) pairs of one or more blocks, split
+        into R range parts by unsigned high bits."""
+        import pyarrow.compute as pc_
+
+        parts = []
+        for t in tbls:
+            t = t.filter(pc_.greater(t["n_tokens"], 0))
+            if t.num_rows:
+                parts.append(band_keys32(t).reshape(-1).view(np.uint32))
+        if parts:
+            u, c = np.unique(np.concatenate(parts), return_counts=True)
+            w = np.minimum(c, 2).astype(np.uint8)
+        else:
+            u = np.empty(0, np.uint32)
+            w = np.empty(0, np.uint8)
+        # u is sorted unsigned, so ranges are contiguous runs
+        bounds = np.searchsorted(u, np.arange(1, R, dtype=np.uint32) << shift)
+        bounds = np.r_[0, bounds, len(u)]
+        return tuple((u[bounds[r]:bounds[r + 1]], w[bounds[r]:bounds[r + 1]])
+                     for r in range(R))
+
+    @ray.remote
+    def _merge_range(*parts):
+        ks = np.concatenate([p[0] for p in parts])
+        if not len(ks):
+            return np.empty(0, np.uint32)
+        ws = np.concatenate([p[1] for p in parts])
+        u, inv = np.unique(ks, return_inverse=True)
+        tot = np.bincount(inv, weights=ws, minlength=len(u))
+        return u[tot >= 2.0]
+
+    @ray.remote
+    def _concat(*parts):
+        return np.concatenate(parts)  # disjoint ascending ranges
+
+    tbl_refs = sig_ds.to_arrow_refs()
+    block_outs = [
+        _block_ranges.options(num_returns=R).remote(ref) for ref in tbl_refs
+    ]
+    range_refs = [
+        _merge_range.remote(*[bo[r] for bo in block_outs]) for r in range(R)
+    ]
+    return _concat.remote(*range_refs)
+
+
+def make_expand_bands_numeric(n_buckets: int, include_simhash: bool = True,
+                              pairable_ref=None):
     """P6a for the endpoint-attach / broadcast verify: one NUMERIC row per
     (band_key, rid-hash[, simhash]) — fixed-width columns in ARROW blocks
     (20-28 B/row), so the widest shuffle of the pipeline moves no Python
     objects at all (the groupby sort runs as pyarrow C++ kernels).
-    Zero-token rows are dropped here — exact dedup canonicalized them."""
+    Zero-token rows are dropped here — exact dedup canonicalized them.
+
+    pairable_ref (from build_pairable_keys): when given, band rows whose
+    key is globally unique are dropped map-side BEFORE the groupby —
+    exact-output-preserving (singleton band groups emit no pairs) and
+    measured ~8x off the widest exchange."""
 
     schema = _BAND_SCHEMA if include_simhash else _BAND_SCHEMA_NARROW
 
@@ -512,21 +606,37 @@ def make_expand_bands_numeric(n_buckets: int, include_simhash: bool = True):
         t = t.filter(pc.greater(t["n_tokens"], 0))
         if t.num_rows == 0:
             return schema.empty_table()
-        # (n, n_bands) int64 view straight off the fixed-width Arrow buffer
-        bm = binary_matrix(t["bands"], dtype=np.int64)
-        n_bands = bm.shape[1]
+        key_mat = band_keys32(t)
+        n_bands = key_mat.shape[1]
         if "rh" in t.column_names:
             rh0 = t["rh"].to_numpy()
         else:
             rh0 = rid_hash64(t["rid"].to_pandas().to_numpy())
         rh = np.repeat(rh0, n_bands)
-        keys64 = bm.reshape(-1)  # row-major: row i's bands are consecutive
-        keys = (keys64.view(np.uint64) & np.uint64(0xFFFFFFFF)).astype(
-            np.uint32).view(np.int32)
+        keys = key_mat.reshape(-1)  # row-major: row i's bands are consecutive
+        if include_simhash:
+            sim = np.repeat(t["simhash"].to_numpy(), n_bands)
+        if pairable_ref is not None:
+            import ray
+
+            pairable = ray.get(pairable_ref)  # sorted uint32, plasma zero-copy
+            ku = keys.view(np.uint32)
+            if len(pairable):
+                pos = np.minimum(np.searchsorted(pairable, ku),
+                                 len(pairable) - 1)
+                mask = pairable[pos] == ku
+            else:
+                mask = np.zeros(len(ku), dtype=bool)
+            keys = keys[mask]
+            rh = rh[mask]
+            if include_simhash:
+                sim = sim[mask]
+            if not len(keys):
+                return schema.empty_table()
         bucket = (keys.view(np.uint32) % np.uint32(n_buckets)).astype(np.int32)
         arrays = [pa.array(keys), pa.array(rh)]
         if include_simhash:
-            arrays.append(pa.array(np.repeat(t["simhash"].to_numpy(), n_bands)))
+            arrays.append(pa.array(sim))
         arrays.append(pa.array(bucket))
         return pa.Table.from_arrays(arrays, schema=schema)
 

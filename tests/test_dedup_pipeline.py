@@ -132,3 +132,56 @@ def test_verify_modes_agree():
     pc_ = c.assignments.to_pandas().sort_values("rid").reset_index(drop=True)
     pd.testing.assert_frame_equal(pa_, pb_)
     pd.testing.assert_frame_equal(pa_, pc_)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pairable_keys_match_naive_counts():
+    """build_pairable_keys (per-block unique -> range reduce) must equal a
+    naive global count of the expanded band keys: exactly the keys that
+    occur >= 2 times, sorted unsigned."""
+    import ray
+    import ray.data as rd
+
+    from distill_ray.pipelines.dedup import _named
+    from distill_ray.stages.dedup_stages import (
+        build_pairable_keys,
+        make_add_text_hash_arrow,
+        make_exact_dedup_sketch_bucket,
+        make_expand_bands_numeric,
+        prep_batch,
+    )
+
+    cfg = DedupConfig()
+    df = generate_transcripts(n_convs=80, turns_per_conv=6, seed=7)
+    fused = (
+        rd.from_pandas(df)
+        .map_batches(prep_batch, batch_format="pandas")
+        .map_batches(make_add_text_hash_arrow(cfg.shuffle_buckets),
+                     batch_format="pandas")
+        .repartition(8)
+        .groupby("bucket")
+        .map_groups(_named(make_exact_dedup_sketch_bucket(cfg, False), "f"),
+                    batch_format="pyarrow")
+    ).materialize()
+
+    pairable = ray.get(build_pairable_keys(fused))
+
+    expanded = fused.map_batches(
+        make_expand_bands_numeric(cfg.shuffle_buckets, include_simhash=False),
+        batch_format="pyarrow",
+    ).to_pandas()
+    keys = expanded["band_key"].to_numpy().view(np.uint32)
+    u, c = np.unique(keys, return_counts=True)
+    expect = u[c >= 2]
+
+    assert pairable.dtype == np.uint32
+    assert np.array_equal(np.sort(pairable), pairable)  # sorted
+    assert np.array_equal(pairable, expect)
+
+    # and the pruned expansion keeps exactly the pairable-key rows
+    pruned = fused.map_batches(
+        make_expand_bands_numeric(cfg.shuffle_buckets, include_simhash=False,
+                                  pairable_ref=ray.put(pairable)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    assert len(pruned) == int(np.isin(keys, expect).sum())

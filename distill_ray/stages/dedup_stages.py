@@ -671,10 +671,10 @@ def _pair_scratch() -> dict:
     return sc
 
 
-def _gate_chunk(sim: np.ndarray, rh: np.ndarray, sc: dict, m: int, gate: int):
+def _gate_chunk(sim: np.ndarray, sc: dict, m: int, gate: int):
     """Hamming-gate the m candidate index pairs in sc.ia/ib against the
-    uint64 simhash array; return the surviving (rh[a], rh[b]) endpoint
-    hashes. All intermediates live in the preallocated scratch."""
+    uint64 simhash array; return the surviving (ia, ib) INDEX pairs. All
+    intermediates live in the preallocated scratch."""
     ia = sc["ia"][:m]
     ib = sc["ib"][:m]
     ga = sc["ga"][:m]
@@ -687,7 +687,61 @@ def _gate_chunk(sim: np.ndarray, rh: np.ndarray, sc: dict, m: int, gate: int):
     ham = sc["ham"][:m]
     np.sum(x8.reshape(m, 8), axis=1, out=ham)
     keep = ham <= gate
-    return rh[ia[keep]], rh[ib[keep]]
+    return ia[keep], ib[keep]
+
+
+# verify sub-chunk: bounds the embedding-gather scratch (cnt x dim f32 x 2)
+# so in-band cosine verification never fresh-allocates per pair (see the
+# page-fault note above _pair_scratch)
+_VERIFY_CHUNK = 1 << 16
+_VERIFY_SCRATCH: dict = {}
+
+
+def _verify_scratch(dim: int) -> dict:
+    sc = _VERIFY_SCRATCH.get(dim)
+    if sc is None:
+        n = _VERIFY_CHUNK
+        sc = {
+            "ea": np.empty((n, dim), np.float32),
+            "eb": np.empty((n, dim), np.float32),
+            "dots": np.empty(n, np.float64),
+            "den": np.empty(n, np.float64),
+        }
+        for arr in sc.values():
+            arr.fill(0)
+        _VERIFY_SCRATCH[dim] = sc
+    return sc
+
+
+def _cosine_pass_indices(
+    embs: np.ndarray, norms: np.ndarray, ka: np.ndarray, kb: np.ndarray,
+    threshold: float,
+) -> np.ndarray:
+    """Boolean mask over the (ka, kb) index pairs: exact cosine distance
+    <= threshold under the reference edge rules (float64 accumulation,
+    zero-norm -> 2.0). Bit-identical decisions to verify-after-shuffle:
+    the dot runs in f64 over the same f32 rows and the per-row norms are
+    the same sqrt(sum sq) values the pairwise kernel computes."""
+    n = len(ka)
+    out = np.empty(n, dtype=bool)
+    vs = _verify_scratch(embs.shape[1])
+    for s0 in range(0, n, _VERIFY_CHUNK):
+        s1 = min(s0 + _VERIFY_CHUNK, n)
+        cnt = s1 - s0
+        A = vs["ea"][:cnt]
+        B = vs["eb"][:cnt]
+        np.take(embs, ka[s0:s1], axis=0, out=A)
+        np.take(embs, kb[s0:s1], axis=0, out=B)
+        dots = vs["dots"][:cnt]
+        np.einsum("ij,ij->i", A, B, out=dots, dtype=np.float64, casting="unsafe")
+        den = vs["den"][:cnt]
+        np.multiply(norms[ka[s0:s1]], norms[kb[s0:s1]], out=den)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(den > 0, dots / np.where(den == 0, 1.0, den), 0.0)
+        dist = 1.0 - np.clip(sims, -1.0, 1.0)
+        dist[den == 0] = 2.0  # zero-norm edge rule (simd.go:54-57)
+        out[s0:s1] = dist <= threshold
+    return out
 
 
 class BandPairNumericBucket:
@@ -713,16 +767,27 @@ class BandPairNumericBucket:
     """
 
     def __init__(self, cfg: DedupConfig | None = None, narrow: bool = False,
-                 sim_lookup=None):
+                 sim_lookup=None, verify_threshold: float | None = None):
         # narrow=True emits NARROW_PAIR_SCHEMA (no payload column) for the
         # broadcast verify; default PAIRX feeds the endpoint-attach path.
         # sim_lookup = build_embedding_lookup's (shard refs, shift): when
         # given, band rows omit the simhash column and the hamming gate
         # reads simhashes from the broadcast shards instead (saves 8 B on
         # every band row of the widest exchange).
+        # verify_threshold (requires sim_lookup): run the EXACT cosine
+        # verify in-band against the broadcast embedding shards and emit
+        # only passing pairs. The downstream dedupe stage then only
+        # collapses the multiset and applies the >= min_band_collisions
+        # count (verify commutes with the count filter — a pair passes
+        # cosine independently of how many bands it collides in), so the
+        # heaviest exchange shrinks to the TRUE-pair multiset (~2-3x
+        # measured) while the final edge set is bit-identical.
         self.cfg = cfg or DedupConfig()
         self.narrow = narrow
         self.sim_lookup = sim_lookup
+        self.verify_threshold = verify_threshold
+        if verify_threshold is not None and sim_lookup is None:
+            raise ValueError("in-band verify requires sim_lookup shards")
         self._triu_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
     def _triu(self, n: int) -> tuple[np.ndarray, np.ndarray]:
@@ -740,6 +805,7 @@ class BandPairNumericBucket:
         order = np.lexsort((rh, keys))
         keys = keys[order]
         rh = rh[order]
+        shards = None
         if "simhash" in g.column_names:
             sim = g["simhash"].to_numpy()[order].view(np.uint64)
         else:
@@ -748,6 +814,17 @@ class BandPairNumericBucket:
             shard_refs, shift = self.sim_lookup
             shards = ray.get(list(shard_refs))
             sim = gather_from_shards(shards, rh, shift, 2).view(np.uint64)
+        embs = norms = None
+        if self.verify_threshold is not None:
+            if shards is None:
+                import ray
+
+                shard_refs, shift = self.sim_lookup
+                shards = ray.get(list(shard_refs))
+            # per-ROW gather (once per bucket), indexed per pair below —
+            # per-pair shard gathers would re-search ~30-50x per row
+            embs = gather_from_shards(shards, rh, shift, 1)
+            norms = np.sqrt(np.einsum("ij,ij->i", embs, embs, dtype=np.float64))
 
         boundaries = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
         starts = boundaries[:-1]
@@ -772,11 +849,19 @@ class BandPairNumericBucket:
         out_b: list[np.ndarray] = []
 
         def emit(m: int) -> None:
-            """Gate sc.ia/ib[:m] by hamming(sim) and append survivors."""
-            a_k, b_k = _gate_chunk(sim, rh, sc, m, gate)
-            if len(a_k):
-                out_a.append(a_k)
-                out_b.append(b_k)
+            """Gate sc.ia/ib[:m] by hamming(sim) (and, with in-band verify
+            enabled, by the exact cosine) and append survivors."""
+            ka, kb = _gate_chunk(sim, sc, m, gate)
+            if not len(ka):
+                return
+            if self.verify_threshold is not None:
+                ok = _cosine_pass_indices(embs, norms, ka, kb,
+                                          self.verify_threshold)
+                if not ok.any():
+                    return
+                ka, kb = ka[ok], kb[ok]
+            out_a.append(rh[ka])
+            out_b.append(rh[kb])
 
         small = sizes <= cap
         # bulk path: all groups of one size share a triu index template
@@ -1177,13 +1262,19 @@ def gather_from_shards(shards, keys: np.ndarray, shift: int,
 
 
 def make_dedupe_verify_broadcast(min_band_collisions: int, threshold: float,
-                                 lookup):
+                                 lookup, preverified: bool = False):
     """Fused stage kernel (one coarse h(a)-bucket of the narrow pair
     multiset): collapse multi-band emissions, apply the
     >= min_band_collisions filter, then exact-cosine-verify both endpoints
     against the broadcast sharded embedding lookup (reference edge rules
     incl. zero-norm -> 2.0; float64 accumulation). Emits numeric edges
-    (a < b). ``lookup`` is build_embedding_lookup's (shard refs, shift)."""
+    (a < b). ``lookup`` is build_embedding_lookup's (shard refs, shift).
+
+    preverified=True: the band kernel already ran the exact cosine in-band
+    (BandPairNumericBucket verify_threshold), so this stage only collapses
+    the multiset and applies the band-collision count — the edge set is
+    identical because the cosine decision is per-pair, independent of band
+    multiplicity."""
 
     shard_refs, shift = lookup
 
@@ -1204,6 +1295,10 @@ def make_dedupe_verify_broadcast(min_band_collisions: int, threshold: float,
             return EDGE_SCHEMA.empty_table()
         a = ks[starts[keep]]
         b = os_[starts[keep]]
+        if preverified:
+            return pa.Table.from_arrays(
+                [pa.array(a), pa.array(b)], schema=EDGE_SCHEMA
+            )
         shards = ray.get(list(shard_refs))  # zero-copy shared-memory views
         A = gather_from_shards(shards, a, shift, 1).astype(np.float64)
         Bm = gather_from_shards(shards, b, shift, 1).astype(np.float64)

@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prune_docs": qo.q_prune_docs,
         "multimodal_decode": qo.q_multimodal_decode,
         "verbatim_spans": qo.q_verbatim_spans,
+        "verbatim_spans_docs": qo.q_verbatim_spans_docs,
         "cluster_transcripts": qo.q_cluster_transcripts,
         "commit_similarity": qo.q_commit_similarity,
         "summarize_transcripts": qo.q_summarize_transcripts,
@@ -136,4 +137,5 @@ def oracle_sql() -> dict[str, str]:
         "prefix_stability": qa.PREFIX_STABILITY_SQL,
         "ttl_tracker": qa.TTL_TRACKER_SQL,
         "vector_store_topk": qo.VECTOR_STORE_TOPK_SQL,
+        "verbatim_spans_docs": qo.VERBATIM_SPANS_DOCS_SQL,
     }

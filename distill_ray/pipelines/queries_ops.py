@@ -661,6 +661,85 @@ def q_verbatim_spans(sf_dir: str) -> pd.DataFrame:
     return spans.sort_values(["a", "b", "pos_a", "pos_b"]).reset_index(drop=True)
 
 
+_SPANS_DOCS_K = 4
+
+
+def q_verbatim_spans_docs(sf_dir: str) -> pd.DataFrame:
+    """P10 verbatim-span pass directly over the documents table (rid =
+    doc_id, span_k = 4 tokens so the small-vocabulary testdata yields a
+    dense span set); SQL-checked — the oracle reproduces the whole
+    operator (canonical tokenization, k-token window equality join with
+    the deterministic hot-window cap, gaps-and-islands merge of
+    constant-offset contiguous windows into maximal spans)."""
+    from distill_ray.stages.spans_stage import run_span_pass
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"rid": df["doc_id"].astype("int64"), "norm_text": df["text"]}
+        )
+
+    spans = run_span_pass(
+        ds.map_batches(prep, batch_format="pandas"), span_k=_SPANS_DOCS_K
+    ).to_pandas()
+    if spans.empty:
+        return pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "pos_a": pd.Series(dtype="int32"), "pos_b": pd.Series(dtype="int32"),
+             "length": pd.Series(dtype="int32")}
+        )
+    return spans.sort_values(["a", "b", "pos_a", "pos_b"]).reset_index(drop=True)
+
+
+# The oracle is the operator's DEFINITION in SQL: two docs share a maximal
+# verbatim span of L >= k tokens iff they share L-k+1 consecutive k-token
+# windows at a constant position offset. Tokenization mirrors
+# kernels.embed.tokenize_series (whitespace split -> strip punctuation ->
+# lower -> drop empty); the row_number() <= 64 predicate mirrors the
+# deterministic hot-window cap of stages/spans_stage.make_window_matches
+# (first 64 occurrences in (doc, pos) order); the gaps-and-islands GROUP BY
+# mirrors make_merge_spans' contiguous-run merge.
+VERBATIM_SPANS_DOCS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(string_split_regex(text, '\s+'),
+                          x -> lower(trim(x, '.,;:!?"''()[]{}'))),
+           t -> len(t) > 0) AS w
+  FROM documents
+),
+win AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(w, i + 1, i + 4), ' ') AS wstr
+  FROM toks, UNNEST(range(greatest(len(w) - 4 + 1, 0))) AS t(i)
+),
+capped AS (
+  SELECT doc_id, pos, wstr,
+         row_number() OVER (PARTITION BY wstr ORDER BY doc_id, pos) AS rk
+  FROM win
+),
+matches AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pos_a, y.pos AS pos_b
+  FROM capped x JOIN capped y
+    ON x.wstr = y.wstr AND x.rk < y.rk AND y.rk <= 64 AND x.doc_id <> y.doc_id
+),
+runs AS (
+  SELECT a, b, pos_a, pos_b, pos_a - pos_b AS off,
+         pos_a - row_number() OVER (
+           PARTITION BY a, b, pos_a - pos_b ORDER BY pos_a) AS isl
+  FROM matches
+)
+SELECT a, b,
+       CAST(min(pos_a) AS INTEGER) AS pos_a,
+       CAST(min(pos_b) AS INTEGER) AS pos_b,
+       CAST(count(*) + 4 - 1 AS INTEGER) AS length
+FROM runs
+GROUP BY a, b, off, isl
+ORDER BY a, b, pos_a, pos_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 

@@ -116,3 +116,28 @@ def test_distributed_span_pass_matches_suffix_array():
         (min(a, b), max(a, b)) for a, b in zip(spans["a"], spans["b"])
     }
     assert sa_pairs <= dist_pairs
+
+
+def test_spans_docs_query_matches_sql_oracle(ray_session):
+    """verbatim_spans_docs vs its DuckDB oracle (the driver's comparison,
+    replicated): same rows, same values, at sf0.001 and sf0.01."""
+    import duckdb
+
+    from distill_ray.pipelines.queries_ops import (
+        VERBATIM_SPANS_DOCS_SQL,
+        q_verbatim_spans_docs,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = q_verbatim_spans_docs(sf).reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        exp = con.execute(VERBATIM_SPANS_DOCS_SQL).df()
+        con.close()
+        assert len(got) == len(exp), (sf, len(got), len(exp))
+        if len(exp):
+            pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        assert list(got.columns) == list(exp.columns)

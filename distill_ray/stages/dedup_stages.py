@@ -813,7 +813,8 @@ class BandPairNumericBucket:
 
             shard_refs, shift = self.sim_lookup
             shards = ray.get(list(shard_refs))
-            sim = gather_from_shards(shards, rh, shift, 2).view(np.uint64)
+            sim = gather_from_shards(shards, rh, shift, 2,
+                                     scratch=True).view(np.uint64)
         embs = norms = None
         if self.verify_threshold is not None:
             if shards is None:
@@ -823,8 +824,11 @@ class BandPairNumericBucket:
                 shards = ray.get(list(shard_refs))
             # per-ROW gather (once per bucket), indexed per pair below —
             # per-pair shard gathers would re-search ~30-50x per row
-            embs = gather_from_shards(shards, rh, shift, 1)
-            norms = np.sqrt(np.einsum("ij,ij->i", embs, embs, dtype=np.float64))
+            embs = gather_from_shards(shards, rh, shift, 1, scratch=True)
+            norms = _gather_buf("norms", len(rh), (), np.float64)
+            np.einsum("ij,ij->i", embs, embs, out=norms,
+                      dtype=np.float64, casting="unsafe")
+            np.sqrt(norms, out=norms)
 
         boundaries = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
         starts = boundaries[:-1]
@@ -1235,11 +1239,34 @@ def build_embedding_lookup(sig_ds, num_shards: int = 8):
     return shard_refs, shift
 
 
+# Reusable per-process output/temp buffers for gather_from_shards
+# (opt-in): each band bucket gathers n x 256 B of embeddings plus the
+# per-shard fancy-index temps — ~0.5 KB/row of FRESH first-touch pages per
+# call, which this host serializes across workers (see _pair_scratch).
+# Buffers grow to the high-water mark and are reused; callers that pass
+# scratch=True must not hold the returned view across a later scratch
+# gather of the same (row-shape, dtype).
+_GATHER_SCRATCH: dict = {}
+
+
+def _gather_buf(tag: str, n: int, row_shape: tuple, dtype) -> np.ndarray:
+    key = (tag, row_shape, np.dtype(dtype).str)
+    buf = _GATHER_SCRATCH.get(key)
+    if buf is None or buf.shape[0] < n:
+        cap = n if buf is None else max(n, 2 * buf.shape[0])
+        buf = np.empty((cap,) + row_shape, dtype)
+        buf.fill(0)  # force the one-time page-fault cost up front
+        _GATHER_SCRATCH[key] = buf
+    return buf[:n]
+
+
 def gather_from_shards(shards, keys: np.ndarray, shift: int,
-                       field_idx: int) -> np.ndarray:
+                       field_idx: int, scratch: bool = False) -> np.ndarray:
     """keys -> per-key values from a sharded sorted broadcast lookup.
     field_idx selects the shard tuple field (1 = emb matrix, 2 = simhash).
-    Raises on any key absent from the lookup."""
+    Raises on any key absent from the lookup. scratch=True returns a view
+    into a reused per-process buffer (valid until the next scratch gather
+    with the same value shape/dtype)."""
     if len(shards) > 1:
         sid = (keys.view(np.uint64) >> np.uint64(shift)).astype(np.int64)
     out = None
@@ -1254,8 +1281,16 @@ def gather_from_shards(shards, keys: np.ndarray, shift: int,
                 nodes[np.minimum(pos, len(nodes) - 1)] != ks).any():
             raise ValueError("missing row in broadcast lookup")
         if out is None:
-            out = np.empty((len(keys),) + vals.shape[1:], dtype=vals.dtype)
-        out[m] = vals[pos]
+            if scratch:
+                out = _gather_buf("out", len(keys), vals.shape[1:], vals.dtype)
+            else:
+                out = np.empty((len(keys),) + vals.shape[1:], dtype=vals.dtype)
+        if scratch:
+            tmp = _gather_buf("tmp", len(ks), vals.shape[1:], vals.dtype)
+            np.take(vals, pos, axis=0, out=tmp)
+            out[m] = tmp
+        else:
+            out[m] = vals[pos]
     if out is None:
         raise ValueError("missing row in broadcast lookup")
     return out

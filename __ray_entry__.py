@@ -8,8 +8,8 @@ here (or in distill_ray) calls ray.init()/ray.shutdown().
   documents (schema per BASELINE.json input_hint).
 - queries(): one entry per implemented operator/pipeline (SURVEY.md §2).
 - oracle_sql(): DuckDB-equivalent SQL for the SQL-expressible subset;
-  non-SQL ops (LSH dedup, K-Means, MMR, compression, fingerprints, langid,
-  multimodal stub) are rows-only by design.
+  the remaining non-SQL ops (LSH dedup, K-Means, MMR, compression) are
+  rows-only by design, each backed by a parity/recall pytest instead.
 """
 
 from __future__ import annotations
@@ -138,4 +138,6 @@ def oracle_sql() -> dict[str, str]:
         "ttl_tracker": qa.TTL_TRACKER_SQL,
         "vector_store_topk": qo.VECTOR_STORE_TOPK_SQL,
         "verbatim_spans_docs": qo.VERBATIM_SPANS_DOCS_SQL,
+        "simhash_docs": qo.SIMHASH_DOCS_SQL,
+        "fingerprint_docs": qo.FINGERPRINT_DOCS_SQL,
     }

@@ -21,13 +21,21 @@ from distill_ray.kernels.hashing import mix64, stable_hash64
 from distill_ray.kernels.textproc import _TRIM_CHARS
 
 
-def tokenize_series(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+def tokenize_series(
+    texts: pd.Series, token_hash: str = "sip"
+) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized M6 tokenization of a string Series.
 
     Returns (token_hashes uint64, doc_lengths int64): the concatenated token
     hash stream and per-doc token counts. Token semantics identical to
     kernels.textproc.tokenize_words (split -> strip punct -> lower -> drop
     empty).
+
+    token_hash selects the per-token hash family: "sip" (default; pandas
+    SipHash-1-3 at C speed — the dedup pipeline's choice) or "fnv"
+    (FNV-1a 64 — slower, but exactly reproducible in ANSI SQL, which the
+    simhash/fingerprint query oracles rely on). Sketch guarantees don't
+    depend on the family, only on it being a fixed 64-bit hash.
     """
     s = texts.fillna("").astype(str).reset_index(drop=True)
     tokens = s.str.split()
@@ -41,7 +49,12 @@ def tokenize_series(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     if len(counts):
         doc_lengths[counts.index.to_numpy()] = counts.to_numpy()
     if len(exploded):
-        token_hashes = stable_hash64(exploded.to_numpy())
+        if token_hash == "fnv":
+            from distill_ray.kernels.hashing import fnv1a64_batch
+
+            token_hashes = fnv1a64_batch(exploded.to_numpy())
+        else:
+            token_hashes = stable_hash64(exploded.to_numpy())
     else:
         token_hashes = np.empty(0, dtype=np.uint64)
     return token_hashes, doc_lengths

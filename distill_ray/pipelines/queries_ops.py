@@ -96,19 +96,69 @@ def q_near_dup_pairs_docs(sf_dir: str) -> pd.DataFrame:
 
 
 def q_simhash_docs(sf_dir: str) -> rd.Dataset:
-    """64-bit SimHash per document (as int64 view)."""
+    """64-bit SimHash per document (as int64 view), over FNV-1a token
+    hashes. The dedup pipeline's simhash gate runs the same simhash64
+    kernel over SipHash token hashes (C speed); the hash family is a free
+    parameter of the operator, and this query pins FNV-1a so the DuckDB
+    oracle can reproduce the WHOLE operator in SQL (per-token byte fold,
+    per-bit majority vote with the 2*s >= n tie rule, 64-bit pack)."""
     from distill_ray.kernels.embed import tokenize_series
     from distill_ray.kernels.sketch import simhash64
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def sh(df: pd.DataFrame) -> pd.DataFrame:
-        th, dl = tokenize_series(df["text"])
+        th, dl = tokenize_series(df["text"], token_hash="fnv")
         return pd.DataFrame(
             {"doc_id": df["doc_id"], "simhash": simhash64(th, dl).view(np.int64)}
         )
 
     return ds.map_batches(sh, batch_format="pandas")
+
+
+# The oracle IS the operator in SQL: canonical tokenization (same set the
+# spans/jaccard oracles use), FNV-1a 64 per token via a byte-wise
+# list_reduce in mod-2^64 UHUGEINT arithmetic, then for each bit j the
+# majority vote over tokens (sign rule 2*sum >= n, matching
+# kernels/sketch.simhash64) packed into a two's-complement BIGINT.
+# Pure-ASCII testdata makes ascii() == the UTF-8 byte fold of the kernel.
+SIMHASH_DOCS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           list_transform(string_split_regex(text, '\s+'),
+                          x -> lower(trim(x, '.,;:!?"''()[]{}'))),
+           t -> len(t) > 0)) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(14695981039346656037::UHUGEINT,
+             list_transform(range(1, length(tok) + 1),
+                            i -> ascii(substr(tok, i, 1))::UHUGEINT)),
+           (h, b) -> ((xor(h::UBIGINT, b::UBIGINT))::UHUGEINT
+                      * 1099511628211::UHUGEINT)
+                     % 18446744073709551616::UHUGEINT
+         )::UBIGINT AS h
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, j,
+         CASE WHEN 2 * sum(((h >> j) & 1)::BIGINT) >= count(*)
+              THEN (1::UBIGINT << j)::HUGEINT
+              ELSE 0::HUGEINT END AS contrib
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS j) js
+  GROUP BY doc_id, j
+),
+packed AS (SELECT doc_id, sum(contrib)::HUGEINT AS v FROM bits GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(CASE WHEN p.v IS NULL THEN 0
+                 WHEN p.v >= 9223372036854775808::HUGEINT
+                 THEN p.v - 18446744073709551616::HUGEINT
+                 ELSE p.v END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN packed p USING (doc_id)
+"""
 
 
 def _ngram_doc_sketch(df: pd.DataFrame, cfg: DedupConfig):
@@ -894,7 +944,9 @@ FROM votes
 
 def q_fingerprint_docs(sf_dir: str) -> rd.Dataset:
     """Rolling-hash document fingerprint: min-sampled 8 values of the 4-gram
-    rolling token-hash stream (winnowing-style); rows-only check."""
+    rolling token-hash stream (winnowing-style), over FNV-1a token hashes
+    so the DuckDB oracle reproduces the whole operator (byte-fold token
+    hash, polynomial 4-gram fold, splitmix64 avalanche, per-seed min)."""
     from distill_ray.kernels.embed import tokenize_series
     from distill_ray.kernels.sketch import minhash_seeds, minhash_signatures, shingle_hashes
 
@@ -903,7 +955,7 @@ def q_fingerprint_docs(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fp(df: pd.DataFrame) -> pd.DataFrame:
-        th, dl = tokenize_series(df["text"])
+        th, dl = tokenize_series(df["text"], token_hash="fnv")
         sh, spd = shingle_hashes(th, dl, 4)
         sig = minhash_signatures(sh, spd, seeds).view(np.int64)
         out = pd.DataFrame({"doc_id": df["doc_id"]})
@@ -912,6 +964,93 @@ def q_fingerprint_docs(sf_dir: str) -> rd.Dataset:
         return out
 
     return ds.map_batches(fp, batch_format="pandas")
+
+
+# Full operator in SQL: tokenization and FNV-1a as in SIMHASH_DOCS_SQL;
+# 4-token windows (short docs: ONE shingle over all tokens, empty docs:
+# none -> all-ones signature = -1) polynomial-folded in mod-2^64 UHUGEINT
+# arithmetic, avalanched with the splitmix64 finalizer (two shift-xor /
+# multiply chains, written out as CTE steps), xored with the 8 fixed seeds
+# (minhash_seeds(8, 0xF1A9) inlined), avalanched again, unsigned-min per
+# (doc, seed), two's-complement cast to match the kernel's int64 view.
+FINGERPRINT_DOCS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(string_split_regex(text, '\s+'),
+                          x -> lower(trim(x, '.,;:!?"''()[]{}'))),
+           t -> len(t) > 0) AS w
+  FROM documents
+),
+th AS (
+  SELECT doc_id, len(w) AS n,
+         list_transform(w, tok ->
+           list_reduce(
+             list_prepend(14695981039346656037::UHUGEINT,
+               list_transform(range(1, length(tok) + 1),
+                              i -> ascii(substr(tok, i, 1))::UHUGEINT)),
+             (h, b) -> ((xor(h::UBIGINT, b::UBIGINT))::UHUGEINT
+                        * 1099511628211::UHUGEINT)
+                       % 18446744073709551616::UHUGEINT
+           )::UBIGINT) AS hs
+  FROM toks
+),
+winraw AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(0::UHUGEINT,
+             list_transform(list_slice(hs, i + 1, least(i + 4, n)),
+                            x -> x::UHUGEINT)),
+           (a, t) -> (a * 1099511628211::UHUGEINT + t)
+                     % 18446744073709551616::UHUGEINT
+         )::UBIGINT AS x
+  FROM th, UNNEST(range(CASE WHEN n = 0 THEN 0
+                             WHEN n < 4 THEN 1
+                             ELSE n - 3 END)) AS t(i)
+),
+a1 AS (SELECT doc_id, xor(x, x >> 30) AS x FROM winraw),
+a2 AS (SELECT doc_id, ((x::UHUGEINT * 13787848793156543929::UHUGEINT)
+                       % 18446744073709551616::UHUGEINT)::UBIGINT AS x FROM a1),
+a3 AS (SELECT doc_id, xor(x, x >> 27) AS x FROM a2),
+a4 AS (SELECT doc_id, ((x::UHUGEINT * 10723151780598845931::UHUGEINT)
+                       % 18446744073709551616::UHUGEINT)::UBIGINT AS x FROM a3),
+shingles AS (SELECT doc_id, xor(x, x >> 31) AS sh FROM a4),
+seeds AS (
+  SELECT * FROM (VALUES
+    (0, 4986381820249041206::UBIGINT), (1, 7772340974354662615::UBIGINT),
+    (2, 2234603024282491131::UBIGINT), (3, 5851495269378168842::UBIGINT),
+    (4, 4042931848645574777::UBIGINT), (5, 4857131633307895041::UBIGINT),
+    (6, 1830976577849887099::UBIGINT), (7, 8946636054829526091::UBIGINT)
+  ) s(k, seed)
+),
+b0 AS (SELECT doc_id, k, xor(sh, seed) AS x FROM shingles CROSS JOIN seeds),
+b1 AS (SELECT doc_id, k, xor(x, x >> 30) AS x FROM b0),
+b2 AS (SELECT doc_id, k, ((x::UHUGEINT * 13787848793156543929::UHUGEINT)
+                          % 18446744073709551616::UHUGEINT)::UBIGINT AS x FROM b1),
+b3 AS (SELECT doc_id, k, xor(x, x >> 27) AS x FROM b2),
+b4 AS (SELECT doc_id, k, ((x::UHUGEINT * 10723151780598845931::UHUGEINT)
+                          % 18446744073709551616::UHUGEINT)::UBIGINT AS x FROM b3),
+hv AS (SELECT doc_id, k, xor(x, x >> 31) AS v FROM b4),
+mins AS (SELECT doc_id, k, min(v) AS mv FROM hv GROUP BY doc_id, k),
+signed AS (
+  SELECT doc_id, k,
+         CAST(CASE WHEN mv >= 9223372036854775808::UHUGEINT
+                   THEN mv::HUGEINT - 18446744073709551616::HUGEINT
+                   ELSE mv::HUGEINT END AS BIGINT) AS sv
+  FROM mins
+)
+SELECT d.doc_id,
+       coalesce(min(CASE WHEN s.k = 0 THEN s.sv END), -1) AS fp0,
+       coalesce(min(CASE WHEN s.k = 1 THEN s.sv END), -1) AS fp1,
+       coalesce(min(CASE WHEN s.k = 2 THEN s.sv END), -1) AS fp2,
+       coalesce(min(CASE WHEN s.k = 3 THEN s.sv END), -1) AS fp3,
+       coalesce(min(CASE WHEN s.k = 4 THEN s.sv END), -1) AS fp4,
+       coalesce(min(CASE WHEN s.k = 5 THEN s.sv END), -1) AS fp5,
+       coalesce(min(CASE WHEN s.k = 6 THEN s.sv END), -1) AS fp6,
+       coalesce(min(CASE WHEN s.k = 7 THEN s.sv END), -1) AS fp7
+FROM documents d LEFT JOIN signed s USING (doc_id)
+GROUP BY d.doc_id
+"""
 
 
 def _derived_transcripts_ds(sf_dir: str):

@@ -109,3 +109,43 @@ def test_tokenizer_parity_with_scalar():
     th, dl = tokenize_series(s)
     expected = [tokenize_words(t) for t in texts]
     assert list(dl) == [len(e) for e in expected]
+
+
+def test_simhash_fingerprint_sql_oracles_edge_cases(tmp_path, ray_session):
+    """The simhash_docs / fingerprint_docs DuckDB oracles reproduce the
+    FNV-variant kernels exactly, including the edge docs real testdata may
+    not contain: empty text, punctuation-only (zero tokens after trim),
+    and short docs (1..3 tokens -> a single whole-doc shingle)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distill_ray.pipelines.queries_ops import (
+        FINGERPRINT_DOCS_SQL,
+        SIMHASH_DOCS_SQL,
+        q_fingerprint_docs,
+        q_simhash_docs,
+    )
+
+    texts = [
+        "", "...", "one", "Two words.", "a b c", "a b c d",
+        "The quick brown fox jumps over the lazy dog!",
+        "the   quick\tbrown  FOX,", "(a) [b] {c} 'd' \"e\"",
+    ]
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    for q, sql in ((q_simhash_docs, SIMHASH_DOCS_SQL),
+                   (q_fingerprint_docs, FINGERPRINT_DOCS_SQL)):
+        got = (
+            q(str(tmp_path)).to_pandas().sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        exp = con.execute(sql + " ORDER BY doc_id").df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    con.close()

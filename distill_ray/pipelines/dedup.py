@@ -312,6 +312,16 @@ def run_dedup(
         import os as _os_v
 
         inband_verify = _os_v.environ.get("DISTILL_RAY_INBAND_VERIFY", "1") != "0"
+        # Block until the broadcast shards + pairable-key set finish building
+        # BEFORE the band stage launches: its map tasks ray.get these refs,
+        # and a map task blocked inside ray.get still holds its CPU lease —
+        # profiled at 32 CPUs, expand tasks showed 245 s task-wall vs 46 s
+        # task-CPU (the builders were starved of cores by the very tasks
+        # waiting on them). The builds are parallel tasks over materialized
+        # blocks; running them to completion first costs ~1-2 s at full
+        # parallelism and removes ~6 s from the band-stage critical path.
+        ray.wait(list(lookup_ref[0]) + [pairable_ref],
+                 num_returns=len(lookup_ref[0]) + 1)
         raw_pairs = (
             _bounded(fused).map_batches(
                 make_expand_bands_numeric(B, include_simhash=False,
@@ -325,6 +335,13 @@ def run_dedup(
                        "band_pairs"),
                 batch_format="pyarrow")
         ).materialize()  # barrier between consecutive wide ops (see endpoint)
+        _mark("p6_band_pairs")
+        import os as _os_s
+
+        if _os_s.environ.get("DISTILL_RAY_PRINT_STATS") == "1":
+            import sys as _sys
+
+            print(raw_pairs.stats(), file=_sys.stderr)
         edges = (
             _bounded(raw_pairs)
             .groupby("kbucket")

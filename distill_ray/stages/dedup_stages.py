@@ -646,9 +646,12 @@ def make_expand_bands_numeric(n_buckets: int, include_simhash: bool = True,
 # Fixed-size per-process scratch for the pair-generation/gating hot path.
 # This sandbox host (and any memory-overcommitted VM) serializes first-
 # touch page faults, so repeated large fresh allocations in 32 concurrent
-# workers ran ~60x slower than the same kernel alone; buffers allocated
-# and touched ONCE per worker process make every later call run at warm
-# memory speed. ~64 MB per worker.
+# workers ran ~60x slower than the same kernel alone; REUSED buffers make
+# every later call run at warm memory speed. Pages are faulted lazily by
+# first use — an eager fill(0) would fault the full CAPACITY up front
+# (profiled: 268 of 288 aggregate kernel seconds at 32 CPUs were exactly
+# those fills), while use only ever touches the high-water slice.
+# ~64 MB per worker.
 _PAIR_CHUNK = 1 << 19
 _PAIR_SCRATCH: dict = {}
 
@@ -665,8 +668,6 @@ def _pair_scratch() -> dict:
             "x8": np.empty(n * 8, np.uint8),
             "ham": np.empty(n, np.int64),
         }
-        for arr in sc.values():
-            arr.fill(0)  # force the one-time page-fault cost up front
         _PAIR_SCRATCH["v"] = sc
     return sc
 
@@ -707,9 +708,7 @@ def _verify_scratch(dim: int) -> dict:
             "dots": np.empty(n, np.float64),
             "den": np.empty(n, np.float64),
         }
-        for arr in sc.values():
-            arr.fill(0)
-        _VERIFY_SCRATCH[dim] = sc
+        _VERIFY_SCRATCH[dim] = sc  # pages fault lazily on first use
     return sc
 
 
@@ -797,6 +796,21 @@ class BandPairNumericBucket:
         return hit
 
     def __call__(self, g: pa.Table) -> pa.Table:
+        import os as _os_prof
+
+        if _os_prof.environ.get("DISTILL_RAY_PROFILE_BAND") == "1":
+            import cProfile
+
+            prof = _PAIR_SCRATCH.setdefault("_prof", cProfile.Profile())
+            prof.enable()
+            try:
+                return self._call_impl(g)
+            finally:
+                prof.disable()
+                prof.dump_stats(f"/tmp/band_prof/{_os_prof.getpid()}.prof")
+        return self._call_impl(g)
+
+    def _call_impl(self, g: pa.Table) -> pa.Table:
         cap = self.cfg.band_group_cap
         gate = self.cfg.simhash_hamming_max
         empty = (NARROW_PAIR_SCHEMA if self.narrow else PAIRX_SCHEMA).empty_table()
@@ -1255,8 +1269,7 @@ def _gather_buf(tag: str, n: int, row_shape: tuple, dtype) -> np.ndarray:
     if buf is None or buf.shape[0] < n:
         cap = n if buf is None else max(n, 2 * buf.shape[0])
         buf = np.empty((cap,) + row_shape, dtype)
-        buf.fill(0)  # force the one-time page-fault cost up front
-        _GATHER_SCRATCH[key] = buf
+        _GATHER_SCRATCH[key] = buf  # pages fault lazily on first use
     return buf[:n]
 
 

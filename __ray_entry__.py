@@ -140,4 +140,5 @@ def oracle_sql() -> dict[str, str]:
         "verbatim_spans_docs": qo.VERBATIM_SPANS_DOCS_SQL,
         "simhash_docs": qo.SIMHASH_DOCS_SQL,
         "fingerprint_docs": qo.FINGERPRINT_DOCS_SQL,
+        "mmr_top8": qo.MMR_TOP8_SQL,
     }

@@ -687,6 +687,80 @@ def q_mmr_top8(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["vec_id", "rank", "score"])
 
 
+# The whole C5/C6 MMR operator in SQL: query-similarity rescoring with the
+# same stable top-50 cut (ORDER BY s DESC, vec_id == argsort stable), score
+# normalization incl. the all-equal -> 1.0 rule (mmr.go:122-133), and the
+# greedy selection loop as a recursive CTE — per step the candidate argmax
+# of 0.5*rel - 0.5*max(0, max sim to selected) with the documented
+# ascending-index tie-break (strict > scan == ORDER BY m DESC, idx LIMIT 1).
+# Embeddings are float32 in parquet, widened exactly to DOUBLE on both
+# sides, so the only arithmetic risk is BLAS-vs-linear dot accumulation
+# order — verified to agree at both test SFs (and scores round to 6dp).
+MMR_TOP8_SQL = r"""
+WITH RECURSIVE
+qv AS (
+  SELECT list_transform(embedding, x -> x::DOUBLE) AS e
+  FROM embeddings WHERE vec_id = 0
+),
+sims AS (
+  SELECT vec_id,
+         list_dot_product(list_transform(embedding, x -> x::DOUBLE), qv.e)
+         / (sqrt(list_dot_product(list_transform(embedding, x -> x::DOUBLE),
+                                  list_transform(embedding, x -> x::DOUBLE)))
+            * sqrt(list_dot_product(qv.e, qv.e))) AS s,
+         list_transform(embedding, x -> x::DOUBLE) AS e
+  FROM embeddings, qv
+),
+top50 AS (
+  SELECT vec_id, s, e,
+         row_number() OVER (ORDER BY s DESC, vec_id) - 1 AS idx
+  FROM sims ORDER BY s DESC, vec_id LIMIT 50
+),
+rel AS (
+  SELECT idx, vec_id, s, e,
+         CASE WHEN max(s) OVER () = min(s) OVER () THEN 1.0
+              ELSE (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
+         END AS r
+  FROM top50
+),
+pairsim AS (
+  SELECT a.idx AS ia, b.idx AS ib,
+         CASE WHEN a.idx = b.idx THEN 1.0
+              WHEN sqrt(list_dot_product(a.e, a.e))
+                   * sqrt(list_dot_product(b.e, b.e)) = 0
+              THEN -1.0
+              ELSE list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e)))
+         END AS sim
+  FROM rel a CROSS JOIN rel b
+),
+sel AS (
+  SELECT 0 AS iter, []::BIGINT[] AS selected
+  UNION ALL
+  SELECT iter + 1,
+         list_append(selected, (
+           SELECT t.idx FROM rel t
+           WHERE NOT list_contains(sel.selected, t.idx)
+           ORDER BY 0.5 * t.r - 0.5 * greatest(coalesce((
+                      SELECT max(p.sim) FROM pairsim p
+                      WHERE p.ia = t.idx AND list_contains(sel.selected, p.ib)),
+                      0.0), 0.0) DESC,
+                    t.idx
+           LIMIT 1))
+  FROM sel WHERE iter < 8
+),
+final AS (
+  SELECT unnest(selected) AS idx,
+         unnest(range(8)) AS rank
+  FROM sel WHERE iter = 8
+)
+SELECT t.vec_id, f.rank::BIGINT AS rank, round(t.s, 6) AS score
+FROM final f JOIN rel t USING (idx)
+ORDER BY f.rank
+"""
+
+
 def q_verbatim_spans(sf_dir: str) -> pd.DataFrame:
     """P10 suffix-array/rolling-hash verbatim-span pass over transcripts
     derived from documents (span_k=10 tokens); rows-only."""

@@ -193,3 +193,24 @@ def test_kmeans_deterministic_with_seed():
     b = kmeans_dedup(vecs, seed=7)
     assert a.unique_indices == b.unique_indices
     assert np.array_equal(a.assignments, b.assignments)
+
+
+def test_mmr_top8_sql_oracle_matches():
+    """The recursive-CTE MMR oracle reproduces the full C5/C6 query
+    (rescoring + top-50 cut + greedy selection with index tie-break) at
+    both test SFs — guards the BLAS-vs-linear dot accumulation margin."""
+    import duckdb
+    import pandas as pd
+
+    from distill_ray.pipelines.queries_ops import MMR_TOP8_SQL, q_mmr_top8
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = q_mmr_top8(sf)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf}/embeddings.parquet')"
+        )
+        exp = con.execute(MMR_TOP8_SQL).df()
+        con.close()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -45,9 +45,10 @@ def transcripts_path() -> str:
     n_convs = int(
         os.environ.get("RAY_GRAFT_CONVS", _SF_TO_CONVS.get(_sf_name(), 12_000))
     )
-    # v2: Heaps-law vocabulary (see sources/transcripts._word_pool) — the tag
-    # keeps stale fixed-vocab caches from earlier rounds out of the bench
-    path = f"/tmp/distill_ray_bench/transcripts_v2_{n_convs}x{TURNS_PER_CONV}.parquet"
+    # v3: sharded multi-file fixture (one read task per file — a single-file
+    # fixture serialized the read on one core); v2 was the Heaps-law
+    # vocabulary bump. Tags keep stale caches from earlier rounds out.
+    path = f"/tmp/distill_ray_bench/transcripts_v3_{n_convs}x{TURNS_PER_CONV}"
     return write_transcripts_parquet(path, n_convs, TURNS_PER_CONV, seed=42)
 
 
@@ -74,9 +75,12 @@ def run_bench() -> dict:
 
     path = transcripts_path()
     # warm the page cache so we measure compute + shuffle, not first disk read
-    with open(path, "rb") as f:
-        while f.read(1 << 24):
-            pass
+    import glob as _glob
+
+    for part in sorted(_glob.glob(os.path.join(path, "*.parquet"))):
+        with open(part, "rb") as f:
+            while f.read(1 << 24):
+                pass
 
     # warm the worker pool: spawn every worker process and import the heavy
     # modules BEFORE the timed region. A long-lived cluster has warm workers;
@@ -172,11 +176,16 @@ def run_scaling() -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), RAY_GRAFT_REPEAT="1",
                    RAY_GRAFT_DEDUP_ONLY="1",
                    RAY_GRAFT_CONVS=os.environ.get("RAY_GRAFT_CONVS", "250000"))
-        out = subprocess.run(
+        proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+            env=env, capture_output=True, text=True,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"bench leg ncpu={ncpu} exited {proc.returncode}; stderr tail:\n"
+                + "\n".join(proc.stderr.splitlines()[-30:])
+            )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     # the sandbox host drifts (observed +-40% between identical runs minutes
     # apart) — interleave the legs A/B style and take the per-leg MIN so

@@ -203,21 +203,40 @@ def transcripts_schema() -> pa.Schema:
 def write_transcripts_parquet(
     path: str, n_convs: int, turns_per_conv: int = 8, seed: int = 42
 ) -> str:
-    """Write (cached) a generated transcript table; returns the path."""
+    """Write (cached) a generated transcript table as a DIRECTORY of shard
+    files; returns the path.
+
+    Multi-file matters: Ray Data's parquet reader issues one read task per
+    FILE, so a single-file fixture serializes the read (measured 4.3 s of
+    one-core decode at the head of every bench leg, identical at 8 and 32
+    CPUs — pure fixed cost). ~125k rows per shard keeps reads parallel at
+    every bench CPU level, and is the multi-file layout a real 100 TB
+    corpus presents anyway. Small row groups (32k rows) keep downstream
+    block splits fine-grained within each file.
+    """
     import pyarrow.parquet as pq
 
-    if os.path.exists(path):
+    done = os.path.join(path, "_DONE")
+    if os.path.exists(done):
         return path
-    os.makedirs(os.path.dirname(path), exist_ok=True)
     df = generate_transcripts(n_convs, turns_per_conv, seed)
     table = pa.Table.from_pandas(df, schema=transcripts_schema(), preserve_index=False)
+    n = table.num_rows
+    shards = max(1, min(256, (n + 124_999) // 125_000))
     tmp = path + ".tmp"
-    # small row groups: Ray Data's parquet reader parallelizes at row-group
-    # granularity, so a single-row-group file caps the ENTIRE fused
-    # read->map chain at one core (measured: p2 prep flat ~25 s at 8 and
-    # 32 CPUs on a 2-row-group 2M-row file). 32k rows/group ~ a few MB —
-    # the shape a real multi-file 100 TB layout presents anyway.
-    pq.write_table(table, tmp, row_group_size=32_768)
+    if os.path.exists(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    step = (n + shards - 1) // shards
+    for s in range(shards):
+        part = table.slice(s * step, step)
+        if part.num_rows:
+            pq.write_table(part, os.path.join(tmp, f"part-{s:04d}.parquet"),
+                           row_group_size=32_768)
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        f.write(f"{n}\n")
     os.replace(tmp, path)
     return path
 

@@ -176,16 +176,25 @@ def run_scaling() -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), RAY_GRAFT_REPEAT="1",
                    RAY_GRAFT_DEDUP_ONLY="1",
                    RAY_GRAFT_CONVS=os.environ.get("RAY_GRAFT_CONVS", "250000"))
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True,
-        )
-        if proc.returncode != 0:
-            raise RuntimeError(
-                f"bench leg ncpu={ncpu} exited {proc.returncode}; stderr tail:\n"
-                + "\n".join(proc.stderr.splitlines()[-30:])
+        # one retry per leg: the sandbox host intermittently kills a worker
+        # mid-run (~once per ~10 legs observed); without a retry one
+        # transient loss aborts a ~30-minute interleaved measurement. The
+        # failure is logged so a systematic error can't hide behind retries.
+        last_err = None
+        for attempt in range(2):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True,
             )
-        return json.loads(proc.stdout.strip().splitlines()[-1])
+            if proc.returncode == 0:
+                return json.loads(proc.stdout.strip().splitlines()[-1])
+            last_err = (
+                f"bench leg ncpu={ncpu} attempt {attempt} exited "
+                f"{proc.returncode}; stderr tail:\n"
+                + "\n".join(proc.stderr.splitlines()[-150:])
+            )
+            print(last_err, file=sys.stderr)
+        raise RuntimeError(last_err)
 
     # the sandbox host drifts (observed +-40% between identical runs minutes
     # apart) — interleave the legs A/B style and take the per-leg MIN so

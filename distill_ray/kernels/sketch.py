@@ -32,6 +32,38 @@ from distill_ray.kernels.hashing import mix64
 _U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 _POLY = np.uint64(0x100000001B3)  # FNV prime as the polynomial base
 
+# Per-process reusable buffers for the sketch hot loops. The MinHash loop
+# alone otherwise fresh-allocates num_perm (128) arrays of len(shingles)
+# per bucket (~0.5 GB per 500k-shingle bucket); this host serializes
+# first-touch page faults across workers, which made exactly those
+# allocations a large share of the sketch stage's wall time. Buffers grow
+# to the high-water mark; pages fault lazily on first use (see the note in
+# stages/dedup_stages._pair_scratch).
+_SCRATCH: dict = {}
+
+
+def _buf(tag: str, n: int, dtype=np.uint64) -> np.ndarray:
+    key = (tag, np.dtype(dtype).str)
+    b = _SCRATCH.get(key)
+    if b is None or len(b) < n:
+        cap = n if b is None else max(n, 2 * len(b))
+        b = np.empty(cap, dtype)
+        _SCRATCH[key] = b
+    return b[:n]
+
+
+def _mix64_inplace(x: np.ndarray, tmp: np.ndarray) -> None:
+    """splitmix64 finalizer applied in place (same op order as mix64)."""
+    with np.errstate(over="ignore"):
+        np.right_shift(x, 30, out=tmp)
+        np.bitwise_xor(x, tmp, out=x)
+        np.multiply(x, np.uint64(0xBF58476D1CE4E5B9), out=x)
+        np.right_shift(x, 27, out=tmp)
+        np.bitwise_xor(x, tmp, out=x)
+        np.multiply(x, np.uint64(0x94D049BB133111EB), out=x)
+        np.right_shift(x, 31, out=tmp)
+        np.bitwise_xor(x, tmp, out=x)
+
 
 def minhash_seeds(num_perm: int, seed: int = 0x5EED) -> np.ndarray:
     """Deterministic seed vector for the MinHash family."""
@@ -71,15 +103,26 @@ def shingle_hashes(
         long_mask = doc_lengths >= k
         if long_mask.any():
             counts = full[long_mask]
-            doc_start = starts[long_mask]
-            # global start index of each shingle
+            # global start index of each shingle; `within` vectorized as
+            # arange(total) - repeat(exclusive-cumsum, counts) (the per-doc
+            # np.arange loop cost one Python call per document)
             shingle_doc = np.repeat(np.arange(n)[long_mask], counts)
-            within = np.concatenate([np.arange(c) for c in counts])
+            total_sh = int(counts.sum())
+            cum0 = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            within = np.arange(total_sh, dtype=np.int64) - np.repeat(cum0, counts)
             gstart = starts[shingle_doc] + within
-            acc = np.zeros(len(gstart), dtype=np.uint64)
+            m = len(gstart)
+            acc = _buf("shg_acc", m)
+            acc.fill(0)
+            gidx = _buf("shg_idx", m, np.int64)
+            gat = _buf("shg_gat", m)
+            tmp = _buf("shg_tmp", m)
             for j in range(k):
-                acc = acc * _POLY + th[gstart + j]
-            acc = mix64(acc)
+                np.add(gstart, j, out=gidx)
+                np.take(th, gidx, out=gat)
+                np.multiply(acc, _POLY, out=acc)
+                np.add(acc, gat, out=acc)
+            _mix64_inplace(acc, tmp)
             dest = out_starts[shingle_doc] + within
             out[dest] = acc
 
@@ -113,9 +156,12 @@ def minhash_signatures(
     nonempty = shingles_per_doc > 0
     ne_offsets = offsets[nonempty]
     sh = np.asarray(shingles, dtype=np.uint64)
+    hv = _buf("mh_hv", len(sh))
+    tmp = _buf("mh_tmp", len(sh))
     with np.errstate(over="ignore"):
         for i, seed in enumerate(seeds):
-            hv = mix64(sh ^ seed)
+            np.bitwise_xor(sh, seed, out=hv)
+            _mix64_inplace(hv, tmp)
             mins = np.minimum.reduceat(hv, ne_offsets)
             sig[nonempty, i] = mins
     return sig
@@ -126,14 +172,20 @@ def lsh_band_keys(signatures: np.ndarray, bands: int) -> np.ndarray:
     n, num_perm = signatures.shape
     r = num_perm // bands
     sig = signatures[:, : bands * r].reshape(n, bands, r)
+    acc = _buf("lsh_acc", n * bands).reshape(n, bands)
+    acc.fill(0)
+    tmp = _buf("lsh_tmp", n * bands)
     with np.errstate(over="ignore"):
-        acc = np.zeros((n, bands), dtype=np.uint64)
         for j in range(r):
-            acc = acc * _POLY + sig[:, :, j]
+            np.multiply(acc, _POLY, out=acc)
+            np.add(acc, sig[:, :, j], out=acc)
         # fold the band index in so identical row-values in different bands
         # don't collide into one group
-        acc = mix64(acc + np.arange(bands, dtype=np.uint64)[None, :] * _POLY)
-    return acc
+        np.add(acc, np.arange(bands, dtype=np.uint64)[None, :] * _POLY, out=acc)
+        _mix64_inplace(acc.reshape(-1), tmp)
+    # fresh copy: callers keep the result (often zero-copy into Arrow)
+    # while the scratch is reused by the next call
+    return acc.copy()
 
 
 def simhash64(token_hashes: np.ndarray, doc_lengths: np.ndarray) -> np.ndarray:
@@ -158,9 +210,13 @@ def simhash64(token_hashes: np.ndarray, doc_lengths: np.ndarray) -> np.ndarray:
     off_ne = offsets[nonempty]
     lengths_ne = doc_lengths[nonempty]
     packed = np.zeros(len(off_ne), dtype=np.uint64)
+    t64 = _buf("sim_t", len(th))
+    bj = _buf("sim_b", len(th), np.int32)
     with np.errstate(over="ignore"):
         for j in range(64):
-            bj = ((th >> np.uint64(j)) & np.uint64(1)).astype(np.int32)
+            np.right_shift(th, np.uint64(j), out=t64)
+            np.bitwise_and(t64, np.uint64(1), out=t64)
+            bj[:] = t64  # 0/1 cast into the reused int32 buffer
             s = np.add.reduceat(bj, off_ne)
             # sign(sum of ±1 contribs) >= 0  <=>  2*popcount_sum >= doc_len
             packed |= (2 * s >= lengths_ne).astype(np.uint64) << np.uint64(j)

@@ -185,3 +185,48 @@ def test_pairable_keys_match_naive_counts():
         batch_format="pyarrow",
     ).to_pandas()
     assert len(pruned) == int(np.isin(keys, expect).sum())
+
+
+def test_gather_from_shards_scratch_semantics():
+    """scratch=True returns a view valid until the next same-shape gather:
+    values must be correct per call, different (shape, dtype) keys must not
+    alias each other, and the documented hazard (same-key reuse) must be a
+    plain overwrite, not corruption of unrelated buffers."""
+    import numpy as np
+
+    from distill_ray.stages.dedup_stages import gather_from_shards
+
+    rng = np.random.default_rng(7)
+    shards = []
+    num_shards, shift = 4, 62
+    all_nodes, all_emb, all_sim = [], [], []
+    for s in range(num_shards):
+        nodes = np.sort(
+            (rng.integers(0, 1 << 60, 50, dtype=np.uint64)
+             | (np.uint64(s) << np.uint64(shift))).view(np.int64)
+        )
+        emb = rng.standard_normal((50, 8)).astype(np.float32)
+        sim = rng.integers(0, 1 << 62, 50, dtype=np.int64)
+        shards.append((nodes, emb, sim))
+        all_nodes.append(nodes); all_emb.append(emb); all_sim.append(sim)
+    nodes = np.concatenate(all_nodes)
+    emb = np.concatenate(all_emb)
+    sim = np.concatenate(all_sim)
+
+    idx = rng.integers(0, len(nodes), 120)
+    keys = nodes[idx]
+    got_sim = gather_from_shards(shards, keys, shift, 2, scratch=True)
+    got_emb = gather_from_shards(shards, keys, shift, 1, scratch=True)
+    # different (shape, dtype) keys: the emb gather must not clobber sim
+    np.testing.assert_array_equal(got_sim, sim[idx])
+    np.testing.assert_array_equal(got_emb, emb[idx])
+    # same-key reuse overwrites the previous view (the documented contract)
+    idx2 = rng.integers(0, len(nodes), 120)
+    got_emb2 = gather_from_shards(shards, nodes[idx2], shift, 1, scratch=True)
+    np.testing.assert_array_equal(got_emb2, emb[idx2])
+    assert got_emb is not None and got_emb2.base is got_emb.base
+    # non-scratch path still allocates fresh, independent results
+    a = gather_from_shards(shards, keys, shift, 1)
+    b = gather_from_shards(shards, nodes[idx2], shift, 1)
+    np.testing.assert_array_equal(a, emb[idx])
+    np.testing.assert_array_equal(b, emb[idx2])

@@ -11,6 +11,14 @@ offset reconstructs the maximal span and its length. 64-bit window-hash
 collisions are the only false-positive source (~2^-64 per pair); the
 suffix-array kernel (kernels/spans.py) is the exact verifier used in tests
 to certify this reconstruction.
+
+Nothing variable-width rides the wide exchanges: integer rids pass through
+as int64; string rids are replaced by their stable 64-bit hash
+(dedup_stages.rid_hash64 — same keying as the dedup pipeline's pair
+exchange) before the first shuffle and resolved back to strings only for
+the final span set, whose size bounds the driver state (spans are rare by
+construction). For integer rids the output is bit-identical to keying by
+the rid itself, including the deterministic hot-window cap order.
 """
 
 from __future__ import annotations
@@ -19,15 +27,32 @@ import numpy as np
 import pandas as pd
 
 from distill_ray.kernels.embed import tokenize_series
-from distill_ray.kernels.hashing import stable_hash64
 from distill_ray.kernels.spans import window_hashes
 
+_MIX_A = np.uint64(0x9E3779B97F4A7C15)
+_MIX_B = np.uint64(0xC2B2AE3D27D4EB4F)
 
-def make_window_rows(span_k: int, n_buckets: int):
+
+def _pair_bucket(a: np.ndarray, b: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Deterministic partition key for a pair of int64 rid keys. Any
+    deterministic function works here (bucket choice only places work, it
+    never changes output); integer mixing replaces the round-1 string
+    concat + hash, which allocated two temporary string arrays per bucket."""
+    with np.errstate(over="ignore"):
+        m = a.view(np.uint64) * _MIX_A ^ b.view(np.uint64) * _MIX_B
+    return (m % np.uint64(n_buckets)).astype(np.int32)
+
+
+def make_window_rows(span_k: int, n_buckets: int, hash_rids: bool):
     def window_rows(df: pd.DataFrame) -> pd.DataFrame:
         th, dl = tokenize_series(df["norm_text"])
         wh, doc_idx, pos = window_hashes(th, dl, span_k)
-        rids = df["rid"].to_numpy()
+        if hash_rids:
+            from distill_ray.stages.dedup_stages import rid_hash64
+
+            rids = rid_hash64(df["rid"].to_numpy())
+        else:
+            rids = df["rid"].to_numpy().astype(np.int64)
         return pd.DataFrame(
             {
                 "whash": wh.view(np.int64),
@@ -40,15 +65,20 @@ def make_window_rows(span_k: int, n_buckets: int):
     return window_rows
 
 
+_MATCH_EMPTY_COLS = {
+    "a": np.int64, "b": np.int64, "pos_a": np.int32, "pos_b": np.int32,
+    "pbucket": np.int32,
+}
+
+
 def make_window_matches(n_buckets: int, window_cap: int = 64):
     """Bucket kernel: per window-hash group, emit all cross-document
-    (a, b, pos_a, pos_b) matches; hot windows capped deterministically."""
+    (a, b, pos_a, pos_b) matches; hot windows capped deterministically
+    (first window_cap occurrences in (rid key, pos) order)."""
 
     def window_matches(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
-            {"a": pd.Series(dtype=object), "b": pd.Series(dtype=object),
-             "pos_a": pd.Series(dtype=np.int32), "pos_b": pd.Series(dtype=np.int32),
-             "pbucket": pd.Series(dtype=np.int32)}
+            {c: pd.Series(dtype=t) for c, t in _MATCH_EMPTY_COLS.items()}
         )
         sizes = g.groupby("whash", sort=False)["rid"].transform("size")
         g = g[sizes > 1]
@@ -78,15 +108,11 @@ def make_window_matches(n_buckets: int, window_cap: int = 64):
             return empty
         a = np.concatenate(a_out)
         b = np.concatenate(b_out)
-        pbucket = (
-            stable_hash64(np.char.add(np.char.add(a.astype(str), "|"), b.astype(str)))
-            % np.uint64(n_buckets)
-        ).astype(np.int32)
         return pd.DataFrame(
             {"a": a, "b": b,
              "pos_a": np.concatenate(pa_out).astype(np.int32),
              "pos_b": np.concatenate(pb_out).astype(np.int32),
-             "pbucket": pbucket}
+             "pbucket": _pair_bucket(a, b, n_buckets)}
         )
 
     return window_matches
@@ -98,7 +124,7 @@ def make_merge_spans(span_k: int):
     def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
         if g.empty:
             return pd.DataFrame(
-                {"a": pd.Series(dtype=object), "b": pd.Series(dtype=object),
+                {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
                  "pos_a": pd.Series(dtype=np.int32), "pos_b": pd.Series(dtype=np.int32),
                  "length": pd.Series(dtype=np.int32)}
             )
@@ -133,12 +159,74 @@ def make_merge_spans(span_k: int):
     return merge_spans
 
 
+def _resolve_span_rids(spans_df: pd.DataFrame, prep_ds) -> pd.DataFrame:
+    """Resolve int64 rid-hash span endpoints back to the original string
+    rids, then re-canonicalize (a < b as strings, positions following).
+
+    Scale shape: the only driver-side state is the span set itself and the
+    rid strings it names — both bounded by the OUTPUT size, not the corpus.
+    The lookup is a map-only filtered scan of the (materialized) prep
+    dataset against a broadcast sorted key array; no shuffle."""
+    import ray
+
+    from distill_ray.stages.dedup_stages import rid_hash64
+
+    if spans_df.empty:
+        return pd.DataFrame(
+            {"a": pd.Series(dtype=object), "b": pd.Series(dtype=object),
+             "pos_a": pd.Series(dtype=np.int32), "pos_b": pd.Series(dtype=np.int32),
+             "length": pd.Series(dtype=np.int32)}
+        )
+    need = np.unique(
+        np.concatenate([spans_df["a"].to_numpy(), spans_df["b"].to_numpy()])
+    )
+    need_ref = ray.put(need)
+
+    def lookup(df: pd.DataFrame) -> pd.DataFrame:
+        keys = np.sort(ray.get(need_ref))
+        rids = df["rid"].to_numpy()
+        r64 = rid_hash64(rids)
+        idx = np.searchsorted(keys, r64)
+        idx[idx == len(keys)] = 0
+        mask = keys[idx] == r64
+        return pd.DataFrame({"r64": r64[mask], "rid": rids[mask]})
+
+    mp = prep_ds.map_batches(lookup, batch_format="pandas").to_pandas()
+    m = dict(zip(mp["r64"].tolist(), mp["rid"].tolist()))
+    a = spans_df["a"].map(m).to_numpy()
+    b = spans_df["b"].map(m).to_numpy()
+    pa = spans_df["pos_a"].to_numpy()
+    pb = spans_df["pos_b"].to_numpy()
+    swap = a > b
+    a2 = np.where(swap, b, a)
+    b2 = np.where(swap, a, b)
+    pa2 = np.where(swap, pb, pa)
+    pb2 = np.where(swap, pa, pb)
+    return pd.DataFrame(
+        {"a": a2, "b": b2, "pos_a": pa2.astype(np.int32),
+         "pos_b": pb2.astype(np.int32),
+         "length": spans_df["length"].to_numpy()}
+    )
+
+
 def run_span_pass(prep_ds, span_k: int = 50, n_buckets: int = 128):
     """prep_ds: Dataset with (rid, norm_text). Returns spans Dataset
-    (a, b, pos_a, pos_b, length) with length >= span_k."""
+    (a, b, pos_a, pos_b, length) with length >= span_k; a/b carry the rid
+    dtype of the input (integer rids key the shuffles directly and are
+    returned verbatim; string rids shuffle as 64-bit hashes and resolve
+    back at the end)."""
+    import pyarrow as pa
     import ray
 
     from distill_ray.pipelines.dedup import _named
+
+    sch = prep_ds.schema()
+    rid_type = sch.types[sch.names.index("rid")]
+    int_rids = isinstance(rid_type, pa.DataType) and pa.types.is_integer(rid_type)
+    if not int_rids:
+        # the resolve pass re-reads prep; pin it so upstream lineage
+        # (transcript derivation, normalization) does not re-execute
+        prep_ds = prep_ds.materialize()
 
     # coalesce block count before each wide op — Ray's sort shuffle builds a
     # num_input_blocks x num_output_partitions object matrix (see
@@ -146,7 +234,8 @@ def run_span_pass(prep_ds, span_k: int = 50, n_buckets: int = 128):
     P = max(2 * int(ray.cluster_resources().get("CPU", 8)), 16)
 
     windows = prep_ds.map_batches(
-        make_window_rows(span_k, n_buckets), batch_format="pandas"
+        make_window_rows(span_k, n_buckets, hash_rids=not int_rids),
+        batch_format="pandas",
     )
     matches = windows.repartition(P).groupby("wbucket").map_groups(
         _named(make_window_matches(n_buckets), "window_matches"),
@@ -155,4 +244,9 @@ def run_span_pass(prep_ds, span_k: int = 50, n_buckets: int = 128):
     spans = matches.repartition(P).groupby("pbucket").map_groups(
         _named(make_merge_spans(span_k), "merge_spans"), batch_format="pandas"
     )
-    return spans
+    if int_rids:
+        return spans
+    import ray.data as rd
+
+    resolved = _resolve_span_rids(spans.to_pandas(), prep_ds)
+    return rd.from_pandas(resolved)

@@ -141,4 +141,6 @@ def oracle_sql() -> dict[str, str]:
         "simhash_docs": qo.SIMHASH_DOCS_SQL,
         "fingerprint_docs": qo.FINGERPRINT_DOCS_SQL,
         "mmr_top8": qo.MMR_TOP8_SQL,
+        "compress_extractive_docs": qo.COMPRESS_EXTRACTIVE_SQL,
+        "memory_decay_docs": qa.MEMORY_DECAY_SQL,
     }

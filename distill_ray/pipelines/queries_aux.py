@@ -261,6 +261,35 @@ def q_memory_decay_docs(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(decay, batch_format="pandas")
 
 
+def _memory_decay_sql() -> str:
+    """DuckDB oracle for q_memory_decay_docs. One C13 sweep over all-FULL
+    entries with idle = (doc_id*7) % 1000: nothing is evicted (eviction only
+    applies at keyword level), entries idle > summary_age (24 h) move to
+    summary via memory_summary = compress_extractive(0.2, min_chunk 20)
+    (decay.go:62-96,183-195). The extractive CTE chain is shared with the
+    compress_extractive_docs oracle so the two can never drift; the
+    `out if out else text` fallback is unreachable (a selected sentence is
+    non-empty, and the single-/short-text bypasses return the original)."""
+    from distill_ray.pipelines.queries_ops import _extractive_ctes
+
+    return _extractive_ctes(0.2) + """
+SELECT b.doc_id,
+  CAST(CASE WHEN (b.doc_id * 7) % 1000 > 24 THEN 1 ELSE 0 END AS BIGINT)
+    AS decay_level,
+  CASE WHEN (b.doc_id * 7) % 1000 > 24
+       THEN (CASE WHEN length(b.text) < 20 OR coalesce(c.total, 0) <= 1
+                  THEN b.text ELSE a.comp END)
+       ELSE b.text END AS text
+FROM xbase b
+LEFT JOIN xagg a USING (doc_id)
+LEFT JOIN xcounts c USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+MEMORY_DECAY_SQL = _memory_decay_sql()
+
+
 def memory_write_items(sf_dir: str) -> np.ndarray:
     """Deterministic arrival stream for the C11 write-dedup operator: the
     embeddings table in vec_id order, followed by planted near-arrivals —

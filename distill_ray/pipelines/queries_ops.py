@@ -1319,6 +1319,92 @@ def _prune_docs_sql() -> str:
 PRUNE_DOCS_SQL = _prune_docs_sql()
 
 
+def _extractive_ctes(tr: float) -> str:
+    """Shared DuckDB CTE chain reproducing compress_extractive (M7,
+    extractive.go:63-109) over `documents(doc_id, text)`.
+
+    Produces `xbase(doc_id, text)`, `xcounts(doc_id, total)` and
+    `xagg(doc_id, comp)`; callers add a final SELECT with the
+    min-chunk/single-sentence bypass. Exactness notes:
+
+    - Sentence split: RE2 lacks the kernel's `(?<=[.!?])` lookbehind, so a
+      chr(1) sentinel is injected after each delimiter and split on; the
+      testdata contains no chr(1) (asserted at build time in the parity
+      check). trim() uses Python str.strip()'s whitespace charset.
+    - The kernel's strict-`>` exchange sort (extractive.go:177-185) is not
+      stable; the SQL uses (score DESC, idx ASC). The final output depends
+      only on the selected SET (re-sorted by idx), which differs only when
+      equal scores straddle the token-budget cutoff — verified to never
+      happen on sf0.001/0.01/0.1 (0 mismatches across all docs at both
+      (0.5, 50) and (0.2, 20) configs).
+    - Selection: the greedy loop breaks at the first overflow, and token
+      counts are >= 1 per non-empty sentence, so the selected set is exactly
+      `srank = 1 OR cum <= target` (cumulative sums are strictly monotone).
+    - `int(tokens * tr)`: tr is emitted as a decimal literal; DuckDB decimal
+      arithmetic floors to the same integer as Python's binary-float
+      truncation for these one-digit fractions (0.2 rounds UP in binary, so
+      the product never crosses an integer boundary downward).
+    """
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    return f"""
+WITH xbase AS (SELECT doc_id, text FROM documents),
+xparts AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(
+           regexp_replace(text, '([.!?])', '\\1' || chr(1), 'g'), chr(1)) AS segs
+  FROM xbase
+),
+xraw AS (
+  SELECT doc_id, text, unnest(segs) AS seg,
+         unnest(range(1, len(segs)+1)) AS i
+  FROM xparts
+),
+xsent AS (
+  SELECT doc_id, text, s, i,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS idx,
+         count(*) OVER (PARTITION BY doc_id) AS total
+  FROM (SELECT doc_id, text, i, trim(seg, {ws}) AS s FROM xraw)
+  WHERE s <> ''
+),
+xscored AS (
+  SELECT doc_id, idx, s,
+    ((CASE WHEN idx = 1 THEN 2.0 WHEN idx = total THEN 1.0 ELSE 0.0 END)
+     + (CASE WHEN len(regexp_split_to_array(s, '\\s+')) BETWEEN 5 AND 25
+             THEN 1.0 ELSE 0.0 END)
+     + (CASE WHEN lower(s) LIKE '%important%' OR lower(s) LIKE '%key%'
+              OR lower(s) LIKE '%must%' OR lower(s) LIKE '%should%'
+             THEN 1.5 ELSE 0.0 END)
+     + (CASE WHEN regexp_matches(s, '[0-9]') THEN 0.5 ELSE 0.0 END)) AS score,
+    (strlen(s)+3)//4 AS tok,
+    CAST(floor(((strlen(text)+3)//4) * {tr}) AS BIGINT) AS target
+  FROM xsent
+),
+xranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, idx) AS srank,
+    sum(tok) OVER (PARTITION BY doc_id ORDER BY score DESC, idx
+                   ROWS UNBOUNDED PRECEDING) AS cum
+  FROM xscored
+),
+xagg AS (
+  SELECT doc_id, string_agg(s, ' ' ORDER BY idx) AS comp
+  FROM xranked WHERE srank = 1 OR cum <= target GROUP BY doc_id
+),
+xcounts AS (SELECT doc_id, max(total) AS total FROM xsent GROUP BY doc_id)
+"""
+
+
+COMPRESS_EXTRACTIVE_SQL = _extractive_ctes(0.5) + """
+SELECT b.doc_id,
+  CASE WHEN length(b.text) < 50 OR coalesce(c.total, 0) <= 1
+       THEN b.text ELSE a.comp END AS compressed
+FROM xbase b
+LEFT JOIN xagg a USING (doc_id)
+LEFT JOIN xcounts c USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal binary columns: real PNG/WAV synthesis + decode
 

@@ -214,3 +214,95 @@ def test_mmr_top8_sql_oracle_matches():
         exp = con.execute(MMR_TOP8_SQL).df()
         con.close()
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_extractive_sql_tie_order_assumption():
+    """The extractive SQL oracle replaces the kernel's unstable exchange
+    sort with (score DESC, idx ASC). That is exact iff no equal-score pair
+    straddles the token-budget cutoff — asserted here for every doc at both
+    test SFs and BOTH deployed configs (0.5/50 and decay's 0.2/20), plus the
+    chr(1) split-sentinel absence the SQL relies on."""
+    import pyarrow.parquet as pq
+
+    from distill_ray.kernels.compressors import (
+        CompressOptions,
+        compress_extractive,
+    )
+    from distill_ray.kernels.textproc import (
+        estimate_tokens,
+        score_sentence,
+        split_sentences,
+    )
+
+    def stable_extract(text, tr, mc):
+        if len(text) < mc:
+            return text
+        sents = split_sentences(text)
+        if len(sents) <= 1:
+            return text
+        scored = [
+            (s, i, score_sentence(s, i, len(sents))) for i, s in enumerate(sents)
+        ]
+        order = sorted(scored, key=lambda x: -x[2])  # stable: idx asc on ties
+        target = int(estimate_tokens(text) * tr)
+        sel, cur = [], 0
+        for item in order:
+            t = estimate_tokens(item[0])
+            if cur + t > target and sel:
+                break
+            sel.append(item)
+            cur += t
+        sel.sort(key=lambda x: x[1])
+        return " ".join(s[0].strip() for s in sel)
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        texts = (
+            pq.read_table(f"{sf}/documents.parquet", columns=["text"])
+            .column("text")
+            .to_pylist()
+        )
+        for x in texts:
+            assert "\x01" not in x and x.isascii()
+            for tr, mc in ((0.5, 50), (0.2, 20)):
+                kern = compress_extractive(
+                    x, CompressOptions(target_reduction=tr, min_chunk_length=mc)
+                )
+                assert kern == stable_extract(x, tr, mc)
+
+
+def test_extractive_and_decay_sql_oracles_match():
+    """COMPRESS_EXTRACTIVE_SQL and MEMORY_DECAY_SQL reproduce the kernels
+    byte-for-byte at both test SFs."""
+    import duckdb
+    import pandas as pd
+
+    from distill_ray.pipelines.queries_aux import MEMORY_DECAY_SQL, q_memory_decay_docs
+    from distill_ray.pipelines.queries_ops import (
+        COMPRESS_EXTRACTIVE_SQL,
+        q_compress_extractive_docs,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        got = (
+            q_compress_extractive_docs(sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        exp = con.execute(COMPRESS_EXTRACTIVE_SQL).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+        got = (
+            q_memory_decay_docs(sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        exp = con.execute(MEMORY_DECAY_SQL).df()
+        con.close()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)

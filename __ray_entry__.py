@@ -143,4 +143,5 @@ def oracle_sql() -> dict[str, str]:
         "mmr_top8": qo.MMR_TOP8_SQL,
         "compress_extractive_docs": qo.COMPRESS_EXTRACTIVE_SQL,
         "memory_decay_docs": qa.MEMORY_DECAY_SQL,
+        "compress_placeholder_docs": qa.COMPRESS_PLACEHOLDER_SQL,
     }

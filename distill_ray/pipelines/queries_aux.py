@@ -6,6 +6,8 @@ data); the derivations are mirrored exactly in the SQL oracles.
 
 from __future__ import annotations
 
+import re as _re
+
 import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
@@ -667,19 +669,85 @@ FROM t GROUP BY conv ORDER BY conv
 """
 
 
-# --- M9 placeholder compressor (rows-only) -----------------------------------
+# --- M9 placeholder compressor (SQL-checked) ----------------------------------
+
+_CLEAN40_RE = _re.compile(r"[^a-z0-9 ]")
+
+
+def _placeholder_inputs(doc_id: pd.Series, text: pd.Series) -> list[str]:
+    """Deterministic structured payloads per doc (raw documents never hit
+    the detection branches, so the query derives inputs that exercise every
+    one): doc_id % 4 selects JSON / XML / delimiter-table / plain text.
+    The JSON carries a sanitized text fragment so content flows through."""
+    out = []
+    for d, t in zip(doc_id, text):
+        d = int(d)
+        clean = _CLEAN40_RE.sub("", t[:40].lower())
+        mode = d % 4
+        if mode == 0:
+            # exercises: preserved-key filter (id/name/error kept, junk
+            # dropped), nested-dict depth recursion, >3-item array cap
+            out.append(
+                '{"id": %d, "junk": 7, "name": "%s", '
+                '"error": {"status": "E%d", "detail": "dropped"}, '
+                '"message": ["m0", "m1", "m2", "m3", "m4"]}' % (d, clean, d % 7)
+            )
+        elif mode == 1:
+            k = 2 + d % 3
+            out.append(
+                '<log level="info" source="synthetic-generator">'
+                + "<evt>x</evt>" * k
+                + "<msg>hello</msg></log>"
+            )
+        elif mode == 2:
+            r = 2 + d % 5
+            rows = "\n".join(f"r{j}|{d}|{j * 3}" for j in range(r))
+            out.append(f"metric_name|sample_count|mean_score\n{rows}")
+        else:
+            out.append(t)
+    return out
+
 
 def q_compress_placeholder_docs(sf_dir: str) -> rd.Dataset:
-    """M9 placeholder compressor (placeholder.go:29-271) per doc."""
+    """M9 placeholder compressor (placeholder.go:29-271) over derived
+    structured payloads: JSON objects (preserve-key filter + depth cap +
+    array cap), XML element summaries, delimiter tables, and plain-text
+    passthrough — one branch per doc_id % 4."""
     from distill_ray.kernels.compressors import compress_placeholder
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
     def comp(df: pd.DataFrame) -> pd.DataFrame:
+        payloads = _placeholder_inputs(df["doc_id"], df["text"])
         return pd.DataFrame(
             {"doc_id": df["doc_id"],
-             "compressed": [compress_placeholder(t) for t in df["text"]]}
+             "compressed": [compress_placeholder(t) for t in payloads]}
         )
 
     return ds.map_batches(comp, batch_format="pandas")
+
+
+COMPRESS_PLACEHOLDER_SQL = """
+SELECT doc_id,
+  CASE doc_id % 4
+    WHEN 0 THEN
+      -- JSON branch: compact json.dumps of {id, name, error, message} —
+      -- junk/detail dropped (not in PRESERVE_KEYS), depth-2 values replaced
+      -- by '[...]' (MAX_OBJECT_DEPTH), the 5-item message array capped at
+      -- 3 + '...+2 more' (placeholder.go:117-153)
+      '{"id":' || CAST(doc_id AS VARCHAR)
+        || ',"name":"' || regexp_replace(lower(substr(text, 1, 40)), '[^a-z0-9 ]', '', 'g')
+        || '","error":{"status":"[...]"},"message":["[...]","[...]","[...]","...+2 more"]}'
+    WHEN 1 THEN
+      -- XML branch: element counts in document order (placeholder.go:191-236)
+      '[XML with elements: log, evt(×' || CAST(2 + doc_id % 3 AS VARCHAR)
+        || '), msg]'
+    WHEN 2 THEN
+      -- table branch: row count + headers (placeholder.go:239-271)
+      '[Table with ' || CAST(2 + doc_id % 5 AS VARCHAR)
+        || ' rows, columns: metric_name, sample_count, mean_score]'
+    ELSE text
+  END AS compressed
+FROM documents ORDER BY doc_id
+"""

@@ -188,9 +188,13 @@ def run_dedup(
     # canon_rid with typed-null signature columns.
     import pyarrow.compute as _pc
 
+    hashed = prep.map_batches(make_add_text_hash_arrow(B), batch_format="pandas")
+    import os as _os_r
+
+    if _os_r.environ.get("DISTILL_RAY_P2_REPART", "1") != "0":
+        hashed = hashed.repartition(P)
     fused = (
-        prep.map_batches(make_add_text_hash_arrow(B), batch_format="pandas")
-        .repartition(P)
+        hashed
         .groupby("bucket")
         .map_groups(
             _named(make_exact_dedup_sketch_bucket(cfg, need_text),
@@ -429,6 +433,12 @@ def run_dedup(
         # multi-second startup ramp per run, pure fixed cost on the
         # scaling-critical path
         def attach_labels(df: pd.DataFrame, *, _cols=row_cols) -> pd.DataFrame:
+            if df.empty and not set(_cols) <= set(df.columns):
+                dtypes = {"rid": object, "conv_id": object,
+                          "turn_idx": "int32", "norm_text": object,
+                          "rh": "int64", "emb": object}
+                df = pd.DataFrame(
+                    {c: pd.Series(dtype=dtypes[c]) for c in _cols})
             nodes, labels = ray.get(labels_ref)
             df = df[_cols].copy()
             rh = df["rh"].to_numpy()
@@ -527,9 +537,11 @@ def run_dedup(
         # join below remains the above-limit path.
         import pyarrow as _pa2
 
+        from distill_ray.stages.dedup_stages import as_arrow_block
+
         @ray.remote
         def _build_fold(*tbls):
-            parts = [t for t in tbls if t.num_rows]
+            parts = [t for t in map(as_arrow_block, tbls) if t is not None]
             if not parts:
                 return (np.empty(0, dtype=np.int64),
                         _pa2.array([], type=_pa2.string()))

@@ -224,14 +224,32 @@ def make_exact_dedup_sketch_bucket(cfg: DedupConfig | None = None,
     return exact_dedup_sketch
 
 
+def as_arrow_block(t) -> pa.Table | None:
+    """Normalize a raw block from ``to_arrow_refs()``: an EMPTY sort/groupby
+    partition materializes as an empty PANDAS block with no columns, and
+    to_arrow_refs passes materialized blocks through as-is — so consumers
+    that index columns on raw block refs must skip those. Returns None for
+    empty blocks, an Arrow table otherwise."""
+    if isinstance(t, pd.DataFrame):
+        return None if t.empty else pa.Table.from_pandas(t)
+    return None if t.num_rows == 0 else t
+
+
 def winners_table(t: pa.Table) -> pa.Table:
     """Fused-table consumer filter: the signature (winner) rows. Arrow-side
     so nullable int64 columns never pass through a pandas float coercion."""
+    if "simhash" not in t.column_names:
+        return t.slice(0, 0)  # empty no-column block from an empty partition
     return t.filter(pc.is_valid(t["simhash"]))
 
 
 def losers_table(t: pa.Table) -> pa.Table:
     """Fused-table consumer filter: exact-duplicate rows, narrow schema."""
+    if "simhash" not in t.column_names:
+        return pa.schema(
+            [("rid", pa.string()), ("conv_id", pa.string()),
+             ("turn_idx", pa.int32()), ("canon_rid", pa.string())]
+        ).empty_table()
     return t.filter(pc.is_null(t["simhash"])).select(
         ["rid", "conv_id", "turn_idx", "canon_rid"])
 
@@ -546,6 +564,9 @@ def build_pairable_keys(sig_ds, num_ranges: int = 16):
 
         parts = []
         for t in tbls:
+            t = as_arrow_block(t)
+            if t is None:
+                continue
             t = t.filter(pc_.greater(t["n_tokens"], 0))
             if t.num_rows:
                 parts.append(band_keys32(t).reshape(-1).view(np.uint32))
@@ -603,6 +624,8 @@ def make_expand_bands_numeric(n_buckets: int, include_simhash: bool = True,
     def expand_bands_numeric(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        if "n_tokens" not in t.column_names:  # empty no-column block
+            return schema.empty_table()
         t = t.filter(pc.greater(t["n_tokens"], 0))
         if t.num_rows == 0:
             return schema.empty_table()
@@ -1215,6 +1238,9 @@ def build_embedding_lookup(sig_ds, num_shards: int = 8):
     def _build_shard(sid: int, *tbls):
         nodes_parts, mat_parts, sim_parts = [], [], []
         for t in tbls:
+            t = as_arrow_block(t)
+            if t is None:
+                continue
             # fused P2+P5 blocks carry typed-null signature columns on
             # exact-duplicate rows: mask them out Arrow-side (a pandas/numpy
             # conversion of a nullable int64 would coerce to float64 and

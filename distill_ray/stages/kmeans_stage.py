@@ -60,21 +60,23 @@ def _decode(col) -> np.ndarray:
     return np.frombuffer(b"".join(col), dtype=np.float32).reshape(len(col), -1)
 
 
-class _AssignPartial:
-    """One Lloyd pass: per-batch first-min assignment + per-cluster partial
-    sums. Emits one row per non-empty cluster in the batch."""
+def make_assign_partial(cref):
+    """One Lloyd pass as STATELESS tasks: per-batch first-min assignment +
+    per-cluster partial sums, one row per non-empty cluster in the batch.
+    The centroid broadcast resolves via ray.get inside the task — a
+    zero-copy plasma lookup per batch — so each iteration reuses the warm
+    worker pool instead of paying an actor-pool startup ramp (measured:
+    the per-iteration actor pool dominated wall time at small N, the same
+    lesson as the P5 sketch stage — see dedup_stages._cached_seeds)."""
 
-    def __init__(self, cref, k: int):
-        self.c = ray.get(cref)  # float64 (k, dim)
-        self.k = k
-
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+    def assign_partial(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return pd.DataFrame({"cluster": pd.Series(dtype="int64"),
                                  "count": pd.Series(dtype="int64"),
                                  "sum": pd.Series(dtype=object)})
+        c = ray.get(cref)  # float64 (k, dim), zero-copy
         m = _decode(df["emb"].to_numpy())
-        dist = _distances_to_centroids(m, self.c)
+        dist = _distances_to_centroids(m, c)
         a = np.argmin(dist, axis=1)  # first-min == reference strict `<` scan
         present = np.unique(a)
         m64 = m.astype(np.float64)
@@ -85,24 +87,25 @@ class _AssignPartial:
         }
         return pd.DataFrame(rows)
 
+    return assign_partial
 
-class _AttachAssign:
-    def __init__(self, cref, n_buckets: int):
-        self.c = ray.get(cref)
-        self.n_buckets = n_buckets
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+def make_attach_assign(cref, n_buckets: int):
+    def attach_assign(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             out = df.copy()
             out["cluster"] = pd.Series(dtype="int64")
             out["cbucket"] = pd.Series(dtype="int32")
             return out
+        c = ray.get(cref)
         m = _decode(df["emb"].to_numpy())
-        a = np.argmin(_distances_to_centroids(m, self.c), axis=1).astype(np.int64)
+        a = np.argmin(_distances_to_centroids(m, c), axis=1).astype(np.int64)
         out = df.copy()
         out["cluster"] = a
-        out["cbucket"] = (a % self.n_buckets).astype(np.int32)
+        out["cbucket"] = (a % n_buckets).astype(np.int32)
         return out
+
+    return attach_assign
 
 
 class _PruneBucket:
@@ -230,9 +233,8 @@ def kmeans_fit(
     for it in range(max_iterations):
         cref = ray.put(centroids)
         partials = base.map_batches(
-            _AssignPartial, fn_constructor_kwargs={"cref": cref, "k": k},
+            make_assign_partial(cref),
             batch_format="pandas", batch_size=batch_size,
-            concurrency=(1, max(2, int(ray.cluster_resources().get("CPU", 8)) - 1)),
         ).to_pandas()
         sums = np.zeros((k, dim), dtype=np.float64)
         counts = np.zeros(k, dtype=np.int64)
@@ -269,11 +271,8 @@ def kmeans_dedup_distributed(
         return rd.from_pandas(pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
                                             "cluster": pd.Series(dtype="int64")}))
     assigned = base.map_batches(
-        _AttachAssign,
-        fn_constructor_kwargs={"cref": fit.centroids_ref,
-                               "n_buckets": shuffle_buckets},
+        make_attach_assign(fit.centroids_ref, shuffle_buckets),
         batch_format="pandas",
-        concurrency=(1, max(2, int(ray.cluster_resources().get("CPU", 8)) - 1)),
     )
     kept = assigned.groupby("cbucket").map_groups(
         _named_prune(fit.centroids_ref, threshold), batch_format="pandas"

@@ -370,6 +370,26 @@ def _decode_emb64(col) -> np.ndarray:
     return np.frombuffer(b"".join(col), dtype=np.float64).reshape(len(col), -1)
 
 
+# bounded per-worker-process cache of decoded embedding blocks, so the
+# blocked all-pairs tasks reuse (ids, matrix, norms) across the tasks that
+# land on the same worker — the task-form replacement for per-actor state
+_DECODED_BLOCKS: dict = {}
+
+
+def _decoded_block(ref):
+    key = ref.hex()
+    hit = _DECODED_BLOCKS.get(key)
+    if hit is None:
+        df = ray.get(ref)
+        m = _decode_emb64(df["emb"].to_numpy())
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        hit = (df["vec_id"].to_numpy(), m, norms)
+        _DECODED_BLOCKS[key] = hit
+        while len(_DECODED_BLOCKS) > 8:  # bound per-process memory
+            _DECODED_BLOCKS.pop(next(iter(_DECODED_BLOCKS)))
+    return hit
+
+
 def q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
     """Embedding-cosine near-dup pairs (sim >= 0.3) via DISTRIBUTED blocked
     all-pairs: the table is split into ~2k-row blocks held in the object
@@ -398,52 +418,37 @@ def q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
         [{"i": i, "j": j} for i in range(k) for j in range(i, k)]
     )
 
-    class BlockPair:
+    def block_pair(df: pd.DataFrame) -> pd.DataFrame:
         """One exact cosine block per (i, j) task; pulls exactly two blocks
-        from the object store (zero-copy refs, no broadcast)."""
-
-        def __init__(self, refs):
-            self.refs = refs
-            self.cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-
-        def _block(self, i: int):
-            if i not in self.cache:
-                df = ray.get(self.refs[i])
-                m = _decode_emb64(df["emb"].to_numpy())
-                norms = np.sqrt(np.einsum("ij,ij->i", m, m))
-                self.cache[i] = (df["vec_id"].to_numpy(), m, norms)
-                if len(self.cache) > 4:  # bound per-actor memory
-                    self.cache.pop(next(iter(self.cache)))
-            return self.cache[i]
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            outs = []
-            for i, j in zip(df["i"].to_numpy(), df["j"].to_numpy()):
-                ids_a, ma, na = self._block(int(i))
-                ids_b, mb, nb = self._block(int(j))
-                sims = (ma @ mb.T) / np.outer(na, nb)
-                ii, jj = np.nonzero(sims >= 0.3)
-                if int(i) == int(j):
-                    # same block: keep one orientation per pair
-                    keep = ids_a[ii] < ids_b[jj]
-                else:
-                    keep = ids_a[ii] != ids_b[jj]
-                ii, jj = ii[keep], jj[keep]
-                outs.append(pd.DataFrame(
-                    {"a": np.minimum(ids_a[ii], ids_b[jj]),
-                     "b": np.maximum(ids_a[ii], ids_b[jj]),
-                     "sim": np.round(sims[ii, jj], 6)}
-                ))
-            if not outs:
-                return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                                     "b": pd.Series(dtype="int64"),
-                                     "sim": pd.Series(dtype="float64")})
-            return pd.concat(outs, ignore_index=True)
+        from the object store (zero-copy refs, no broadcast). Stateless
+        TASKS over the warm worker pool — decoded blocks live in a bounded
+        per-process cache (_decoded_block), so there is no actor-pool
+        startup ramp and reuse survives across tasks on the same worker."""
+        outs = []
+        for i, j in zip(df["i"].to_numpy(), df["j"].to_numpy()):
+            ids_a, ma, na = _decoded_block(blocks[int(i)])
+            ids_b, mb, nb = _decoded_block(blocks[int(j)])
+            sims = (ma @ mb.T) / np.outer(na, nb)
+            ii, jj = np.nonzero(sims >= 0.3)
+            if int(i) == int(j):
+                # same block: keep one orientation per pair
+                keep = ids_a[ii] < ids_b[jj]
+            else:
+                keep = ids_a[ii] != ids_b[jj]
+            ii, jj = ii[keep], jj[keep]
+            outs.append(pd.DataFrame(
+                {"a": np.minimum(ids_a[ii], ids_b[jj]),
+                 "b": np.maximum(ids_a[ii], ids_b[jj]),
+                 "sim": np.round(sims[ii, jj], 6)}
+            ))
+        if not outs:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        return pd.concat(outs, ignore_index=True)
 
     out = tasks.map_batches(
-        BlockPair, fn_constructor_kwargs={"refs": blocks},
-        batch_format="pandas", batch_size=1,
-        concurrency=(1, max(2, int(ray.cluster_resources().get("CPU", 8)) - 1)),
+        block_pair, batch_format="pandas", batch_size=1,
     ).to_pandas()
     out["a"] = out["a"].astype("int64")
     out["b"] = out["b"].astype("int64")
@@ -475,13 +480,10 @@ def q_embedding_near_dups_lsh(sf_dir: str) -> pd.DataFrame:
 
     from distill_ray.kernels.hashing import stable_hash64
 
-    class BandExpand:
-        def __init__(self, planes_ref):
-            self.planes = ray.get(planes_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+    def band_expand(df: pd.DataFrame) -> pd.DataFrame:
+            planes_ = ray.get(planes_ref)  # zero-copy plasma lookup
             m = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
-            bits = (m @ self.planes.T) >= 0  # (n, 128) sign bits
+            bits = (m @ planes_.T) >= 0  # (n, 128) sign bits
             # pack 2 bits per band + band index into an int64 band key
             b2 = bits.reshape(len(m), n_bands, bits_per_band)
             keys = (b2[:, :, 0].astype(np.int64) << 1) | b2[:, :, 1].astype(np.int64)
@@ -537,9 +539,7 @@ def q_embedding_near_dups_lsh(sf_dir: str) -> pd.DataFrame:
         return g.drop_duplicates(["a", "b"])[["a", "b", "sim"]]
 
     out = (
-        ds.map_batches(BandExpand, fn_constructor_kwargs={"planes_ref": planes_ref},
-                       batch_format="pandas", batch_size=1024,
-                       concurrency=(1, max(2, int(ray.cluster_resources().get("CPU", 8)) - 1)))
+        ds.map_batches(band_expand, batch_format="pandas", batch_size=1024)
         .groupby("bucket")
         .map_groups(band_verify, batch_format="pandas")
         .groupby("pbucket")
@@ -619,41 +619,34 @@ def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     probe_ref = ray.put(np.sort(probe_cells))
     q_ref = ray.put(q)
 
-    class ProbeScore:
+    cref = fit.centroids_ref
+
+    def probe_score(df: pd.DataFrame) -> pd.DataFrame:
         """Cell-assign each batch against the broadcast centroids; score
-        only rows landing in probed cells (exact cosine vs the query)."""
+        only rows landing in probed cells (exact cosine vs the query).
+        Stateless task — broadcasts resolve via zero-copy ray.get."""
+        empty = pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                              "sim": pd.Series(dtype="float64")})
+        if df.empty:
+            return empty
+        c = ray.get(cref)
+        probe = ray.get(probe_ref)
+        qv = ray.get(q_ref)
+        qn2 = float(np.sqrt(qv @ qv))
+        m = _decode(df["emb"].to_numpy())
+        cells = np.argmin(_distances_to_centroids(m, c), axis=1)
+        mask = np.isin(cells, probe)
+        if not mask.any():
+            return empty
+        m64 = m[mask].astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", m64, m64))
+        sims = (m64 @ qv) / (norms * qn2)
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"].to_numpy()[mask].astype("int64"),
+             "sim": sims}
+        )
 
-        def __init__(self, cref, probe_ref, q_ref):
-            self.c = ray.get(cref)
-            self.probe = ray.get(probe_ref)
-            self.q = ray.get(q_ref)
-            self.qn = float(np.sqrt(self.q @ self.q))
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            empty = pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
-                                  "sim": pd.Series(dtype="float64")})
-            if df.empty:
-                return empty
-            m = _decode(df["emb"].to_numpy())
-            cells = np.argmin(_distances_to_centroids(m, self.c), axis=1)
-            mask = np.isin(cells, self.probe)
-            if not mask.any():
-                return empty
-            m64 = m[mask].astype(np.float64)
-            norms = np.sqrt(np.einsum("ij,ij->i", m64, m64))
-            sims = (m64 @ self.q) / (norms * self.qn)
-            return pd.DataFrame(
-                {"vec_id": df["vec_id"].to_numpy()[mask].astype("int64"),
-                 "sim": sims}
-            )
-
-    scored = base.map_batches(
-        ProbeScore,
-        fn_constructor_kwargs={"cref": fit.centroids_ref,
-                               "probe_ref": probe_ref, "q_ref": q_ref},
-        batch_format="pandas",
-        concurrency=(1, max(2, int(ray.cluster_resources().get("CPU", 8)) - 1)),
-    )
+    scored = base.map_batches(probe_score, batch_format="pandas")
     top = (
         scored.sort(["sim", "vec_id"], descending=[True, False])
         .limit(10)

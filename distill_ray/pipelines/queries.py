@@ -446,24 +446,20 @@ def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
                          columns=["o_custkey", "o_totalprice"])
 
-    class JoinPartial:
-        def __init__(self, ref):
-            self.dim = ray.get(ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            j = df.merge(self.dim, left_on="o_custkey", right_on="c_custkey")
-            g = j.groupby("n_name", sort=False).agg(
-                revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
-            )
-            return g.reset_index()
+    def join_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # stateless task: the broadcast dimension resolves via zero-copy
+        # ray.get per batch, reusing the warm worker pool (no actor ramp)
+        dim_ = ray.get(dim_ref)
+        j = df.merge(dim_, left_on="o_custkey", right_on="c_custkey")
+        g = j.groupby("n_name", sort=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
+        return g.reset_index()
 
     from ray.data.aggregate import Sum
 
     out = (
-        ds.map_batches(
-            JoinPartial, fn_constructor_kwargs={"ref": dim_ref},
-            batch_format="pandas", batch_size=65536, concurrency=4,
-        )
+        ds.map_batches(join_partial, batch_format="pandas", batch_size=65536)
         .groupby("n_name")
         .aggregate(Sum("revenue", alias_name="revenue"),
                    Sum("n_orders", alias_name="n_orders"))
@@ -549,20 +545,16 @@ def q_knn_query(sf_dir: str) -> pd.DataFrame:
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
-    class Score:
-        def __init__(self, ref):
-            self.q = ray.get(ref)
-            self.qn = float(np.sqrt(self.q @ self.q))
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
-            norms = np.sqrt(np.einsum("ij,ij->i", m, m))
-            sims = (m @ self.q) / (norms * self.qn)
-            return pd.DataFrame({"vec_id": df["vec_id"], "sim": sims})
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        qv = ray.get(q_ref)  # zero-copy plasma lookup per batch
+        qn = float(np.sqrt(qv @ qv))
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        sims = (m @ qv) / (norms * qn)
+        return pd.DataFrame({"vec_id": df["vec_id"], "sim": sims})
 
     out = (
-        ds.map_batches(Score, fn_constructor_kwargs={"ref": q_ref},
-                       batch_format="pandas", batch_size=65536, concurrency=2)
+        ds.map_batches(score, batch_format="pandas", batch_size=65536)
         .sort(["sim", "vec_id"], descending=[True, False])
         .limit(10)
         .to_pandas()
@@ -602,24 +594,20 @@ def q_memory_recall_rank(sf_dir: str) -> pd.DataFrame:
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
-    class Rank:
-        def __init__(self, ref):
-            self.q = ray.get(ref)
-            self.qn = float(np.sqrt(self.q @ self.q))
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
-            norms = np.sqrt(np.einsum("ij,ij->i", m, m))
-            sims = (m @ self.q) / (norms * self.qn)
-            age_h = df["vec_id"].to_numpy().astype(np.float64)
-            recency = 1.0 / (1.0 + age_h / 24.0)
-            rel = np.minimum(1.0, 0.7 * sims + 0.3 * recency)
-            out = pd.DataFrame({"doc_id": df["vec_id"], "relevance": rel})
-            return out[out["relevance"] >= 0.2]
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        qv = ray.get(q_ref)
+        qn = float(np.sqrt(qv @ qv))
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        sims = (m @ qv) / (norms * qn)
+        age_h = df["vec_id"].to_numpy().astype(np.float64)
+        recency = 1.0 / (1.0 + age_h / 24.0)
+        rel = np.minimum(1.0, 0.7 * sims + 0.3 * recency)
+        out = pd.DataFrame({"doc_id": df["vec_id"], "relevance": rel})
+        return out[out["relevance"] >= 0.2]
 
     out = (
-        emb.map_batches(Rank, fn_constructor_kwargs={"ref": q_ref},
-                        batch_format="pandas", batch_size=65536, concurrency=2)
+        emb.map_batches(rank, batch_format="pandas", batch_size=65536)
         .sort(["relevance", "doc_id"], descending=[True, False])
         .limit(50)
         .to_pandas()

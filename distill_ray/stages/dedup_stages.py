@@ -1232,11 +1232,20 @@ def build_embedding_lookup(sig_ds, num_shards: int = 8):
     import ray
 
     assert num_shards & (num_shards - 1) == 0, "num_shards must be 2^k"
-    shift = 64 - (num_shards.bit_length() - 1) if num_shards > 1 else 64
+    S = num_shards
+    shift = 64 - (S.bit_length() - 1) if S > 1 else 64
 
     @ray.remote
-    def _build_shard(sid: int, *tbls):
-        nodes_parts, mat_parts, sim_parts = [], [], []
+    def _block_parts(*tbls):
+        """Split one (or a few) fused blocks into S per-shard
+        (rh, emb matrix, simhash) parts — each block is scanned and its
+        embeddings decoded exactly ONCE (the previous shape launched S
+        tasks that EACH scanned every block: O(S*N) reads capped at S-way
+        parallelism; this is the same per-block range-split + num_returns
+        reduction build_pairable_keys uses)."""
+        nodes_parts = [[] for _ in range(S)]
+        mat_parts = [[] for _ in range(S)]
+        sim_parts = [[] for _ in range(S)]
         for t in tbls:
             t = as_arrow_block(t)
             if t is None:
@@ -1248,21 +1257,45 @@ def build_embedding_lookup(sig_ds, num_shards: int = 8):
             if t["rh"].null_count:
                 t = t.filter(pc.is_valid(t["rh"]))
             rh = t["rh"].to_numpy()
-            if num_shards > 1:
-                mask = (rh.view(np.uint64) >> np.uint64(shift)) == sid
+            if not len(rh):
+                continue
+            mat = binary_matrix(t["emb"])
+            sims = t["simhash"].to_numpy()
+            if S > 1:
+                sid = (rh.view(np.uint64) >> np.uint64(shift)).astype(np.int64)
+                order = np.argsort(sid, kind="mergesort")
+                bounds = np.searchsorted(sid[order], np.arange(S + 1))
+                for s in range(S):
+                    sl = order[bounds[s]:bounds[s + 1]]
+                    if len(sl):
+                        nodes_parts[s].append(rh[sl])
+                        mat_parts[s].append(mat[sl])
+                        sim_parts[s].append(sims[sl])
             else:
-                mask = np.ones(len(rh), dtype=bool)
-            if mask.any():
-                nodes_parts.append(rh[mask])
-                mat_parts.append(binary_matrix(t["emb"])[mask])
-                sim_parts.append(t["simhash"].to_numpy()[mask])
-        if not nodes_parts:
+                nodes_parts[0].append(rh)
+                mat_parts[0].append(mat)
+                sim_parts[0].append(sims)
+        out = []
+        for s in range(S):
+            if nodes_parts[s]:
+                out.append((np.concatenate(nodes_parts[s]),
+                            np.concatenate(mat_parts[s]),
+                            np.concatenate(sim_parts[s])))
+            else:
+                out.append((np.empty(0, dtype=np.int64),
+                            np.empty((0, 0), dtype=np.float32),
+                            np.empty(0, dtype=np.int64)))
+        return tuple(out)
+
+    @ray.remote
+    def _merge_shard(*parts):
+        nodes = np.concatenate([p[0] for p in parts])
+        if not len(nodes):
             return (np.empty(0, dtype=np.int64),
                     np.empty((0, 0), dtype=np.float32),
                     np.empty(0, dtype=np.int64))
-        nodes = np.concatenate(nodes_parts)
-        mat = np.concatenate(mat_parts)
-        sims = np.concatenate(sim_parts)
+        mat = np.concatenate([p[1] for p in parts if len(p[0])])
+        sims = np.concatenate([p[2] for p in parts])
         order = np.argsort(nodes, kind="mergesort")
         nodes = nodes[order]
         if len(nodes) > 1 and (nodes[1:] == nodes[:-1]).any():
@@ -1271,11 +1304,17 @@ def build_embedding_lookup(sig_ds, num_shards: int = 8):
 
     # sig_ds is materialized: to_arrow_refs() on it is metadata-only (the
     # existing blocks), whereas a select_columns would execute a new plan
-    # and write a column-pruned COPY of every block to plasma. The shard
-    # tasks read the blocks zero-copy and only copy the masked rows of the
-    # three columns they keep.
+    # and write a column-pruned COPY of every block to plasma. The split
+    # tasks read the blocks zero-copy and only copy the three kept columns.
     tbl_refs = sig_ds.to_arrow_refs()
-    shard_refs = [_build_shard.remote(s, *tbl_refs) for s in range(num_shards)]
+    block_outs = [
+        _block_parts.options(num_returns=S).remote(ref) for ref in tbl_refs
+    ]
+    if S == 1:
+        block_outs = [[bo] for bo in block_outs]
+    shard_refs = [
+        _merge_shard.remote(*[bo[s] for bo in block_outs]) for s in range(S)
+    ]
     return shard_refs, shift
 
 

@@ -119,6 +119,7 @@ def run_bench() -> dict:
         res = run_dedup(rd.read_parquet(path, override_num_blocks=read_blocks))
         n_out = res.assignments.count()
         dt = time.time() - t0
+        print(f"[bench] dedup repeat: {dt:.3f}s", file=sys.stderr)
         if best is None or dt < best:
             best = dt
             phases = res.stats.get("timings")

@@ -52,8 +52,7 @@ from distill_ray.stages.dedup_stages import (
     BandPairBucket,
     BandPairNumericBucket,
     EDGE_SCHEMA,
-    build_embedding_lookup,
-    build_pairable_keys,
+    build_broadcast_artifacts,
     losers_table,
     make_dedupe_pairs_bucket,
     make_dedupe_verify_broadcast,
@@ -269,16 +268,18 @@ def run_dedup(
     elif verify_mode == "broadcast":
         # the shard builders mask the typed-null loser rows themselves, so
         # they read the fused blocks in place (no winner-filtered copy)
-        lookup_ref = build_embedding_lookup(fused)
-        # singleton-band-key prune: 88% of band rows carry a globally-
-        # unique key (measured at 2M rows) and can never pair — count
-        # keys with a narrow semi-join reduction over the fused blocks
-        # (~5 B per unique key, no all-to-all) and drop those rows
-        # map-side, shrinking the widest shuffle ~8x with identical
-        # output. Only safe to BROADCAST the pairable set under the
-        # broadcast row limit (same precondition as this verify mode);
-        # the endpoint path keeps the unpruned exchange.
-        pairable_ref = build_pairable_keys(fused)
+        # ONE scan of the fused blocks builds BOTH broadcast artifacts —
+        # the sharded (rh, emb, simhash) lookup and the singleton-band-key
+        # prune set (88% of band rows carry a globally-unique key and can
+        # never pair; dropping them map-side shrinks the widest shuffle
+        # ~8x with identical output, since the pair kernel ignores
+        # singleton groups anyway). Two separate builders each faulted
+        # every fused block's plasma pages — measured ~15 s of fixed,
+        # CPU-count-independent p6 time at 2M rows; the fused scan halves
+        # it. Only safe to BROADCAST the pairable set under the broadcast
+        # row limit (same precondition as this verify mode); the endpoint
+        # path keeps the unpruned exchange.
+        lookup_ref, pairable_ref = build_broadcast_artifacts(fused)
 
         def _bounded(ds: rd.Dataset) -> rd.Dataset:
             """Coalesce before a wide op ONLY when the (materialized, so

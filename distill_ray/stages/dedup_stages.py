@@ -155,7 +155,7 @@ def make_exact_dedup_sketch_bucket(cfg: DedupConfig | None = None,
     host's memory subsystem is the measured scaling floor; BASELINE.md)."""
     cfg = cfg or DedupConfig()
     emb_w = cfg.embed_dim * 4
-    bands_w = cfg.lsh_bands * 8
+    bands_w = cfg.lsh_bands * 4  # int32 band keys (see _sketch_arrays)
     fields = [
         ("rid", pa.string()), ("conv_id", pa.string()),
         ("turn_idx", pa.int32()), ("canon_rid", pa.string()),
@@ -313,7 +313,12 @@ def _sketch_arrays(texts: pd.Series, cfg: DedupConfig, seeds: np.ndarray):
     emb = embed_from_token_hashes(th, dl, cfg.embed_dim)
     sh, spd = shingle_hashes(th, dl, cfg.shingle_k)
     sig = minhash_signatures(sh, spd, seeds)
-    bands = lsh_band_keys(sig, cfg.lsh_bands).view(np.int64)
+    # band keys are stored TRUNCATED to int32 (see _BAND_SCHEMA note: a
+    # 32-bit collision only adds candidates that the cosine verify filters,
+    # so recall can only go up) — storing 4 B instead of 8 B per band halves
+    # the fused table's band column, i.e. less plasma page-fault traffic on
+    # the artifact scan + expand reads of every fused block
+    bands = lsh_band_keys(sig, cfg.lsh_bands).astype(np.uint32).view(np.int32)
     sims = simhash64(th, dl).view(np.int64)
     return emb, sims, bands, dl
 
@@ -339,7 +344,7 @@ def _sketch_impl(df: pd.DataFrame, cfg: DedupConfig, seeds: np.ndarray) -> pa.Ta
             "rh": pa.array(rid_hash64(df["rid"].to_numpy())),
             "emb": _fixed_binary(emb, cfg.embed_dim * 4),
             "simhash": pa.array(sims),
-            "bands": _fixed_binary(bands, cfg.lsh_bands * 8),
+            "bands": _fixed_binary(bands, cfg.lsh_bands * 4),
             # rows with zero tokens never band-collide meaningfully
             "n_tokens": pa.array(dl),
         }
@@ -367,13 +372,13 @@ def make_expand_bands(n_buckets: int, carry_emb: bool = True):
             if carry_emb:
                 cols["emb"] = pd.Series(dtype=object)
             return pd.DataFrame(cols)
-        n_bands = len(df["bands"].iloc[0]) // 8
+        n_bands = len(df["bands"].iloc[0]) // 4
         rid = np.repeat(df["rid"].to_numpy(), n_bands)
         sims = np.repeat(df["simhash"].to_numpy(), n_bands)
         keys = np.concatenate(
-            [np.frombuffer(b, dtype=np.int64) for b in df["bands"]]
+            [np.frombuffer(b, dtype=np.int32) for b in df["bands"]]
         )
-        bucket = (keys.view(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
+        bucket = (keys.view(np.uint32) % np.uint32(n_buckets)).astype(np.int32)
         out = {"band_key": keys, "rid": rid, "simhash": sims, "bucket": bucket}
         if carry_emb:
             out["emb"] = np.repeat(df["emb"].to_numpy(), n_bands)
@@ -516,14 +521,12 @@ _BAND_SCHEMA_NARROW = pa.schema(
 
 
 def band_keys32(t: pa.Table) -> np.ndarray:
-    """Signature rows -> (n, n_bands) int32 band-key matrix (the low 32
-    bits of each band hash — see the truncation note on _BAND_SCHEMA).
-    Callers must pre-filter to n_tokens > 0 rows. Shared by the band
-    expansion and the pairable-key counting pass so both derive EXACTLY
-    the same keys."""
-    bm = binary_matrix(t["bands"], dtype=np.int64)
-    return (bm.reshape(-1).view(np.uint64) & np.uint64(0xFFFFFFFF)).astype(
-        np.uint32).view(np.int32).reshape(bm.shape)
+    """Signature rows -> (n, n_bands) int32 band-key matrix (keys are
+    STORED truncated to 32 bits — see the note on _BAND_SCHEMA and
+    _sketch_arrays). Callers must pre-filter to n_tokens > 0 rows. Shared
+    by the band expansion and the pairable-key counting pass so both
+    derive EXACTLY the same keys."""
+    return binary_matrix(t["bands"], dtype=np.int32)
 
 
 def build_pairable_keys(sig_ds, num_ranges: int = 16):
@@ -1316,6 +1319,148 @@ def build_embedding_lookup(sig_ds, num_shards: int = 8):
         _merge_shard.remote(*[bo[s] for bo in block_outs]) for s in range(S)
     ]
     return shard_refs, shift
+
+
+def build_broadcast_artifacts(sig_ds, num_shards: int = 32,
+                              num_ranges: int = 16):
+    """ONE scan of the materialized fused table producing BOTH broadcast
+    artifacts of the verify path: the sharded (rh, emb matrix, simhash)
+    lookup AND the sorted pairable band-key set.
+
+    build_embedding_lookup and build_pairable_keys EACH scan + decode every
+    fused block; one fused scan faults each block's plasma pages once and
+    computes band_keys32 once, so the combined build costs barely more than
+    the cheaper of the two (measured ~15 s -> ~13 s cold, ~4 s warm at 2M
+    rows — on this host the first touch of every fresh page is serialized
+    at ~80 MB/s aggregate regardless of CPU count, so the cold build is a
+    fixed cost on the scaling-critical path; see BASELINE.md. A direct-read
+    variant with no intermediate parts measured better cold but 2.5x worse
+    warm, and the warm time is what the min-of-repeats protocol and any
+    long-lived cluster sees.)
+
+    Returns ((shard_refs, shift), pairable_ref) — drop-in for the pair of
+    (build_embedding_lookup(...), build_pairable_keys(...)) calls, parity
+    asserted in tests/test_dedup_pipeline.py."""
+    import ray
+
+    S, R = num_shards, num_ranges
+    assert S & (S - 1) == 0, "num_shards must be 2^k"
+    assert R & (R - 1) == 0, "num_ranges must be 2^k"
+    shift = 64 - (S.bit_length() - 1) if S > 1 else 64
+    kshift = np.uint32(32 - (R - 1).bit_length())
+
+    @ray.remote
+    def _scan_block(*tbls):
+        """Split one fused block into S shard parts + R key-range parts in
+        a single pass (returned as S+R objects via num_returns)."""
+        import pyarrow.compute as pc_
+
+        nodes_parts = [[] for _ in range(S)]
+        mat_parts = [[] for _ in range(S)]
+        sim_parts = [[] for _ in range(S)]
+        key_parts = [[] for _ in range(R)]
+        w_parts = [[] for _ in range(R)]
+        for t in tbls:
+            t = as_arrow_block(t)
+            if t is None:
+                continue
+            # typed-null signature columns on exact-duplicate rows: mask
+            # Arrow-side (pandas would coerce nullable int64 -> float64 and
+            # corrupt 64-bit hashes)
+            if t["rh"].null_count:
+                t = t.filter(pc_.is_valid(t["rh"]))
+            t = t.filter(pc_.greater(t["n_tokens"], 0))
+            if not t.num_rows:
+                continue
+            key_mat = band_keys32(t)
+            rh = t["rh"].to_numpy()
+            mat = binary_matrix(t["emb"])
+            sims = t["simhash"].to_numpy()
+            # shard split by rh high bits
+            if S > 1:
+                sid = (rh.view(np.uint64) >> np.uint64(shift)).astype(np.int64)
+                order = np.argsort(sid, kind="mergesort")
+                bounds = np.searchsorted(sid[order], np.arange(S + 1))
+                for s in range(S):
+                    sl = order[bounds[s]:bounds[s + 1]]
+                    if len(sl):
+                        nodes_parts[s].append(rh[sl])
+                        mat_parts[s].append(mat[sl])
+                        sim_parts[s].append(sims[sl])
+            else:
+                nodes_parts[0].append(rh)
+                mat_parts[0].append(mat)
+                sim_parts[0].append(sims)
+            # pairable-key range split by band-key high bits (per-block
+            # counts capped at 2, exactly like build_pairable_keys)
+            u, c = np.unique(key_mat.reshape(-1).view(np.uint32),
+                             return_counts=True)
+            w = np.minimum(c, 2).astype(np.uint8)
+            kb = np.searchsorted(u, np.arange(1, R, dtype=np.uint32) << kshift)
+            kb = np.r_[0, kb, len(u)]
+            for r in range(R):
+                if kb[r + 1] > kb[r]:
+                    key_parts[r].append(u[kb[r]:kb[r + 1]])
+                    w_parts[r].append(w[kb[r]:kb[r + 1]])
+        out = []
+        for s in range(S):
+            if nodes_parts[s]:
+                out.append((np.concatenate(nodes_parts[s]),
+                            np.concatenate(mat_parts[s]),
+                            np.concatenate(sim_parts[s])))
+            else:
+                out.append((np.empty(0, dtype=np.int64),
+                            np.empty((0, 0), dtype=np.float32),
+                            np.empty(0, dtype=np.int64)))
+        for r in range(R):
+            if key_parts[r]:
+                out.append((np.concatenate(key_parts[r]),
+                            np.concatenate(w_parts[r])))
+            else:
+                out.append((np.empty(0, np.uint32), np.empty(0, np.uint8)))
+        return tuple(out)
+
+    @ray.remote
+    def _merge_shard(*parts):
+        nodes = np.concatenate([p[0] for p in parts])
+        if not len(nodes):
+            return (np.empty(0, dtype=np.int64),
+                    np.empty((0, 0), dtype=np.float32),
+                    np.empty(0, dtype=np.int64))
+        mat = np.concatenate([p[1] for p in parts if len(p[0])])
+        sims = np.concatenate([p[2] for p in parts])
+        order = np.argsort(nodes, kind="mergesort")
+        nodes = nodes[order]
+        if len(nodes) > 1 and (nodes[1:] == nodes[:-1]).any():
+            raise ValueError("rid hash64 collision in broadcast-verify lookup")
+        return nodes, np.ascontiguousarray(mat[order]), sims[order]
+
+    @ray.remote
+    def _merge_range(*parts):
+        ks = np.concatenate([p[0] for p in parts])
+        if not len(ks):
+            return np.empty(0, np.uint32)
+        ws = np.concatenate([p[1] for p in parts])
+        u, inv = np.unique(ks, return_inverse=True)
+        tot = np.bincount(inv, weights=ws, minlength=len(u))
+        return u[tot >= 2.0]
+
+    @ray.remote
+    def _concat(*parts):
+        return np.concatenate(parts)  # disjoint ascending ranges
+
+    tbl_refs = sig_ds.to_arrow_refs()
+    block_outs = [
+        _scan_block.options(num_returns=S + R).remote(ref) for ref in tbl_refs
+    ]
+    shard_refs = [
+        _merge_shard.remote(*[bo[s] for bo in block_outs]) for s in range(S)
+    ]
+    pairable_ref = _concat.remote(*[
+        _merge_range.remote(*[bo[S + r] for bo in block_outs])
+        for r in range(R)
+    ])
+    return (shard_refs, shift), pairable_ref
 
 
 # Reusable per-process output/temp buffers for gather_from_shards

@@ -230,3 +230,97 @@ def test_gather_from_shards_scratch_semantics():
     b = gather_from_shards(shards, nodes[idx2], shift, 1)
     np.testing.assert_array_equal(a, emb[idx])
     np.testing.assert_array_equal(b, emb[idx2])
+
+
+def test_empty_block_guards():
+    """An empty sort/groupby partition materializes as an empty PANDAS block
+    with no columns; every fused-block consumer must tolerate it (seen in
+    practice when the pre-groupby repartition is skipped)."""
+    import pyarrow as pa
+
+    from distill_ray.stages.dedup_stages import (
+        as_arrow_block,
+        losers_table,
+        make_expand_bands_numeric,
+        winners_table,
+    )
+
+    empty_pdf = pd.DataFrame()
+    assert as_arrow_block(empty_pdf) is None
+    assert as_arrow_block(pa.table({})) is None
+    t = pa.table({"x": [1]})
+    assert as_arrow_block(t) is t
+    pdf = pd.DataFrame({"x": [1, 2]})
+    out = as_arrow_block(pdf)
+    assert out.num_rows == 2 and out.column_names == ["x"]
+
+    no_cols = pa.table({})
+    assert winners_table(no_cols).num_rows == 0
+    lt = losers_table(no_cols)
+    assert lt.num_rows == 0 and lt.column_names == [
+        "rid", "conv_id", "turn_idx", "canon_rid"]
+    eb = make_expand_bands_numeric(8)(no_cols)
+    assert eb.num_rows == 0 and "band_key" in eb.column_names
+
+
+def test_build_broadcast_artifacts_parity(ray_session):
+    """The fused single-scan artifact builder must produce exactly the
+    (rh, emb, simhash) map of build_embedding_lookup and the pairable key
+    set of build_pairable_keys."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from distill_ray.config import DedupConfig
+    from distill_ray.stages.dedup_stages import (
+        _sketch_impl,
+        _cached_seeds,
+        build_broadcast_artifacts,
+        build_embedding_lookup,
+        build_pairable_keys,
+    )
+
+    cfg = DedupConfig()
+    rng = np.random.default_rng(7)
+    texts = [
+        " ".join(rng.choice(list("abcdefgh"), size=rng.integers(3, 30)).tolist())
+        for _ in range(400)
+    ] + ["", " "]  # zero-token rows must be excluded from both artifacts
+    df = pd.DataFrame(
+        {"rid": [f"r{i}" for i in range(len(texts))],
+         "conv_id": ["c"] * len(texts),
+         "turn_idx": np.arange(len(texts), dtype=np.int32),
+         "norm_text": texts}
+    )
+    sig = _sketch_impl(df, cfg, _cached_seeds(cfg.num_perm))
+    ds = rd.from_arrow(sig).repartition(4).materialize()
+
+    (new_shards, new_shift), new_pk_ref = build_broadcast_artifacts(
+        ds, num_shards=4, num_ranges=4)
+    old_shards, old_shift = build_embedding_lookup(ds, num_shards=8)
+    old_pk_ref = build_pairable_keys(ds, num_ranges=8)
+
+    assert np.array_equal(np.sort(ray.get(new_pk_ref)),
+                          np.sort(ray.get(old_pk_ref)))
+
+    def full_map(shards):
+        sh = ray.get(list(shards))
+        n = np.concatenate([s[0] for s in sh])
+        m = np.concatenate([s[1] for s in sh if len(s[0])])
+        sm = np.concatenate([s[2] for s in sh])
+        o = np.argsort(n, kind="mergesort")
+        return n[o], m[o], sm[o]
+
+    n1, m1, s1 = full_map(new_shards)
+    n2, m2, s2 = full_map(old_shards)
+    # the fused builder drops zero-token rows from the shard map (they are
+    # never referenced: band rows only exist for n_tokens > 0); the legacy
+    # builder kept them — restrict the comparison to the referencable set
+    rh_live = np.sort(
+        sig.filter(pa.compute.greater(sig["n_tokens"], 0))["rh"].to_numpy()
+    )
+    keep = np.isin(n2, rh_live)
+    np.testing.assert_array_equal(n1, n2[keep])
+    np.testing.assert_array_equal(s1, s2[keep])
+    np.testing.assert_array_equal(m1, m2[keep])
+    assert len(n1) == len(rh_live)

@@ -317,16 +317,17 @@ def run_dedup(
         import os as _os_v
 
         inband_verify = _os_v.environ.get("DISTILL_RAY_INBAND_VERIFY", "1") != "0"
-        # Block until the broadcast shards + pairable-key set finish building
-        # BEFORE the band stage launches: its map tasks ray.get these refs,
-        # and a map task blocked inside ray.get still holds its CPU lease —
-        # profiled at 32 CPUs, expand tasks showed 245 s task-wall vs 46 s
-        # task-CPU (the builders were starved of cores by the very tasks
-        # waiting on them). The builds are parallel tasks over materialized
-        # blocks; running them to completion first costs ~1-2 s at full
-        # parallelism and removes ~6 s from the band-stage critical path.
-        ray.wait(list(lookup_ref[0]) + [pairable_ref],
-                 num_returns=len(lookup_ref[0]) + 1)
+        # Block ONLY on the pairable-key set before launching the band
+        # stage — the expand tasks ray.get it for the map-side prune, and a
+        # map task blocked inside ray.get still holds its CPU lease
+        # (profiled at 32 CPUs: expand tasks at 245 s task-wall vs 46 s
+        # task-CPU when everything built lazily). The heavier SHARD scan
+        # stays un-waited: only the band-PAIR kernel reads the shards, and
+        # it starts after the band sort finishes, several seconds in —
+        # the fault-bound shard build overlaps the expand + sort instead
+        # of serializing in front of them.
+        ray.wait([pairable_ref], num_returns=1)
+        _mark("p6a_artifact_build")
         raw_pairs = (
             _bounded(fused).map_batches(
                 make_expand_bands_numeric(B, include_simhash=False,

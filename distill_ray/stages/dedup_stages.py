@@ -1321,79 +1321,96 @@ def build_embedding_lookup(sig_ds, num_shards: int = 8):
     return shard_refs, shift
 
 
-def build_broadcast_artifacts(sig_ds, num_shards: int = 32,
-                              num_ranges: int = 16):
-    """ONE scan of the materialized fused table producing BOTH broadcast
-    artifacts of the verify path: the sharded (rh, emb matrix, simhash)
-    lookup AND the sorted pairable band-key set.
+def build_broadcast_artifacts(sig_ds, num_ranges: int = 16):
+    """Launch the builds of BOTH broadcast artifacts of the verify path —
+    a BLOCK-sharded (rh, emb matrix, simhash) lookup and the sorted
+    pairable band-key set — as two independent task families over the
+    materialized fused table.
 
-    build_embedding_lookup and build_pairable_keys EACH scan + decode every
-    fused block; one fused scan faults each block's plasma pages once and
-    computes band_keys32 once, so the combined build costs barely more than
-    the cheaper of the two (measured ~15 s -> ~13 s cold, ~4 s warm at 2M
-    rows — on this host the first touch of every fresh page is serialized
-    at ~80 MB/s aggregate regardless of CPU count, so the cold build is a
-    fixed cost on the scaling-critical path; see BASELINE.md. A direct-read
-    variant with no intermediate parts measured better cold but 2.5x worse
-    warm, and the warm time is what the min-of-repeats protocol and any
-    long-lived cluster sees.)
+    Block shards: each shard-scan task returns its block's signature rows
+    sorted by rh as one shard — NO merge stage (a previous design merged
+    per-block splits into rh-range shards, writing the ~400 MB lookup
+    through the object store a second time; on this host every fresh page
+    is a serialized fault at ~80 MB/s aggregate regardless of CPU count —
+    BASELINE.md — so that extra write was a fixed multi-second cost on the
+    scaling-critical path). Lookups search every block shard (sorted,
+    searchsorted each); a key hit in two shards is the cross-block
+    rh-collision case the old merge guarded against, and
+    gather_from_shards raises on it. A deployment with thousands of blocks
+    per node would re-introduce a PER-NODE merge level to bound the
+    per-lookup shard loop.
 
-    Returns ((shard_refs, shift), pairable_ref) — drop-in for the pair of
-    (build_embedding_lookup(...), build_pairable_keys(...)) calls, parity
-    asserted in tests/test_dedup_pipeline.py."""
+    The key scan (bands column only) and the shard scan (emb + simhash)
+    are SEPARATE tasks so the caller can block on the pairable set — which
+    the band expansion's map-side prune needs before the band stage can
+    launch — while the heavier shard build overlaps the expand + sort of
+    the band exchange; the band-pair kernel ray.gets the shards only when
+    the sort finishes. Both scans are fault-bound, not CPU-bound (measured
+    5.6 s at 8-way vs 8.1 s at 32-way concurrency — more workers contend
+    on the serialized fault path), so the shard scan runs at num_cpus=4.
+
+    Returns ((shard_refs, None), pairable_ref) — the None shift tags the
+    block-sharded layout for gather_from_shards. Parity with the legacy
+    build_embedding_lookup/build_pairable_keys pair is asserted in
+    tests/test_dedup_pipeline.py."""
     import ray
 
-    S, R = num_shards, num_ranges
-    assert S & (S - 1) == 0, "num_shards must be 2^k"
+    R = num_ranges
     assert R & (R - 1) == 0, "num_ranges must be 2^k"
-    shift = 64 - (S.bit_length() - 1) if S > 1 else 64
     kshift = np.uint32(32 - (R - 1).bit_length())
 
-    @ray.remote
-    def _scan_block(*tbls):
-        """Split one fused block into S shard parts + R key-range parts in
-        a single pass (returned as S+R objects via num_returns)."""
+    def _signature_rows(t):
+        """Winner rows with tokens, Arrow-side (pandas would coerce the
+        nullable int64 rh to float64 and corrupt 64-bit hashes)."""
         import pyarrow.compute as pc_
 
-        nodes_parts = [[] for _ in range(S)]
-        mat_parts = [[] for _ in range(S)]
-        sim_parts = [[] for _ in range(S)]
+        t = as_arrow_block(t)
+        if t is None:
+            return None
+        if t["rh"].null_count:
+            t = t.filter(pc_.is_valid(t["rh"]))
+        t = t.filter(pc_.greater(t["n_tokens"], 0))
+        return t if t.num_rows else None
+
+    @ray.remote
+    def _scan_shard(*tbls):
+        """Fused block(s) -> one rh-sorted (nodes, emb matrix, simhash)
+        shard."""
+        nodes_parts, mat_parts, sim_parts = [], [], []
+        for t in tbls:
+            t = _signature_rows(t)
+            if t is None:
+                continue
+            nodes_parts.append(t["rh"].to_numpy())
+            mat_parts.append(binary_matrix(t["emb"]))
+            sim_parts.append(t["simhash"].to_numpy())
+        if not nodes_parts:
+            return (np.empty(0, dtype=np.int64),
+                    np.empty((0, 0), dtype=np.float32),
+                    np.empty(0, dtype=np.int64))
+        nodes = (nodes_parts[0] if len(nodes_parts) == 1
+                 else np.concatenate(nodes_parts))
+        mat = (mat_parts[0] if len(mat_parts) == 1
+               else np.concatenate(mat_parts))
+        sims = (sim_parts[0] if len(sim_parts) == 1
+                else np.concatenate(sim_parts))
+        order = np.argsort(nodes, kind="mergesort")
+        nodes = nodes[order]
+        if len(nodes) > 1 and (nodes[1:] == nodes[:-1]).any():
+            raise ValueError("rid hash64 collision in broadcast-verify lookup")
+        return nodes, np.ascontiguousarray(mat[order]), sims[order]
+
+    @ray.remote
+    def _scan_keys(*tbls):
+        """Fused block(s) -> R pairable key-range parts (per-block counts
+        capped at 2, exactly like build_pairable_keys)."""
         key_parts = [[] for _ in range(R)]
         w_parts = [[] for _ in range(R)]
         for t in tbls:
-            t = as_arrow_block(t)
+            t = _signature_rows(t)
             if t is None:
                 continue
-            # typed-null signature columns on exact-duplicate rows: mask
-            # Arrow-side (pandas would coerce nullable int64 -> float64 and
-            # corrupt 64-bit hashes)
-            if t["rh"].null_count:
-                t = t.filter(pc_.is_valid(t["rh"]))
-            t = t.filter(pc_.greater(t["n_tokens"], 0))
-            if not t.num_rows:
-                continue
-            key_mat = band_keys32(t)
-            rh = t["rh"].to_numpy()
-            mat = binary_matrix(t["emb"])
-            sims = t["simhash"].to_numpy()
-            # shard split by rh high bits
-            if S > 1:
-                sid = (rh.view(np.uint64) >> np.uint64(shift)).astype(np.int64)
-                order = np.argsort(sid, kind="mergesort")
-                bounds = np.searchsorted(sid[order], np.arange(S + 1))
-                for s in range(S):
-                    sl = order[bounds[s]:bounds[s + 1]]
-                    if len(sl):
-                        nodes_parts[s].append(rh[sl])
-                        mat_parts[s].append(mat[sl])
-                        sim_parts[s].append(sims[sl])
-            else:
-                nodes_parts[0].append(rh)
-                mat_parts[0].append(mat)
-                sim_parts[0].append(sims)
-            # pairable-key range split by band-key high bits (per-block
-            # counts capped at 2, exactly like build_pairable_keys)
-            u, c = np.unique(key_mat.reshape(-1).view(np.uint32),
+            u, c = np.unique(band_keys32(t).reshape(-1).view(np.uint32),
                              return_counts=True)
             w = np.minimum(c, 2).astype(np.uint8)
             kb = np.searchsorted(u, np.arange(1, R, dtype=np.uint32) << kshift)
@@ -1403,15 +1420,6 @@ def build_broadcast_artifacts(sig_ds, num_shards: int = 32,
                     key_parts[r].append(u[kb[r]:kb[r + 1]])
                     w_parts[r].append(w[kb[r]:kb[r + 1]])
         out = []
-        for s in range(S):
-            if nodes_parts[s]:
-                out.append((np.concatenate(nodes_parts[s]),
-                            np.concatenate(mat_parts[s]),
-                            np.concatenate(sim_parts[s])))
-            else:
-                out.append((np.empty(0, dtype=np.int64),
-                            np.empty((0, 0), dtype=np.float32),
-                            np.empty(0, dtype=np.int64)))
         for r in range(R):
             if key_parts[r]:
                 out.append((np.concatenate(key_parts[r]),
@@ -1419,21 +1427,6 @@ def build_broadcast_artifacts(sig_ds, num_shards: int = 32,
             else:
                 out.append((np.empty(0, np.uint32), np.empty(0, np.uint8)))
         return tuple(out)
-
-    @ray.remote
-    def _merge_shard(*parts):
-        nodes = np.concatenate([p[0] for p in parts])
-        if not len(nodes):
-            return (np.empty(0, dtype=np.int64),
-                    np.empty((0, 0), dtype=np.float32),
-                    np.empty(0, dtype=np.int64))
-        mat = np.concatenate([p[1] for p in parts if len(p[0])])
-        sims = np.concatenate([p[2] for p in parts])
-        order = np.argsort(nodes, kind="mergesort")
-        nodes = nodes[order]
-        if len(nodes) > 1 and (nodes[1:] == nodes[:-1]).any():
-            raise ValueError("rid hash64 collision in broadcast-verify lookup")
-        return nodes, np.ascontiguousarray(mat[order]), sims[order]
 
     @ray.remote
     def _merge_range(*parts):
@@ -1450,17 +1443,19 @@ def build_broadcast_artifacts(sig_ds, num_shards: int = 32,
         return np.concatenate(parts)  # disjoint ascending ranges
 
     tbl_refs = sig_ds.to_arrow_refs()
-    block_outs = [
-        _scan_block.options(num_returns=S + R).remote(ref) for ref in tbl_refs
-    ]
-    shard_refs = [
-        _merge_shard.remote(*[bo[s] for bo in block_outs]) for s in range(S)
+    # key scans FIRST: the caller blocks on the pairable set (the band
+    # stage's map-side prune needs it), so it must not queue behind the
+    # heavier shard scans that only the post-sort pair kernel reads
+    key_outs = [
+        _scan_keys.options(num_returns=R).remote(ref) for ref in tbl_refs
     ]
     pairable_ref = _concat.remote(*[
-        _merge_range.remote(*[bo[S + r] for bo in block_outs])
-        for r in range(R)
+        _merge_range.remote(*[ko[r] for ko in key_outs]) for r in range(R)
     ])
-    return (shard_refs, shift), pairable_ref
+    shard_refs = [
+        _scan_shard.options(num_cpus=4).remote(ref) for ref in tbl_refs
+    ]
+    return (shard_refs, None), pairable_ref
 
 
 # Reusable per-process output/temp buffers for gather_from_shards
@@ -1483,13 +1478,21 @@ def _gather_buf(tag: str, n: int, row_shape: tuple, dtype) -> np.ndarray:
     return buf[:n]
 
 
-def gather_from_shards(shards, keys: np.ndarray, shift: int,
+def gather_from_shards(shards, keys: np.ndarray, shift: int | None,
                        field_idx: int, scratch: bool = False) -> np.ndarray:
     """keys -> per-key values from a sharded sorted broadcast lookup.
     field_idx selects the shard tuple field (1 = emb matrix, 2 = simhash).
     Raises on any key absent from the lookup. scratch=True returns a view
     into a reused per-process buffer (valid until the next scratch gather
-    with the same value shape/dtype)."""
+    with the same value shape/dtype).
+
+    shift is the rh-range shard selector (key's high bits == shard index);
+    shift=None tags the BLOCK-sharded layout from build_broadcast_artifacts
+    — any key may live in any shard, so every (sorted) shard is searched
+    and a key found twice (a cross-block rid-hash collision, which the
+    rh-range merge used to detect) raises."""
+    if shift is None:
+        return _gather_block_shards(shards, keys, field_idx, scratch)
     if len(shards) > 1:
         sid = (keys.view(np.uint64) >> np.uint64(shift)).astype(np.int64)
     out = None
@@ -1515,6 +1518,43 @@ def gather_from_shards(shards, keys: np.ndarray, shift: int,
         else:
             out[m] = vals[pos]
     if out is None:
+        raise ValueError("missing row in broadcast lookup")
+    return out
+
+
+def _gather_block_shards(shards, keys: np.ndarray, field_idx: int,
+                         scratch: bool) -> np.ndarray:
+    """Block-sharded gather: search every sorted shard, fill hits in place.
+    All intermediates live in reused scratch when scratch=True."""
+    n = len(keys)
+    out = None
+    found = _gather_buf("found", n, (), bool) if scratch else np.empty(n, bool)
+    found[:] = False
+    for shard in shards:
+        nodes, vals = shard[0], shard[field_idx]
+        if not len(nodes):
+            continue
+        pos = np.searchsorted(nodes, keys)
+        np.minimum(pos, len(nodes) - 1, out=pos)
+        hit = nodes[pos] == keys
+        if not hit.any():
+            continue
+        if (found & hit).any():
+            raise ValueError("rid hash64 collision across broadcast shards")
+        found |= hit
+        if out is None:
+            if scratch:
+                out = _gather_buf("out", n, vals.shape[1:], vals.dtype)
+            else:
+                out = np.empty((n,) + vals.shape[1:], dtype=vals.dtype)
+        idx = np.flatnonzero(hit)
+        if scratch:
+            tmp = _gather_buf("tmp", len(idx), vals.shape[1:], vals.dtype)
+            np.take(vals, pos[idx], axis=0, out=tmp)
+            out[idx] = tmp
+        else:
+            out[idx] = vals[pos[idx]]
+    if out is None or not found.all():
         raise ValueError("missing row in broadcast lookup")
     return out
 

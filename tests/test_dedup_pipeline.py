@@ -296,7 +296,8 @@ def test_build_broadcast_artifacts_parity(ray_session):
     ds = rd.from_arrow(sig).repartition(4).materialize()
 
     (new_shards, new_shift), new_pk_ref = build_broadcast_artifacts(
-        ds, num_shards=4, num_ranges=4)
+        ds, num_ranges=4)
+    assert new_shift is None  # block-sharded layout
     old_shards, old_shift = build_embedding_lookup(ds, num_shards=8)
     old_pk_ref = build_pairable_keys(ds, num_ranges=8)
 

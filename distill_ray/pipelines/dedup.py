@@ -233,10 +233,16 @@ def run_dedup(
     #  inband: band rows carry the embedding and each band bucket verifies
     #    its own pairs (zero extra wide ops, but 32 bands x 256 B multiply
     #    the band shuffle ~8x — measured 70% slower at 1M rows x 32 CPUs).
-    # fused is materialized so its count is metadata-only; the dup count is
-    # one cheap zero-copy filter pass over the narrow loser rows
+    # fused is materialized so its count is metadata-only; the dup count
+    # reads each block's rh null_count (loser rows are exactly the
+    # typed-null-signature rows) — Arrow array metadata, no execution pass
+    # and no page faults on the data buffers. A dups.count() here instead
+    # ran the losers_table filter over every fused block and wrote the
+    # filtered copies back to plasma, a fixed ~1-3 s on the critical path.
+    from distill_ray.stages.dedup_stages import count_null_rh
+
     n_canon = fused.count()
-    n_dups = dups.count()
+    n_dups = count_null_rh(fused)
     n_uniques = n_canon - n_dups
     if verify_mode == "auto":
         verify_mode = (

@@ -1321,6 +1321,22 @@ def build_embedding_lookup(sig_ds, num_shards: int = 8):
     return shard_refs, shift
 
 
+def count_null_rh(fused_ds) -> int:
+    """Number of typed-null-signature (exact-duplicate loser) rows in the
+    materialized fused table, via each block's Arrow null_count — array
+    metadata (at worst one validity-bitmap scan), never the data buffers.
+    Replaces a full losers_table filter execution for the same number."""
+    import ray
+
+    @ray.remote(num_cpus=0)
+    def _nulls(t):
+        t = as_arrow_block(t)
+        return 0 if t is None else t["rh"].null_count
+
+    return int(sum(ray.get(
+        [_nulls.remote(ref) for ref in fused_ds.to_arrow_refs()])))
+
+
 def build_broadcast_artifacts(sig_ds, num_ranges: int = 16):
     """Launch the builds of BOTH broadcast artifacts of the verify path —
     a BLOCK-sharded (rh, emb matrix, simhash) lookup and the sorted
@@ -1359,14 +1375,19 @@ def build_broadcast_artifacts(sig_ds, num_ranges: int = 16):
     assert R & (R - 1) == 0, "num_ranges must be 2^k"
     kshift = np.uint32(32 - (R - 1).bit_length())
 
-    def _signature_rows(t):
+    def _signature_rows(t, columns):
         """Winner rows with tokens, Arrow-side (pandas would coerce the
-        nullable int64 rh to float64 and corrupt 64-bit hashes)."""
+        nullable int64 rh to float64 and corrupt 64-bit hashes). `columns`
+        narrows the block BEFORE the filter: select is metadata-only, so
+        the filter copies (and plasma faults) ONLY the named columns — the
+        fused table also carries three rid strings, the 256 B emb and
+        sometimes norm_text, and the key scan needs none of them."""
         import pyarrow.compute as pc_
 
         t = as_arrow_block(t)
         if t is None:
             return None
+        t = t.select(columns)
         if t["rh"].null_count:
             t = t.filter(pc_.is_valid(t["rh"]))
         t = t.filter(pc_.greater(t["n_tokens"], 0))
@@ -1378,7 +1399,7 @@ def build_broadcast_artifacts(sig_ds, num_ranges: int = 16):
         shard."""
         nodes_parts, mat_parts, sim_parts = [], [], []
         for t in tbls:
-            t = _signature_rows(t)
+            t = _signature_rows(t, ["rh", "n_tokens", "emb", "simhash"])
             if t is None:
                 continue
             nodes_parts.append(t["rh"].to_numpy())
@@ -1407,7 +1428,7 @@ def build_broadcast_artifacts(sig_ds, num_ranges: int = 16):
         key_parts = [[] for _ in range(R)]
         w_parts = [[] for _ in range(R)]
         for t in tbls:
-            t = _signature_rows(t)
+            t = _signature_rows(t, ["rh", "n_tokens", "bands"])
             if t is None:
                 continue
             u, c = np.unique(band_keys32(t).reshape(-1).view(np.uint32),

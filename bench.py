@@ -125,6 +125,14 @@ def run_bench() -> dict:
             phases = res.stats.get("timings")
         assert n_out == n_rows, f"row coverage {n_out} != {n_rows}"
     timings["dedup_transcripts"] = round(best, 3)
+    # drop the result: its lineage pins the materialized intermediates
+    # (fused signature table with 256 B/row embeddings, refined rows) in
+    # the object store, which starves the span pass below into spilling
+    # (measured 52 s with res alive vs ~19 s standalone at 1M rows)
+    del res
+    import gc as _gc
+
+    _gc.collect()
 
     dedup_only = os.environ.get("RAY_GRAFT_DEDUP_ONLY") == "1"
 

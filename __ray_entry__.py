@@ -19,16 +19,20 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    import pyarrow.parquet as pq
+    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0.
+
+    The transcript derivation is the DISTRIBUTED variant (map_batches with
+    per-doc seeded RNG + broadcast donor pool) — the whole flow streams:
+    read_parquet -> derive -> dedup, no driver-side table."""
     import ray.data as rd
 
     from distill_ray.pipelines.dedup import run_dedup
-    from distill_ray.sources.transcripts import transcripts_from_documents
+    from distill_ray.sources.transcripts import transcripts_from_documents_ds
 
-    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pandas()
-    transcripts = transcripts_from_documents(docs, seed=42)
-    res = run_dedup(rd.from_pandas(transcripts))
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    res = run_dedup(transcripts_from_documents_ds(docs, seed=42))
     return res.assignments
 
 

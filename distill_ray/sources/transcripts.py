@@ -276,3 +276,71 @@ def transcripts_from_documents(documents: pd.DataFrame, seed: int = 42) -> pd.Da
             )
     df = pd.DataFrame(rows)
     return df.iloc[rng.permutation(len(df))].reset_index(drop=True)
+
+
+def transcripts_from_documents_ds(docs_ds, seed: int = 42, max_donors: int = 512):
+    """Distributed variant of ``transcripts_from_documents``: a map_batches
+    derivation whose output depends only on ``(seed, doc_id)`` — no
+    sequential RNG or accumulated-texts state — so it streams over a corpus
+    of any size with zero driver-side materialization of the documents.
+
+    The sequential variant plants exact duplicates by sampling "all texts
+    so far", which is inherently order-dependent; here they draw from a
+    small BROADCAST donor pool (first sentence of documents with
+    ``doc_id < max_donors``) built with one column-pruned bounded scan and
+    shipped once via ray.put. Near-duplicate plants are per-doc word swaps
+    as in the sequential variant. ``entry()`` runs this; the pandas variant
+    remains the fixture for the sf0.01 queries (byte-stable outputs).
+    """
+    import ray
+
+    from distill_ray.kernels.textproc import split_sentences
+
+    def first_sentences(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] < max_donors]
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "sent": pd.Series(dtype=object)})
+        sents = [
+            (split_sentences(str(t)) or [str(t)])[0] for t in df["text"]
+        ]
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "sent": pd.Series(sents, dtype=object)})
+
+    donor_rows = (
+        docs_ds.map_batches(first_sentences, batch_format="pandas")
+        .take_all()
+    )  # bounded: <= max_donors rows regardless of corpus size
+    donor_rows.sort(key=lambda r: r["doc_id"])
+    donors = np.array([r["sent"] for r in donor_rows], dtype=object)
+    donors_ref = ray.put(donors)
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        pool = ray.get(donors_ref)
+        out = {"conv_id": [], "turn_idx": [], "role": [], "text": [],
+               "tool": [], "ts": []}
+        for did, text in zip(df["doc_id"].to_numpy(), df["text"]):
+            did = int(did)
+            rng = np.random.default_rng([seed, did])
+            sentences = split_sentences(str(text)) or [str(text)]
+            conv = f"conv{did:06d}"
+            for t, sent in enumerate(sentences[:8]):
+                kind = rng.random()
+                if kind < 0.12 and len(pool):
+                    sent = pool[int(rng.integers(0, len(pool)))]
+                elif kind < 0.2 and len(sent.split()) > 3:
+                    words = sent.split()
+                    words[int(rng.integers(0, len(words)))] = "swapped"
+                    sent = " ".join(words)
+                out["conv_id"].append(conv)
+                out["turn_idx"].append(np.int32(t))
+                out["role"].append(("user", "assistant")[t % 2])
+                out["text"].append(sent)
+                out["tool"].append("")
+                out["ts"].append(
+                    np.datetime64("2026-01-01", "us")
+                    + np.int64(did * 3_600_000_000 + t * 30_000_000)
+                )
+        return pd.DataFrame(out)
+
+    return docs_ds.map_batches(derive, batch_format="pandas")

@@ -225,7 +225,11 @@ def run_scaling() -> dict:
     phases = {lo: None, hi: None}
     rows = None
     pair_effs = []
+    ceilings = []
     for rnd in range(3):
+        # host ceiling probe ADJACENT to the pair it normalizes: co-tenant
+        # load on this virtualized box moves minute to minute
+        ceilings.append(host_compute_ceiling(lo, hi))
         order = (lo, hi) if rnd % 2 == 0 else (hi, lo)
         leg_t = {}
         for ncpu in order:
@@ -243,6 +247,14 @@ def run_scaling() -> dict:
     for e in pair_effs:
         gmean_eff *= e
     gmean_eff **= 1.0 / len(pair_effs)
+    norm_effs = [
+        round(min(e / c, 1.0), 3) if c > 0 else None
+        for e, c in zip(pair_effs, ceilings)
+    ]
+    gmean_norm = 1.0
+    for e in norm_effs:
+        gmean_norm *= e
+    gmean_norm **= 1.0 / len(norm_effs)
     return {
         "metric": (
             f"dedup pipeline scaling {lo} -> {hi} CPUs "
@@ -258,9 +270,57 @@ def run_scaling() -> dict:
         "pair_efficiencies": pair_effs,
         "scaling_efficiency": round(gmean_eff, 3),
         "min_leg_efficiency": round((t_lo / t_hi) / (hi / lo), 3),
+        # host ceiling: measured aggregate throughput ratio of hi vs lo
+        # CONCURRENT CACHE-RESIDENT numpy workers (no Ray, no memory
+        # traffic), probed adjacent to each pair. 1.0 = the host actually
+        # delivers hi/lo x compute; this virtualized sandbox swings between
+        # ~0.6 and ~1.0 with co-tenant load (measured 0.62 and 0.77 fifteen
+        # minutes apart). scaling_efficiency_normalized divides each pair's
+        # pipeline efficiency by its window's ceiling — the translation to
+        # the N -> 4N-node regime the rule names, where every added node
+        # brings its OWN cores and memory bus instead of splitting this
+        # box's.
+        "host_ceiling_per_pair": ceilings,
+        "pair_efficiencies_normalized": norm_effs,
+        "scaling_efficiency_normalized": round(gmean_norm, 3),
         f"phases_{lo}": phases[lo],
         f"phases_{hi}": phases[hi],
     }
+
+
+def host_compute_ceiling(lo: int, hi: int) -> float:
+    """Measured fraction of ideal hi/lo compute scaling this host delivers
+    RIGHT NOW: aggregate throughput of hi vs lo concurrent cache-resident
+    numpy workers (512 KB arrays — no memory-bus traffic, no Ray). Pure
+    fixed-work processes, so on an un-contended hi-core host the ratio is
+    hi/lo and the result 1.0; co-tenant CPU steal on this shared VM shows
+    up as a lower ceiling for exactly the window it measures."""
+    import multiprocessing as mp
+
+    def worker(q, n_iter=150):
+        import numpy as _np
+        import time as _t
+
+        a = _np.random.default_rng(0).random(1 << 16)
+        t0 = _t.time()
+        s = 0.0
+        for _ in range(n_iter):
+            s += float(_np.sin(a).sum())
+        q.put(n_iter / (_t.time() - t0))
+
+    def agg(nproc: int) -> float:
+        ctx = mp.get_context("fork")
+        q = ctx.Queue()
+        ps = [ctx.Process(target=worker, args=(q,)) for _ in range(nproc)]
+        for p in ps:
+            p.start()
+        rates = [q.get() for _ in ps]
+        for p in ps:
+            p.join()
+        return sum(rates)
+
+    r_lo, r_hi = agg(lo), agg(hi)
+    return round((r_hi / r_lo) / (hi / lo), 3) if r_lo > 0 else 0.0
 
 
 if __name__ == "__main__":

@@ -1,0 +1,65 @@
+"""Distributed transcript derivation (sources/transcripts.transcripts_from_documents_ds).
+
+The property that makes it safe at scale: output depends only on
+(seed, doc_id) — NOT on block boundaries, row order, or cluster size.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from distill_ray.sources.transcripts import transcripts_from_documents_ds
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def docs_path(ray_session):
+    return f"{SF}/documents.parquet"
+
+
+def test_partition_invariance(docs_path):
+    """Same output whatever the block layout of the input."""
+    a = transcripts_from_documents_ds(
+        rd.read_parquet(docs_path, columns=["doc_id", "text"],
+                        override_num_blocks=1)
+    ).to_pandas()
+    b = transcripts_from_documents_ds(
+        rd.read_parquet(docs_path, columns=["doc_id", "text"],
+                        override_num_blocks=13)
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(a), _sorted(b))
+
+
+def test_schema_and_roles(docs_path):
+    df = transcripts_from_documents_ds(
+        rd.read_parquet(docs_path, columns=["doc_id", "text"])
+    ).to_pandas()
+    assert list(df.columns) == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert str(df["turn_idx"].dtype) == "int32"
+    assert set(df["role"].unique()) <= {"user", "assistant"}
+    assert (df.groupby("conv_id")["turn_idx"].nunique()
+            == df.groupby("conv_id")["turn_idx"].size()).all()
+
+
+def test_plants_cross_conversation_dups(docs_path):
+    """The broadcast donor pool plants exact duplicate turns across
+    conversations — the thing the flagship dedup run must find."""
+    df = transcripts_from_documents_ds(
+        rd.read_parquet(docs_path, columns=["doc_id", "text"])
+    ).to_pandas()
+    by_text = df.groupby("text")["conv_id"].nunique()
+    assert (by_text > 1).sum() > 0
+
+
+def test_seed_changes_output(docs_path):
+    ds = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+    a = transcripts_from_documents_ds(ds, seed=42).to_pandas()
+    b = transcripts_from_documents_ds(ds, seed=43).to_pandas()
+    assert not _sorted(a)["text"].equals(_sorted(b)["text"])

@@ -319,8 +319,16 @@ def host_compute_ceiling(lo: int, hi: int) -> float:
             p.join()
         return sum(rates)
 
+    # best-of-2 per level, ABBA order: a co-tenant stall during a single
+    # probe corrupts that reading (one run measured an unphysical 2.04
+    # ratio when the lo probe got throttled); the max per level is the
+    # least-throttled window for that level. Clamped at 1.0 — a fixed-work
+    # probe cannot genuinely super-scale, so any ratio above 1 is noise.
     r_lo, r_hi = agg(lo), agg(hi)
-    return round((r_hi / r_lo) / (hi / lo), 3) if r_lo > 0 else 0.0
+    r_hi, r_lo = max(r_hi, agg(hi)), max(r_lo, agg(lo))
+    if r_lo <= 0:
+        return 0.0
+    return round(min((r_hi / r_lo) / (hi / lo), 1.0), 3)
 
 
 if __name__ == "__main__":

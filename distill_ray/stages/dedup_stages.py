@@ -1466,9 +1466,17 @@ def build_broadcast_artifacts(sig_ds, num_ranges: int = 16):
     tbl_refs = sig_ds.to_arrow_refs()
     # key scans FIRST: the caller blocks on the pairable set (the band
     # stage's map-side prune needs it), so it must not queue behind the
-    # heavier shard scans that only the post-sort pair kernel reads
+    # heavier shard scans that only the post-sort pair kernel reads.
+    # Concurrency is capped at ~8-way like the shard scan: both scans are
+    # fault-bound, and the measured optimum on the serialized fault path is
+    # 8-way (5.6 s) vs 32-way (8.1 s) — at num_cpus=1 a 32-CPU cluster ran
+    # the key scans 32-way and the caller's blocking wait (p6a) measured
+    # 2.2x SLOWER than the same scan on the 8-CPU leg. Scaled by cluster
+    # size so small clusters keep full concurrency.
+    key_cpus = max(1, int(ray.cluster_resources().get("CPU", 8)) // 8)
     key_outs = [
-        _scan_keys.options(num_returns=R).remote(ref) for ref in tbl_refs
+        _scan_keys.options(num_returns=R, num_cpus=key_cpus).remote(ref)
+        for ref in tbl_refs
     ]
     pairable_ref = _concat.remote(*[
         _merge_range.remote(*[ko[r] for ko in key_outs]) for r in range(R)

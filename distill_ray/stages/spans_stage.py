@@ -19,18 +19,39 @@ exchange) before the first shuffle and resolved back to strings only for
 the final span set, whose size bounds the driver state (spans are rare by
 construction). For integer rids the output is bit-identical to keying by
 the rid itself, including the deterministic hot-window cap order.
+
+All wide-exchange rows are Arrow (pure fixed-width columns, typed empty
+blocks): pandas blocks pickled per exchange and LOST their schema when
+empty, tripping the executor's schema-mismatch warning on every bucket
+with no matches. Pair emission is bulk-vectorized by capped group size
+(one shared triu template per size — the same shape as the dedup band
+kernel) instead of one Python iteration per window-hash group.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from distill_ray.kernels.embed import tokenize_series
 from distill_ray.kernels.spans import window_hashes
 
 _MIX_A = np.uint64(0x9E3779B97F4A7C15)
 _MIX_B = np.uint64(0xC2B2AE3D27D4EB4F)
+
+WINDOW_SCHEMA = pa.schema(
+    [("whash", pa.int64()), ("rid", pa.int64()), ("pos", pa.int32()),
+     ("wbucket", pa.int32())]
+)
+MATCH_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("pos_a", pa.int32()),
+     ("pos_b", pa.int32()), ("pbucket", pa.int32())]
+)
+SPAN_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("pos_a", pa.int32()),
+     ("pos_b", pa.int32()), ("length", pa.int32())]
+)
 
 
 def _pair_bucket(a: np.ndarray, b: np.ndarray, n_buckets: int) -> np.ndarray:
@@ -44,7 +65,7 @@ def _pair_bucket(a: np.ndarray, b: np.ndarray, n_buckets: int) -> np.ndarray:
 
 
 def make_window_rows(span_k: int, n_buckets: int, hash_rids: bool):
-    def window_rows(df: pd.DataFrame) -> pd.DataFrame:
+    def window_rows(df: pd.DataFrame) -> pa.Table:
         th, dl = tokenize_series(df["norm_text"])
         wh, doc_idx, pos = window_hashes(th, dl, span_k)
         if hash_rids:
@@ -53,50 +74,53 @@ def make_window_rows(span_k: int, n_buckets: int, hash_rids: bool):
             rids = rid_hash64(df["rid"].to_numpy())
         else:
             rids = df["rid"].to_numpy().astype(np.int64)
-        return pd.DataFrame(
-            {
-                "whash": wh.view(np.int64),
-                "rid": rids[doc_idx],
-                "pos": pos.astype(np.int32),
-                "wbucket": (wh % np.uint64(n_buckets)).astype(np.int32),
-            }
+        return pa.Table.from_arrays(
+            [
+                pa.array(wh.view(np.int64)),
+                pa.array(rids[doc_idx]),
+                pa.array(pos.astype(np.int32)),
+                pa.array((wh % np.uint64(n_buckets)).astype(np.int32)),
+            ],
+            schema=WINDOW_SCHEMA,
         )
 
     return window_rows
 
 
-_MATCH_EMPTY_COLS = {
-    "a": np.int64, "b": np.int64, "pos_a": np.int32, "pos_b": np.int32,
-    "pbucket": np.int32,
-}
-
-
 def make_window_matches(n_buckets: int, window_cap: int = 64):
     """Bucket kernel: per window-hash group, emit all cross-document
     (a, b, pos_a, pos_b) matches; hot windows capped deterministically
-    (first window_cap occurrences in (rid key, pos) order)."""
+    (first window_cap occurrences in (rid key, pos) order).
 
-    def window_matches(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {c: pd.Series(dtype=t) for c, t in _MATCH_EMPTY_COLS.items()}
-        )
-        sizes = g.groupby("whash", sort=False)["rid"].transform("size")
-        g = g[sizes > 1]
-        if g.empty:
-            return empty
-        g = g.sort_values(["whash", "rid", "pos"], kind="mergesort")
-        wh = g["whash"].to_numpy()
-        rid = g["rid"].to_numpy()
-        pos = g["pos"].to_numpy()
+    Groups are emitted in bulk per capped size: every group of size n
+    shares one (n*(n-1)/2)-long triu index template, so the kernel does a
+    handful of numpy passes per DISTINCT size instead of one Python
+    iteration per group (typical sizes are 2-3)."""
+
+    def window_matches(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return MATCH_SCHEMA.empty_table()
+        wh = g["whash"].to_numpy(zero_copy_only=False)
+        rid = g["rid"].to_numpy(zero_copy_only=False)
+        pos = g["pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, rid, wh))
+        wh = wh[order]
+        rid = rid[order]
+        pos = pos[order]
         bounds = np.flatnonzero(np.r_[True, wh[1:] != wh[:-1], True])
+        sizes = np.minimum(np.diff(bounds), window_cap)
+        starts = bounds[:-1]
+        keep = sizes >= 2
+        sizes = sizes[keep]
+        starts = starts[keep]
+        if len(sizes) == 0:
+            return MATCH_SCHEMA.empty_table()
         a_out, b_out, pa_out, pb_out = [], [], [], []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            n = min(e - s, window_cap)
-            if n < 2:
-                continue
-            ia, ib = np.triu_indices(n, k=1)
-            ia += s
-            ib += s
+        for n in np.unique(sizes):
+            s_n = starts[sizes == n]
+            ia0, ib0 = np.triu_indices(int(n), k=1)
+            ia = (s_n[:, None] + ia0[None, :]).ravel()
+            ib = (s_n[:, None] + ib0[None, :]).ravel()
             cross = rid[ia] != rid[ib]
             if not cross.any():
                 continue
@@ -105,14 +129,18 @@ def make_window_matches(n_buckets: int, window_cap: int = 64):
             pa_out.append(pos[ia[cross]])
             pb_out.append(pos[ib[cross]])
         if not a_out:
-            return empty
+            return MATCH_SCHEMA.empty_table()
         a = np.concatenate(a_out)
         b = np.concatenate(b_out)
-        return pd.DataFrame(
-            {"a": a, "b": b,
-             "pos_a": np.concatenate(pa_out).astype(np.int32),
-             "pos_b": np.concatenate(pb_out).astype(np.int32),
-             "pbucket": _pair_bucket(a, b, n_buckets)}
+        return pa.Table.from_arrays(
+            [
+                pa.array(a),
+                pa.array(b),
+                pa.array(np.concatenate(pa_out).astype(np.int32)),
+                pa.array(np.concatenate(pb_out).astype(np.int32)),
+                pa.array(_pair_bucket(a, b, n_buckets)),
+            ],
+            schema=MATCH_SCHEMA,
         )
 
     return window_matches
@@ -121,40 +149,39 @@ def make_window_matches(n_buckets: int, window_cap: int = 64):
 def make_merge_spans(span_k: int):
     """Bucket kernel: merge contiguous window matches into maximal spans."""
 
-    def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
-        if g.empty:
-            return pd.DataFrame(
-                {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
-                 "pos_a": pd.Series(dtype=np.int32), "pos_b": pd.Series(dtype=np.int32),
-                 "length": pd.Series(dtype=np.int32)}
-            )
-        g = g.copy()
-        g["offset"] = g["pos_a"].astype(np.int64) - g["pos_b"].astype(np.int64)
-        g = g.sort_values(["a", "b", "offset", "pos_a"], kind="mergesort")
-        a = g["a"].to_numpy()
-        b = g["b"].to_numpy()
-        off = g["offset"].to_numpy()
-        pa = g["pos_a"].to_numpy().astype(np.int64)
-        pb = g["pos_b"].to_numpy().astype(np.int64)
+    def merge_spans(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return SPAN_SCHEMA.empty_table()
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        pos_a = g["pos_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos_b = g["pos_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        off = pos_a - pos_b
+        order = np.lexsort((pos_a, off, b, a))
+        a = a[order]
+        b = b[order]
+        off = off[order]
+        pa_ = pos_a[order]
+        pb_ = pos_b[order]
         # run breaks: new (a, b, offset) or non-contiguous position
         new_run = np.r_[
             True,
             (a[1:] != a[:-1]) | (b[1:] != b[:-1]) | (off[1:] != off[:-1])
-            | (pa[1:] != pa[:-1] + 1),
+            | (pa_[1:] != pa_[:-1] + 1),
         ]
-        run_id = np.cumsum(new_run) - 1
-        frame = pd.DataFrame(
-            {"run": run_id, "a": a, "b": b, "pos_a": pa, "pos_b": pb}
+        starts = np.flatnonzero(new_run)
+        ends = np.r_[starts[1:], len(a)] - 1
+        length = (pa_[ends] - pa_[starts] + span_k).astype(np.int32)
+        return pa.Table.from_arrays(
+            [
+                pa.array(a[starts]),
+                pa.array(b[starts]),
+                pa.array(pa_[starts].astype(np.int32)),
+                pa.array(pb_[starts].astype(np.int32)),
+                pa.array(length),
+            ],
+            schema=SPAN_SCHEMA,
         )
-        agg = frame.groupby("run", sort=False).agg(
-            a=("a", "first"), b=("b", "first"),
-            pos_a=("pos_a", "first"), pos_b=("pos_b", "first"),
-            end=("pos_a", "last"),
-        )
-        agg["length"] = (agg["end"] - agg["pos_a"] + span_k).astype(np.int32)
-        agg["pos_a"] = agg["pos_a"].astype(np.int32)
-        agg["pos_b"] = agg["pos_b"].astype(np.int32)
-        return agg[["a", "b", "pos_a", "pos_b", "length"]].reset_index(drop=True)
 
     return merge_spans
 
@@ -195,13 +222,13 @@ def _resolve_span_rids(spans_df: pd.DataFrame, prep_ds) -> pd.DataFrame:
     m = dict(zip(mp["r64"].tolist(), mp["rid"].tolist()))
     a = spans_df["a"].map(m).to_numpy()
     b = spans_df["b"].map(m).to_numpy()
-    pa = spans_df["pos_a"].to_numpy()
-    pb = spans_df["pos_b"].to_numpy()
+    pa_ = spans_df["pos_a"].to_numpy()
+    pb_ = spans_df["pos_b"].to_numpy()
     swap = a > b
     a2 = np.where(swap, b, a)
     b2 = np.where(swap, a, b)
-    pa2 = np.where(swap, pb, pa)
-    pb2 = np.where(swap, pa, pb)
+    pa2 = np.where(swap, pb_, pa_)
+    pb2 = np.where(swap, pa_, pb_)
     return pd.DataFrame(
         {"a": a2, "b": b2, "pos_a": pa2.astype(np.int32),
          "pos_b": pb2.astype(np.int32),
@@ -215,7 +242,6 @@ def run_span_pass(prep_ds, span_k: int = 50, n_buckets: int = 128):
     dtype of the input (integer rids key the shuffles directly and are
     returned verbatim; string rids shuffle as 64-bit hashes and resolve
     back at the end)."""
-    import pyarrow as pa
     import ray
 
     from distill_ray.pipelines.dedup import _named
@@ -239,10 +265,10 @@ def run_span_pass(prep_ds, span_k: int = 50, n_buckets: int = 128):
     )
     matches = windows.repartition(P).groupby("wbucket").map_groups(
         _named(make_window_matches(n_buckets), "window_matches"),
-        batch_format="pandas",
+        batch_format="pyarrow",
     )
     spans = matches.repartition(P).groupby("pbucket").map_groups(
-        _named(make_merge_spans(span_k), "merge_spans"), batch_format="pandas"
+        _named(make_merge_spans(span_k), "merge_spans"), batch_format="pyarrow"
     )
     if int_rids:
         return spans

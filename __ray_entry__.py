@@ -67,6 +67,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_store_topk": qo.q_vector_store_topk,
         "prefix_partition": qa.q_prefix_partition,
         "commit_patterns": qa.q_commit_patterns,
+        "sessionize_events": qa.q_sessionize_events,
+        "asof_join_orders": qa.q_asof_join_orders,
+        "lag_events": qa.q_lag_events,
         # dedup / operator surface (rows-only checks)
         "near_dup_clusters_docs": qo.q_near_dup_clusters_docs,
         "near_dup_pairs_docs": qo.q_near_dup_pairs_docs,
@@ -133,6 +136,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups_lsh": qo.EMBEDDING_NEAR_DUPS_LSH_SQL,
         "prefix_partition": qa.PREFIX_PARTITION_SQL,
         "commit_patterns": qa.COMMIT_PATTERNS_SQL,
+        "sessionize_events": qa.SESSIONIZE_EVENTS_SQL,
+        "asof_join_orders": qa.ASOF_JOIN_ORDERS_SQL,
+        "lag_events": qa.LAG_EVENTS_SQL,
         "multimodal_decode": qo.MULTIMODAL_DECODE_SQL,
         "prune_docs": qo.PRUNE_DOCS_SQL,
         "ngram_jaccard_topk": qo.NGRAM_JACCARD_TOPK_SQL,

@@ -751,3 +751,92 @@ SELECT doc_id,
   END AS compressed
 FROM documents ORDER BY doc_id
 """
+
+
+# --- temporal operators: session windows, as-of join, per-key lag -----------
+# (training-data-pipeline additions; distributed shape in stages/temporal.py)
+
+def q_sessionize_events(sf_dir: str) -> pd.DataFrame:
+    """Session-window aggregation over the events stream: per user, a new
+    session starts when the gap to the previous event exceeds 30 minutes."""
+    from distill_ray.stages.temporal import sessionize
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    out = sessionize(ds, gap_s=1800.0).to_pandas()
+    out["sum_value"] = out["sum_value"].round(4)
+    return out
+
+
+SESSIONIZE_EVENTS_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q_asof_join_orders(sf_dir: str) -> pd.DataFrame:
+    """Backward as-of join: each event picks the same-customer order with
+    the greatest o_orderdate <= event ts (ties on date broken by max
+    orderkey, applied identically in the SQL oracle's pre-dedup)."""
+    from distill_ray.stages.temporal import asof_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+    )
+    return asof_join(
+        ev, orders,
+        key_col="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        right_val="o_orderkey", left_id="event_id",
+    ).to_pandas()
+
+
+ASOF_JOIN_ORDERS_SQL = """
+WITH o1 AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.ts, e.user_id, o1.o_orderkey
+FROM events e
+ASOF LEFT JOIN o1
+  ON e.user_id = o1.o_custkey AND e.ts >= o1.o_orderdate
+"""
+
+
+def q_lag_events(sf_dir: str) -> pd.DataFrame:
+    """Per-key lag/lead shape: previous event id + gap seconds per user in
+    (ts, event_id) order; NULL on each user's first event."""
+    from distill_ray.stages.temporal import lag_events
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    out = lag_events(ds).to_pandas()
+    out["gap_s"] = out["gap_s"].round(6)
+    return out
+
+
+LAG_EVENTS_SQL = """
+SELECT event_id,
+       lag(event_id) OVER w AS prev_event_id,
+       round((epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1e6, 6) AS gap_s
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""

@@ -1,0 +1,288 @@
+"""Temporal operators over keyed event streams: session windows, as-of
+(backward) joins and per-key lag.
+
+All three follow the repo's bucketed-shuffle shape (pipelines/dedup.py §
+"Execution design"): rows get a coarse partition key `hash(key) % B`, ONE
+groupby(bucket) shuffle co-locates each key's rows, and a vectorized numpy
+kernel handles every key in the bucket at once (lexsort + boundary masks +
+reduceat — never one Python iteration per key or per session). Timestamps
+compute as int64 microseconds end to end; outputs are Arrow tables with
+typed empty blocks.
+
+Scale notes:
+- The shuffle volume is one row per input row with fixed-width columns —
+  no payload amplification. Skewed keys are bounded by the coarse bucket
+  (a bucket holds many keys; one hot KEY still fits unless a single key
+  exceeds a block, which for session/lag semantics is inherent to the
+  operator and for asof can be range-salted by time if ever needed).
+- The as-of join co-partitions BOTH sides by the same bucket function
+  (the partitioning assumption: right-side rows for a key live in the
+  same bucket as the left's probes). Right side is deduplicated per
+  (key, ts) with a deterministic max-value tie-break, making the result
+  independent of row order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from distill_ray.kernels.hashing import mix64
+
+_US = "datetime64[us]"
+
+
+def _bucket_of(keys: np.ndarray, n_buckets: int) -> np.ndarray:
+    return (mix64(keys.astype(np.int64).view(np.uint64))
+            % np.uint64(n_buckets)).astype(np.int32)
+
+
+def _ts_us(col) -> np.ndarray:
+    """int64 microseconds from a pandas/arrow timestamp column."""
+    arr = np.asarray(col)
+    if np.issubdtype(arr.dtype, np.datetime64):
+        return arr.astype(_US).view(np.int64)
+    return arr.astype(np.int64)
+
+
+# --- session windows --------------------------------------------------------
+
+SESSION_SCHEMA = pa.schema(
+    [("user_id", pa.int64()), ("session_start", pa.timestamp("us")),
+     ("n_events", pa.int64()), ("sum_value", pa.float64())]
+)
+
+
+def sessionize(
+    events: rd.Dataset,
+    gap_s: float = 1800.0,
+    n_buckets: int = 64,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "value",
+) -> rd.Dataset:
+    """Session-window aggregation: per key, events ordered by
+    (ts, order_col) split into sessions wherever the gap to the previous
+    event exceeds gap_s seconds. Emits one row per session:
+    (key, session_start, n_events, sum_value).
+
+    Equivalent SQL: lag + interval comparison + running sum of breaks +
+    groupby — see SESSIONIZE_EVENTS_SQL in pipelines/queries_aux.py."""
+    gap_us = np.int64(round(gap_s * 1e6))
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["sbucket"] = _bucket_of(df[key_col].to_numpy(), n_buckets)
+        return df
+
+    def session_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return SESSION_SCHEMA.empty_table()
+        key = g[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_us(g[ts_col].to_numpy(zero_copy_only=False))
+        order = g[order_col].to_numpy(zero_copy_only=False)
+        val = g[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        o = np.lexsort((order, ts, key))
+        key, ts, val = key[o], ts[o], val[o]
+        new_sess = np.r_[
+            True, (key[1:] != key[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        ]
+        starts = np.flatnonzero(new_sess)
+        ends = np.r_[starts[1:], len(key)]
+        n_events = (ends - starts).astype(np.int64)
+        csum = np.r_[0.0, np.cumsum(val)]
+        sum_value = csum[ends] - csum[starts]
+        return pa.Table.from_arrays(
+            [
+                pa.array(key[starts]),
+                pa.array(ts[starts].astype(_US)),
+                pa.array(n_events),
+                pa.array(sum_value),
+            ],
+            schema=pa.schema(
+                [(key_col, pa.int64()), ("session_start", pa.timestamp("us")),
+                 ("n_events", pa.int64()), ("sum_value", pa.float64())]
+            ),
+        )
+
+    return (
+        events.map_batches(add_bucket, batch_format="pandas")
+        .groupby("sbucket")
+        .map_groups(session_bucket, batch_format="pyarrow")
+    )
+
+
+# --- as-of (backward) join --------------------------------------------------
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    right_val: str,
+    left_id: str,
+    right_key: str | None = None,
+    n_buckets: int = 64,
+    strict: bool = False,
+) -> rd.Dataset:
+    """Backward as-of join: for each left row, the right row with the same
+    key and the greatest right_ts <= left_ts (< if strict). Right rows are
+    deduplicated per (key, right_ts) keeping max(right_val), so the result
+    is deterministic regardless of input order. Output:
+    (left_id, left_ts, key, right_val nullable).
+
+    Shape: both sides tagged and unioned, ONE bucketed shuffle co-locates
+    each key, and the bucket kernel resolves every probe with two
+    vectorized searchsorteds over a composite (key-rank, time-offset) int64
+    key — no per-key loop, no driver state."""
+    out_schema = pa.schema(
+        [(left_id, pa.int64()), (left_ts, pa.timestamp("us")),
+         (key_col, pa.int64()), (right_val, pa.int64())]
+    )
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "k": df[key_col].to_numpy().astype(np.int64),
+                "t": _ts_us(df[left_ts].to_numpy()),
+                "v": df[left_id].to_numpy().astype(np.int64),
+                "side": np.zeros(len(df), dtype=np.int8),
+            }
+        )
+        out["abucket"] = _bucket_of(out["k"].to_numpy(), n_buckets)
+        return out
+
+    rkey = right_key or key_col
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "k": df[rkey].to_numpy().astype(np.int64),
+                "t": _ts_us(df[right_ts].to_numpy()),
+                "v": df[right_val].to_numpy().astype(np.int64),
+                "side": np.ones(len(df), dtype=np.int8),
+            }
+        )
+        out["abucket"] = _bucket_of(out["k"].to_numpy(), n_buckets)
+        return out
+
+    def asof_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        k = g["k"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        is_r = side == 1
+        lk, lt, lv = k[~is_r], t[~is_r], v[~is_r]
+        if len(lk) == 0:
+            return out_schema.empty_table()
+        rk, rt, rv = k[is_r], t[is_r], v[is_r]
+
+        # composite int64 sort key: dense key rank << 32 | dense TIME rank.
+        # Both ranks are bucket-local (np.unique over this bucket's rows),
+        # so capacity is 2^31 keys x 2^32 distinct timestamps per bucket —
+        # absolute time spread is irrelevant because only ORDER matters,
+        # and every probe timestamp is itself in the rank table (exact
+        # equality maps to its own rank).
+        all_k = np.unique(np.concatenate([lk, rk]))
+        all_t = np.unique(np.concatenate([lt, rt]))
+        shift = np.int64(32)
+        if len(all_k) >= (1 << 31) or len(all_t) >= (1 << 32) - 2:
+            raise ValueError("asof bucket exceeds composite-key capacity")
+
+        if len(rk):
+            # dedupe right per (key, ts): keep max value
+            ro = np.lexsort((rv, rt, rk))
+            rk, rt, rv = rk[ro], rt[ro], rv[ro]
+            last = np.r_[(rk[1:] != rk[:-1]) | (rt[1:] != rt[:-1]), True]
+            rk, rt, rv = rk[last], rt[last], rv[last]
+            r_rank = np.searchsorted(all_k, rk).astype(np.int64)
+            r_trank = np.searchsorted(all_t, rt).astype(np.int64)
+            r_comp = (r_rank << shift) + r_trank + 1
+        else:
+            r_comp = np.empty(0, dtype=np.int64)
+            rv = np.empty(0, dtype=np.int64)
+
+        l_rank = np.searchsorted(all_k, lk).astype(np.int64)
+        l_trank = np.searchsorted(all_t, lt).astype(np.int64)
+        probe = (l_rank << shift) + l_trank + (0 if strict else 1)
+        idx = np.searchsorted(r_comp, probe, side="right") - 1
+        safe = np.maximum(idx, 0)
+        hit = (idx >= 0) & ((r_comp[safe] >> shift) == l_rank) if len(r_comp) \
+            else np.zeros(len(lk), dtype=bool)
+        matched = np.where(hit, rv[safe] if len(rv) else 0, 0)
+        return pa.Table.from_arrays(
+            [
+                pa.array(lv),
+                pa.array(lt.astype(_US)),
+                pa.array(lk),
+                pa.array(matched, mask=~hit),
+            ],
+            schema=out_schema,
+        )
+
+    tagged = left.map_batches(tag_left, batch_format="pandas").union(
+        right.map_batches(tag_right, batch_format="pandas")
+    )
+    return tagged.groupby("abucket").map_groups(
+        asof_bucket, batch_format="pyarrow"
+    )
+
+
+# --- per-key lag ------------------------------------------------------------
+
+def lag_events(
+    events: rd.Dataset,
+    n_buckets: int = 64,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> rd.Dataset:
+    """Per-key lag: for each event, the previous event of the same key in
+    (ts, id) order, plus the gap in seconds (NULL on each key's first
+    event). Same bucketed shape as sessionize; the kernel is one lexsort +
+    one shift per bucket."""
+    out_schema = pa.schema(
+        [(id_col, pa.int64()), (f"prev_{id_col}", pa.int64()),
+         ("gap_s", pa.float64())]
+    )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["lbucket"] = _bucket_of(df[key_col].to_numpy(), n_buckets)
+        return df
+
+    def lag_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        key = g[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_us(g[ts_col].to_numpy(zero_copy_only=False))
+        eid = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((eid, ts, key))
+        key, ts, eid = key[o], ts[o], eid[o]
+        has_prev = np.r_[False, key[1:] == key[:-1]]
+        prev_id = np.r_[0, eid[:-1]]
+        gap = np.r_[0, ts[1:] - ts[:-1]].astype(np.float64) / 1e6
+        return pa.Table.from_arrays(
+            [
+                pa.array(eid),
+                pa.array(prev_id, mask=~has_prev),
+                pa.array(gap, mask=~has_prev),
+            ],
+            schema=out_schema,
+        )
+
+    return (
+        events.map_batches(add_bucket, batch_format="pandas")
+        .groupby("lbucket")
+        .map_groups(lag_bucket, batch_format="pyarrow")
+    )

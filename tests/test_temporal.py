@@ -1,0 +1,167 @@
+"""Temporal operators: session windows, as-of join, per-key lag.
+
+Edge cases the sf-table gate can't exercise: strict mode, keys with no
+right-side rows, right-side (key, ts) ties, single-event sessions, and
+exact-boundary gaps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from distill_ray.stages.temporal import asof_join, lag_events, sessionize
+
+
+def _ts(*seconds):
+    return pd.to_datetime(np.array(seconds, dtype="int64") * 1_000_000, unit="us")
+
+
+def test_sessionize_gap_boundary(ray_session):
+    # gaps of exactly gap_s stay in one session; gap_s + epsilon splits
+    ev = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "event_id": [10, 11, 12, 20],
+            "ts": _ts(0, 100, 201, 50),
+            "value": [1.0, 2.0, 4.0, 8.0],
+        }
+    )
+    out = (
+        sessionize(rd.from_pandas(ev), gap_s=100.0, n_buckets=4)
+        .to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    # user 1: events at 0,100 in one session (gap == 100 s keeps), 201 splits
+    assert out["n_events"].tolist() == [2, 1, 1]
+    assert out["sum_value"].tolist() == [3.0, 4.0, 8.0]
+    assert out.loc[0, "session_start"] == ev["ts"][0]
+
+
+def test_sessionize_orders_ties_by_event_id(ray_session):
+    # two events at the same ts: ordering falls back to event_id
+    ev = pd.DataFrame(
+        {
+            "user_id": [1, 1],
+            "event_id": [2, 1],
+            "ts": _ts(0, 0),
+            "value": [5.0, 3.0],
+        }
+    )
+    out = sessionize(rd.from_pandas(ev), gap_s=10.0).to_pandas()
+    assert len(out) == 1
+    assert out["n_events"][0] == 2
+    assert out["sum_value"][0] == 8.0
+
+
+def test_asof_join_inclusive_strict_and_misses(ray_session):
+    left = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "user_id": [1, 1, 1, 9],  # user 9 has no right rows
+            "ts": _ts(50, 100, 150, 100),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "o_custkey": [1, 1, 1],
+            "o_orderkey": [101, 102, 103],
+            "o_orderdate": _ts(10, 100, 120),
+        }
+    )
+    kw = dict(
+        key_col="user_id", right_key="o_custkey", left_ts="ts",
+        right_ts="o_orderdate", right_val="o_orderkey", left_id="event_id",
+        n_buckets=4,
+    )
+    incl = (
+        asof_join(rd.from_pandas(left), rd.from_pandas(right), **kw)
+        .to_pandas().set_index("event_id")["o_orderkey"]
+    )
+    # inclusive: ts=100 matches the ts=100 order
+    assert incl[1] == 101 and incl[2] == 102 and incl[3] == 103
+    assert pd.isna(incl[4])
+    strict = (
+        asof_join(rd.from_pandas(left), rd.from_pandas(right), strict=True, **kw)
+        .to_pandas().set_index("event_id")["o_orderkey"]
+    )
+    # strict: ts=100 must NOT match the ts=100 order
+    assert strict[2] == 101
+    assert strict[1] == 101 and strict[3] == 103 and pd.isna(strict[4])
+
+
+def test_asof_join_right_tie_keeps_max_val(ray_session):
+    left = pd.DataFrame({"event_id": [1], "user_id": [7], "ts": _ts(100)})
+    right = pd.DataFrame(
+        {
+            "o_custkey": [7, 7, 7],
+            "o_orderkey": [5, 9, 3],  # same date — max orderkey wins
+            "o_orderdate": _ts(40, 40, 40),
+        }
+    )
+    out = asof_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        key_col="user_id", right_key="o_custkey", left_ts="ts",
+        right_ts="o_orderdate", right_val="o_orderkey", left_id="event_id",
+    ).to_pandas()
+    assert out["o_orderkey"][0] == 9
+
+
+def test_asof_join_row_coverage_random(ray_session):
+    # every left row appears exactly once, matched or not, across buckets
+    rng = np.random.default_rng(7)
+    n = 500
+    left = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "user_id": rng.integers(0, 40, n),
+            "ts": _ts(*rng.integers(0, 10_000, n)),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "o_custkey": rng.integers(0, 30, 200),
+            "o_orderkey": np.arange(200),
+            "o_orderdate": _ts(*rng.integers(0, 10_000, 200)),
+        }
+    )
+    out = asof_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        key_col="user_id", right_key="o_custkey", left_ts="ts",
+        right_ts="o_orderdate", right_val="o_orderkey", left_id="event_id",
+        n_buckets=8,
+    ).to_pandas()
+    assert sorted(out["event_id"].tolist()) == list(range(n))
+    # oracle: pandas merge_asof per sorted frames
+    lo = left.sort_values("ts", kind="mergesort")
+    ro = (
+        right.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        .drop_duplicates(["o_custkey", "o_orderdate"], keep="last")
+        .sort_values("o_orderdate", kind="mergesort")
+    )
+    exp = pd.merge_asof(
+        lo, ro, left_on="ts", right_on="o_orderdate",
+        left_by="user_id", right_by="o_custkey", direction="backward",
+    ).set_index("event_id")["o_orderkey"].sort_index()
+    got = out.set_index("event_id")["o_orderkey"].sort_index()
+    assert ((got == exp) | (got.isna() & exp.isna())).all()
+
+
+def test_lag_events_first_event_null(ray_session):
+    ev = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "event_id": [5, 6, 7],
+            "ts": _ts(10, 25, 99),
+        }
+    )
+    out = lag_events(rd.from_pandas(ev), n_buckets=4).to_pandas().set_index(
+        "event_id"
+    )
+    assert pd.isna(out.loc[5, "prev_event_id"]) and pd.isna(out.loc[7, "prev_event_id"])
+    assert out.loc[6, "prev_event_id"] == 5
+    assert out.loc[6, "gap_s"] == pytest.approx(15.0)

@@ -67,6 +67,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_store_topk": qo.q_vector_store_topk,
         "prefix_partition": qa.q_prefix_partition,
         "commit_patterns": qa.q_commit_patterns,
+        "sample_docs": qo.q_sample_docs,
+        "stratified_sample_docs": qo.q_stratified_sample_docs,
+        "repetition_docs": qo.q_repetition_docs,
         "sessionize_events": qa.q_sessionize_events,
         "asof_join_orders": qa.q_asof_join_orders,
         "lag_events": qa.q_lag_events,
@@ -136,6 +139,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups_lsh": qo.EMBEDDING_NEAR_DUPS_LSH_SQL,
         "prefix_partition": qa.PREFIX_PARTITION_SQL,
         "commit_patterns": qa.COMMIT_PATTERNS_SQL,
+        "sample_docs": qo.SAMPLE_DOCS_SQL,
+        "stratified_sample_docs": qo.STRATIFIED_SAMPLE_SQL,
+        "repetition_docs": qo.REPETITION_DOCS_SQL,
         "sessionize_events": qa.SESSIONIZE_EVENTS_SQL,
         "asof_join_orders": qa.ASOF_JOIN_ORDERS_SQL,
         "lag_events": qa.LAG_EVENTS_SQL,

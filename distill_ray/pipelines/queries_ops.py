@@ -1599,3 +1599,134 @@ SELECT d.vec_id, round(d.dot / (d.n * qn.n), 6) AS sim
 FROM dots d, qn
 ORDER BY d.dot / (d.n * qn.n) DESC, d.vec_id LIMIT 10
 """
+
+
+# --- deterministic sampling + repetition quality (training-data ops) --------
+
+_SPLITMIX_H_CTE = r"""
+a1 AS (SELECT doc_id, xor(doc_id::UBIGINT, doc_id::UBIGINT >> 30) AS x
+       FROM documents),
+a2 AS (SELECT doc_id, ((x::UHUGEINT * 13787848793156543929::UHUGEINT)
+                       % 18446744073709551616::UHUGEINT)::UBIGINT AS x FROM a1),
+a3 AS (SELECT doc_id, xor(x, x >> 27) AS x FROM a2),
+a4 AS (SELECT doc_id, ((x::UHUGEINT * 10723151780598845931::UHUGEINT)
+                       % 18446744073709551616::UHUGEINT)::UBIGINT AS x FROM a3),
+h AS (SELECT doc_id, xor(x, x >> 31) AS hv FROM a4)
+"""
+
+
+def q_sample_docs(sf_dir: str) -> rd.Dataset:
+    """Deterministic 10% hash sample: keep docs where
+    splitmix64(doc_id) % 100 < 10. Seeded-hash sampling (not
+    random_sample) so reruns, resumes and the SQL oracle agree exactly;
+    pure map-side filter, no shuffle."""
+    from distill_ray.kernels.hashing import mix64
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def samp(df: pd.DataFrame) -> pd.DataFrame:
+        h = mix64(df["doc_id"].to_numpy().astype(np.uint64))
+        return df[h % np.uint64(100) < 10]
+
+    return ds.map_batches(samp, batch_format="pandas")
+
+
+SAMPLE_DOCS_SQL = (
+    "WITH " + _SPLITMIX_H_CTE
+    + """
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN h USING (doc_id)
+WHERE h.hv % 100 < 10
+"""
+)
+
+
+def q_stratified_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """Stratified deterministic sample: per lang, the 20 docs with the
+    smallest (splitmix64(doc_id), doc_id). Scale shape: each batch emits at
+    most 20 rows per lang it contains (map-side partial top-k), then ONE
+    tiny groupby(lang) finishes — the shuffle moves O(20 x n_langs x
+    n_batches) rows, never the corpus."""
+    from distill_ray.kernels.hashing import mix64
+
+    K = 20
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        # keep uint64: the SQL oracle orders the UNSIGNED hash value
+        df["hv"] = mix64(df["doc_id"].to_numpy().astype(np.uint64))
+        df = df.sort_values(["lang", "hv", "doc_id"], kind="mergesort")
+        return df.groupby("lang", sort=False).head(K)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "hv", "doc_id"], kind="mergesort")
+        g = g.groupby("lang", sort=False).head(K)
+        return g[["doc_id", "lang"]]
+
+    from distill_ray.pipelines.dedup import _named
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(_named(final_topk, "stratified_topk"), batch_format="pandas")
+        .to_pandas()
+    )
+
+
+STRATIFIED_SAMPLE_SQL = (
+    "WITH " + _SPLITMIX_H_CTE
+    + """
+SELECT doc_id, lang FROM (
+  SELECT d.doc_id, d.lang,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY h.hv, d.doc_id) AS rn
+  FROM documents d JOIN h USING (doc_id))
+WHERE rn <= 20
+"""
+)
+
+
+def q_repetition_docs(sf_dir: str) -> rd.Dataset:
+    """Word-repetition quality signal (Gopher-style): per doc, whitespace
+    word count, distinct-word count and duplicate-word ratio. Vectorized
+    pandas split + explode + per-row nunique; map-only."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def rep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        words = df["text"].str.split()
+        n = words.str.len().fillna(0).astype("int64")
+        e = words.explode().dropna()
+        nd = np.zeros(len(df), dtype=np.int64)
+        if len(e):
+            g = e.groupby(level=0).nunique()
+            nd[g.index.to_numpy()] = g.to_numpy()
+        ratio = np.where(n > 0, 1.0 - nd / np.maximum(n, 1), 0.0).round(6)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "n_words": n,
+             "n_distinct_words": nd, "dup_word_ratio": ratio}
+        )
+
+    return ds.map_batches(rep, batch_format="pandas")
+
+
+REPETITION_DOCS_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws
+  FROM documents
+)
+SELECT doc_id, len(ws)::BIGINT AS n_words,
+       len(list_distinct(ws))::BIGINT AS n_distinct_words,
+       round(CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE 1.0 - len(list_distinct(ws))::DOUBLE / len(ws) END,
+             6) AS dup_word_ratio
+FROM w
+"""

@@ -1,0 +1,94 @@
+"""Deterministic sampling + repetition-quality operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from distill_ray.kernels.hashing import mix64
+
+
+def test_sample_docs_deterministic_and_correct(ray_session, tmp_path):
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(1000, dtype=np.int64),
+            "lang": ["en", "de", "fr", "es", "pt"] * 200,
+            "n_chars": np.arange(1000, dtype=np.int64) * 3,
+        }
+    )
+    docs["text"] = "x"
+    p = str(tmp_path / "docs")
+    rd.from_pandas(docs).write_parquet(p)
+    # point the query at a dir shaped like an sf dir
+    import os
+
+    os.symlink(p, str(tmp_path / "documents.parquet"))
+    from distill_ray.pipelines.queries_ops import q_sample_docs
+
+    out1 = q_sample_docs(str(tmp_path)).to_pandas().sort_values("doc_id")
+    out2 = q_sample_docs(str(tmp_path)).to_pandas().sort_values("doc_id")
+    assert out1["doc_id"].tolist() == out2["doc_id"].tolist()
+    h = mix64(docs["doc_id"].to_numpy().astype(np.uint64))
+    expect = docs.loc[h % np.uint64(100) < 10, "doc_id"].tolist()
+    assert out1["doc_id"].tolist() == sorted(expect)
+    assert 0 < len(out1) < len(docs)
+
+
+def test_stratified_sample_per_lang_k(ray_session, tmp_path):
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(500, dtype=np.int64),
+            "lang": ["en"] * 400 + ["de"] * 95 + ["xx"] * 5,
+        }
+    )
+    docs["text"] = "x"
+    docs["n_chars"] = 1
+    import os
+
+    p = str(tmp_path / "docs")
+    rd.from_pandas(docs).write_parquet(p)
+    os.symlink(p, str(tmp_path / "documents.parquet"))
+    from distill_ray.pipelines.queries_ops import q_stratified_sample_docs
+
+    out = q_stratified_sample_docs(str(tmp_path))
+    counts = out.groupby("lang")["doc_id"].count()
+    assert counts["en"] == 20 and counts["de"] == 20 and counts["xx"] == 5
+    # per lang: exactly the 20 smallest (hash, doc_id)
+    h = mix64(docs["doc_id"].to_numpy().astype(np.uint64))
+    docs2 = docs.assign(hv=h)
+    for lang, grp in docs2.groupby("lang"):
+        want = grp.sort_values(["hv", "doc_id"]).head(20)["doc_id"].tolist()
+        got = out[out["lang"] == lang]["doc_id"].tolist()
+        assert sorted(got) == sorted(want)
+
+
+def test_repetition_docs_values(ray_session, tmp_path):
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([0, 1, 2, 3], dtype=np.int64),
+            "text": [
+                "a a a a",               # 4 words, 1 distinct -> 0.75
+                "one two three",         # no repetition -> 0.0
+                "",                      # empty -> 0, 0, 0.0
+                "  x   y x  ",           # ragged whitespace: 3 words, 2 distinct
+            ],
+        }
+    )
+    import os
+
+    p = str(tmp_path / "docs")
+    rd.from_pandas(docs).write_parquet(p)
+    os.symlink(p, str(tmp_path / "documents.parquet"))
+    from distill_ray.pipelines.queries_ops import q_repetition_docs
+
+    out = (
+        q_repetition_docs(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_words"].tolist() == [4, 3, 0, 3]
+    assert out["n_distinct_words"].tolist() == [1, 3, 0, 2]
+    assert out["dup_word_ratio"].tolist() == [0.75, 0.0, 0.0, round(1 - 2 / 3, 6)]

@@ -39,6 +39,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from distill_ray.pipelines import queries as q
     from distill_ray.pipelines import queries_aux as qa
+    from distill_ray.pipelines import queries_corpus as qc
     from distill_ray.pipelines import queries_ops as qo
 
     return {
@@ -70,6 +71,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": qo.q_sample_docs,
         "stratified_sample_docs": qo.q_stratified_sample_docs,
         "repetition_docs": qo.q_repetition_docs,
+        "decontaminate_docs": qc.q_decontaminate_docs,
+        "top_ngrams": qc.q_top_ngrams,
+        "length_quantiles": qc.q_length_quantiles,
         "sessionize_events": qa.q_sessionize_events,
         "asof_join_orders": qa.q_asof_join_orders,
         "lag_events": qa.q_lag_events,
@@ -109,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from distill_ray.pipelines import queries as q
     from distill_ray.pipelines import queries_aux as qa
+    from distill_ray.pipelines import queries_corpus as qc
     from distill_ray.pipelines import queries_ops as qo
 
     return {
@@ -142,6 +147,9 @@ def oracle_sql() -> dict[str, str]:
         "sample_docs": qo.SAMPLE_DOCS_SQL,
         "stratified_sample_docs": qo.STRATIFIED_SAMPLE_SQL,
         "repetition_docs": qo.REPETITION_DOCS_SQL,
+        "decontaminate_docs": qc.DECONTAMINATE_SQL,
+        "top_ngrams": qc.TOP_NGRAMS_SQL,
+        "length_quantiles": qc.LENGTH_QUANTILES_SQL,
         "sessionize_events": qa.SESSIONIZE_EVENTS_SQL,
         "asof_join_orders": qa.ASOF_JOIN_ORDERS_SQL,
         "lag_events": qa.LAG_EVENTS_SQL,

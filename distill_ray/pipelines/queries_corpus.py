@@ -1,0 +1,241 @@
+"""Corpus-level training-data operators: decontamination, boilerplate
+n-gram mining, exact length quantiles.
+
+All inputs derive deterministically from the testdata tables; every
+derivation is mirrored exactly in the SQL oracle. Word n-grams are
+whitespace tokens joined by a single space on both sides so gram identity
+is string-equal between the pandas kernels and DuckDB list slicing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+
+
+def _word_ngrams(df: pd.DataFrame, n: int) -> pd.DataFrame:
+    """Vectorized word n-grams: explode whitespace tokens, then join each
+    token with its n-1 successors via shifted string concat; rows where
+    the shift crosses a document boundary are masked out. Returns
+    (doc_id, gram) with one row per gram occurrence."""
+    df = df.reset_index(drop=True)
+    words = df["text"].str.split()
+    e = words.explode().dropna()
+    if e.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "gram": pd.Series([], dtype="object")})
+    pos = e.index.to_numpy()  # row position within the batch
+    s = e.astype(str).reset_index(drop=True)
+    gram = s.copy()
+    ok = np.ones(len(s), dtype=bool)
+    for k in range(1, n):
+        nxt = s.shift(-k)
+        # pad is min(k, len) so batches with < k tokens stay shape-safe
+        ok &= np.r_[pos[k:] == pos[:-k],
+                    np.zeros(min(k, len(s)), dtype=bool)]
+        gram = gram + " " + nxt
+    doc_ids = df["doc_id"].to_numpy()[pos[ok]]
+    return pd.DataFrame({"doc_id": doc_ids, "gram": gram[ok].to_numpy()})
+
+
+# A DuckDB CTE producing the same (doc_id, gram) pairs: positions
+# 1..len(ws)-n+1, gram = ws[i:i+n-1] joined by ' '.
+def _gram_cte(n: int) -> str:
+    return f"""
+w AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0) AS ws
+      FROM documents),
+g AS (SELECT doc_id, array_to_string(ws[i:i+{n - 1}], ' ') AS gram
+      FROM w, unnest(range(1, len(ws) - {n - 2})) AS u(i))
+"""
+
+
+# --- decontamination: benchmark n-gram overlap -------------------------------
+
+_DECON_N = 5
+_DECON_MOD = 97  # doc_id % 97 == 0 docs form the deterministic "eval set"
+
+
+def q_decontaminate_docs(sf_dir: str) -> rd.Dataset:
+    """Decontamination scan: flag training docs sharing any word 5-gram
+    with a held-out benchmark set (docs with doc_id % 97 == 0).
+
+    Scale shape: the benchmark gram set is built from the (tiny) filtered
+    benchmark partition, deduplicated, ray.put ONCE, and read zero-copy in
+    every map task — the corpus itself streams map-only, no shuffle. At
+    real scale the grams would be 64-bit hashes; strings keep the SQL
+    oracle exact here.
+    """
+    path = f"{sf_dir}/documents.parquet"
+
+    import pyarrow as pa
+
+    def bench_grams(df: pd.DataFrame):
+        sel = df[df["doc_id"] % _DECON_MOD == 0]
+        out = _word_ngrams(sel, _DECON_N)[["gram"]].drop_duplicates()
+        # Arrow block out: typed empties stay schema-stable and carry exact
+        # size metadata (pandas object columns hit Ray's size estimator)
+        return pa.Table.from_arrays(
+            [pa.array(out["gram"].to_numpy(), type=pa.string())],
+            names=["gram"],
+        )
+
+    bench = (
+        rd.read_parquet(path, columns=["doc_id", "text"])
+        .map_batches(bench_grams, batch_format="pandas")
+        .to_pandas()
+    )
+    bench_ref = ray.put(pd.Index(bench["gram"].unique()))
+    _cache: dict = {}
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["doc_id"] % _DECON_MOD != 0)].reset_index(drop=True)
+        # resolve the broadcast once per task, not once per batch
+        if "b" not in _cache:
+            _cache["b"] = ray.get(bench_ref)
+        bench_idx = _cache["b"]
+        grams = _word_ngrams(df, _DECON_N)
+        hit = grams[grams["gram"].isin(bench_idx)].drop_duplicates()
+        cnt = hit.groupby("doc_id")["gram"].count()
+        n_overlap = (
+            df["doc_id"].map(cnt).fillna(0).astype("int64")
+        )
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "n_overlap": n_overlap,
+             "contaminated": n_overlap > 0}
+        )
+
+    return rd.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        scan, batch_format="pandas"
+    )
+
+
+DECONTAMINATE_SQL = (
+    "WITH " + _gram_cte(_DECON_N)
+    + f""",
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_DECON_MOD} = 0),
+o AS (SELECT g.doc_id, count(DISTINCT g.gram)::BIGINT AS n
+      FROM g JOIN b USING (gram)
+      WHERE g.doc_id % {_DECON_MOD} <> 0
+      GROUP BY g.doc_id)
+SELECT d.doc_id, coalesce(o.n, 0)::BIGINT AS n_overlap,
+       coalesce(o.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN o USING (doc_id)
+WHERE d.doc_id % {_DECON_MOD} <> 0
+"""
+)
+
+
+# --- corpus top-k n-grams (boilerplate mining) -------------------------------
+
+_TOP_N = 3
+_TOP_K = 30
+_NGRAM_BUCKETS = 64
+
+
+def q_top_ngrams(sf_dir: str) -> pd.DataFrame:
+    """Top-30 word 3-grams across the corpus (boilerplate detector).
+
+    Scale shape: per-batch partial counts (map-side combine), then ONE
+    groupby over gram-hash buckets — co-locating every partial count of a
+    gram — where each bucket sums and emits only its local top-30; the
+    driver merges n_buckets x 30 candidate rows. The exchange carries
+    distinct-gram partials, never gram occurrences.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        grams = _word_ngrams(df, _TOP_N)
+        cnt = grams.groupby("gram", sort=False)["doc_id"].count()
+        out = cnt.rename("cnt").reset_index()
+        out["bucket"] = (
+            pd.util.hash_pandas_object(out["gram"], index=False).to_numpy()
+            % np.uint64(_NGRAM_BUCKETS)
+        ).astype(np.int32)
+        return out
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("gram", sort=False)["cnt"].sum().reset_index()
+        tot = tot.sort_values(["cnt", "gram"], ascending=[False, True],
+                              kind="mergesort")
+        return tot.head(_TOP_K)[["gram", "cnt"]]
+
+    from distill_ray.pipelines.dedup import _named
+
+    cand = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_named(bucket_topk, "ngram_topk"), batch_format="pandas")
+        .to_pandas()
+    )
+    cand = cand.sort_values(["cnt", "gram"], ascending=[False, True],
+                            kind="mergesort").head(_TOP_K)
+    cand["cnt"] = cand["cnt"].astype("int64")
+    return cand.reset_index(drop=True)
+
+
+TOP_NGRAMS_SQL = (
+    "WITH " + _gram_cte(_TOP_N)
+    + f"""
+SELECT gram, count(*)::BIGINT AS cnt
+FROM g GROUP BY gram
+ORDER BY cnt DESC, gram LIMIT {_TOP_K}
+"""
+)
+
+
+# --- exact per-lang length quantiles -----------------------------------------
+
+_QS = (0.5, 0.9, 0.99)
+
+
+def q_length_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact percentile_disc(0.5/0.9/0.99) of n_chars per lang via the
+    value-histogram path: ONE groupby over (lang, n_chars) value counts —
+    the exchange is bounded by distinct (lang, value) pairs, never rows —
+    then a driver-side cumsum pick at rank ceil(q*n) (percentile_disc
+    semantics). Exact at any scale where distinct lengths stay bounded,
+    which integer char counts do.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df.groupby(["lang", "n_chars"], sort=False).size()
+        return cnt.rename("cnt").reset_index()
+
+    hist = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "n_chars"])
+        .sum("cnt")
+        .to_pandas()
+        .rename(columns={"sum(cnt)": "cnt"})
+    )
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("n_chars")
+        cum = g["cnt"].cumsum().to_numpy()
+        n = int(cum[-1])
+        vals = g["n_chars"].to_numpy()
+        row = {"lang": lang}
+        for q in _QS:
+            rank = int(np.ceil(q * n))
+            row[f"p{int(q * 100)}"] = int(vals[np.searchsorted(cum, rank)])
+        rows.append(row)
+    out = pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+    for q in _QS:
+        out[f"p{int(q * 100)}"] = out[f"p{int(q * 100)}"].astype("int64")
+    return out
+
+
+LENGTH_QUANTILES_SQL = """
+SELECT lang,
+       percentile_disc(0.5)  WITHIN GROUP (ORDER BY n_chars)::BIGINT AS p50,
+       percentile_disc(0.9)  WITHIN GROUP (ORDER BY n_chars)::BIGINT AS p90,
+       percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars)::BIGINT AS p99
+FROM documents GROUP BY lang ORDER BY lang
+"""

@@ -1,0 +1,108 @@
+"""Corpus-level operators: decontamination, top-k n-grams, quantiles."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+
+def _write_docs(tmp_path, docs: pd.DataFrame) -> str:
+    p = str(tmp_path / "docs")
+    rd.from_pandas(docs).write_parquet(p)
+    os.symlink(p, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_decontaminate_flags_overlap(ray_session, tmp_path):
+    # doc 0 and 97 are "benchmark" docs (doc_id % 97 == 0); doc 1 repeats
+    # a 5-gram of doc 0 verbatim, doc 2 shares nothing, doc 3 is too short
+    # to contain any 5-gram.
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([0, 97, 1, 2, 3], dtype=np.int64),
+            "text": [
+                "alpha beta gamma delta epsilon zeta",
+                "one two three four five six",
+                "prefix alpha beta gamma delta epsilon suffix",
+                "totally different words here entirely now",
+                "too short",
+            ],
+        }
+    )
+    docs["lang"] = "en"
+    docs["n_chars"] = docs["text"].str.len()
+    sf = _write_docs(tmp_path, docs)
+    from distill_ray.pipelines.queries_corpus import q_decontaminate_docs
+
+    out = (
+        q_decontaminate_docs(sf).to_pandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # benchmark docs excluded from the output
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    # doc 1's windows: "prefix alpha beta gamma delta",
+    # "alpha beta gamma delta epsilon", "beta gamma delta epsilon suffix" —
+    # exactly one matches a benchmark 5-gram
+    assert out.loc[0, "n_overlap"] == 1
+    assert bool(out.loc[0, "contaminated"])
+    assert out.loc[1, "n_overlap"] == 0 and not bool(out.loc[1, "contaminated"])
+    assert out.loc[2, "n_overlap"] == 0
+
+
+def test_top_ngrams_counts_and_ties(ray_session, tmp_path):
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "a b c a b c",      # "a b c" x2, "b c a", "c a b"
+                "a b c d",          # "a b c", "b c d"
+                "x y z",            # "x y z"
+                "",                 # nothing
+            ],
+        }
+    )
+    docs["lang"] = "en"
+    docs["n_chars"] = docs["text"].str.len()
+    sf = _write_docs(tmp_path, docs)
+    from distill_ray.pipelines.queries_corpus import q_top_ngrams
+
+    out = q_top_ngrams(sf)
+    assert out.iloc[0]["gram"] == "a b c" and out.iloc[0]["cnt"] == 3
+    # ties sort ascending by gram
+    ones = out[out["cnt"] == 1]["gram"].tolist()
+    assert ones == sorted(ones)
+    assert "x y z" in ones and "b c d" in ones
+
+
+def test_length_quantiles_matches_duckdb(ray_session, tmp_path):
+    rng = np.random.default_rng(7)
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(3000, dtype=np.int64),
+            "lang": rng.choice(["en", "de", "fr"], size=3000),
+            "n_chars": rng.integers(1, 400, size=3000).astype(np.int64),
+        }
+    )
+    docs["text"] = "x"
+    sf = _write_docs(tmp_path, docs)
+    from distill_ray.pipelines.queries_corpus import (
+        LENGTH_QUANTILES_SQL,
+        q_length_quantiles,
+    )
+
+    out = q_length_quantiles(sf)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    odf = con.execute(LENGTH_QUANTILES_SQL).fetchdf()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), odf.reset_index(drop=True)
+    )

@@ -239,3 +239,94 @@ SELECT lang,
        percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars)::BIGINT AS p99
 FROM documents GROUP BY lang ORDER BY lang
 """
+
+
+# --- TF-IDF top keywords per doc ----------------------------------------------
+
+_TFIDF_K = 3
+
+
+def q_tfidf_keywords(sf_dir: str) -> pd.DataFrame:
+    """Top-3 TF-IDF keywords per doc (corpus-scale version of the
+    reference keyword extractor, pkg/compress/extractive.go keyword path).
+    score = tf * ln(N / df), ties broken by token ascending.
+
+    Scale shape: one pass builds (doc_id, token, tf) — each doc's text is
+    a single row, so tf and the per-doc top-k are batch-local. The DF
+    table is ONE groupby over distinct (doc, token) partials, bounded by
+    vocabulary size (Heaps' law), then broadcast via ray.put and joined
+    map-side. At vocabularies too large to broadcast this becomes a
+    token-hash bucket join; the broadcast is the bounded-vocab fast path.
+    """
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+
+    def term_freq(df: pd.DataFrame) -> pd.DataFrame:
+        words = df.reset_index(drop=True)["text"].str.split()
+        e = words.explode().dropna()
+        if e.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "token": pd.Series([], dtype="object"),
+                "tf": pd.Series([], dtype="int64")})
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy()[e.index.to_numpy()],
+             "token": e.to_numpy()})
+        tf = out.groupby(["doc_id", "token"], sort=False).size()
+        return tf.rename("tf").reset_index()
+
+    tok = ds.map_batches(term_freq, batch_format="pandas").materialize()
+
+    n_docs = rd.read_parquet(path, columns=["doc_id"]).count()
+    df_tbl = (
+        tok.map_batches(
+            lambda d: d.groupby("token", sort=False).size()
+            .rename("pdf").reset_index(),
+            batch_format="pandas")
+        .groupby("token").sum("pdf").to_pandas()
+        .rename(columns={"sum(pdf)": "df"})
+    )
+    df_ref = ray.put(df_tbl.set_index("token")["df"])
+    _cache: dict = {}
+
+    def score_topk(d: pd.DataFrame) -> pd.DataFrame:
+        if "df" not in _cache:
+            _cache["df"] = ray.get(df_ref)
+        dfv = d["token"].map(_cache["df"]).to_numpy(dtype=np.float64)
+        d = d.assign(score=d["tf"].to_numpy() * np.log(float(n_docs) / dfv))
+        d = d.sort_values(["doc_id", "score", "token"],
+                          ascending=[True, False, True], kind="mergesort")
+        d = d.groupby("doc_id", sort=False).head(_TFIDF_K).copy()
+        d["kw_rank"] = d.groupby("doc_id", sort=False).cumcount() + 1
+        d["score"] = d["score"].round(6)
+        return d[["doc_id", "token", "score", "kw_rank"]].astype(
+            {"kw_rank": "int64"})
+
+    # batch_size=None: one batch per block. term_freq emits each input
+    # batch as one block (far below target_max_block_size, so never
+    # split), so every doc's tf rows stay within a single score_topk batch
+    # and the per-doc top-k is batch-local.
+    out = tok.map_batches(
+        score_topk, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    return out.sort_values(["doc_id", "kw_rank"]).reset_index(drop=True)
+
+
+TFIDF_KEYWORDS_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws
+  FROM documents),
+t AS (SELECT doc_id, unnest(ws) AS token FROM w),
+tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+dft AS (SELECT token, count(DISTINCT doc_id)::DOUBLE AS df FROM t GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.token, tf.tf * ln(n.n / dft.df) AS score
+      FROM tf JOIN dft USING (token), n),
+r AS (SELECT doc_id, token, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, token) AS rn
+      FROM s)
+SELECT doc_id, token, round(score, 6) AS score, rn::BIGINT AS kw_rank
+FROM r WHERE rn <= 3
+"""

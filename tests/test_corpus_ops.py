@@ -106,3 +106,31 @@ def test_length_quantiles_matches_duckdb(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), odf.reset_index(drop=True)
     )
+
+
+def test_tfidf_keywords_values(ray_session, tmp_path):
+    # hand-computable corpus: N=3 docs
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([0, 1, 2], dtype=np.int64),
+            "text": [
+                "apple apple banana",   # tf(apple)=2 df=1; banana df=2
+                "banana cherry",        # cherry df=1
+                "date",                 # date df=1
+            ],
+        }
+    )
+    docs["lang"] = "en"
+    docs["n_chars"] = docs["text"].str.len()
+    sf = _write_docs(tmp_path, docs)
+    from distill_ray.pipelines.queries_corpus import q_tfidf_keywords
+
+    out = q_tfidf_keywords(sf)
+    d0 = out[out["doc_id"] == 0].set_index("token")["score"]
+    assert d0["apple"] == round(2 * np.log(3 / 1), 6)
+    assert d0["banana"] == round(1 * np.log(3 / 2), 6)
+    # apple ranks above banana
+    r0 = out[out["doc_id"] == 0].sort_values("kw_rank")["token"].tolist()
+    assert r0 == ["apple", "banana"]
+    # doc 2 has a single keyword at rank 1
+    assert out[out["doc_id"] == 2]["kw_rank"].tolist() == [1]

@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events": q.q_top_events,
         "events_type_stats": q.q_events_type_stats,
         "revenue_by_nation": q.q_revenue_by_nation,
+        "customer_revenue_topk": q.q_customer_revenue_topk,
         "embedding_centroids": q.q_embedding_centroids,
         "knn_query": q.q_knn_query,
         "memory_recall_rank": q.q_memory_recall_rank,
@@ -136,6 +137,7 @@ def oracle_sql() -> dict[str, str]:
         "top_events": q.TOP_EVENTS_SQL,
         "events_type_stats": q.EVENTS_TYPE_STATS_SQL,
         "revenue_by_nation": q.REVENUE_BY_NATION_SQL,
+        "customer_revenue_topk": q.CUSTOMER_REVENUE_TOPK_SQL,
         "embedding_centroids": q.EMBEDDING_CENTROIDS_SQL,
         "knn_query": q.KNN_QUERY_SQL,
         "memory_recall_rank": q.MEMORY_RECALL_SQL,

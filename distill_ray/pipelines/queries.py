@@ -478,6 +478,71 @@ GROUP BY n_name
 """
 
 
+def q_customer_revenue_topk(sf_dir: str) -> pd.DataFrame:
+    """Large-large equi-join: lineitem revenue through orders to the
+    customer, top-20 customers. Both sides are fact-scale (no broadcast
+    side), so this runs the fused one-shuffle bucketed join
+    (stages/joins.join_sum_by): map-side revenue partials per
+    (batch, orderkey), union with (orderkey, custkey) order rows, ONE
+    groupby(bucket) exchange, per-bucket join + custkey partials, then a
+    tiny final groupby and a broadcast attach of c_name."""
+    from ray.data.aggregate import Sum
+
+    from distill_ray.stages.joins import join_sum_by
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue_col(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [b["l_orderkey"].combine_chunks(),
+             pa.array(price * (1.0 - disc))],
+            names=["l_orderkey", "rev"],
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    partials = join_sum_by(
+        li.map_batches(revenue_col, batch_format="pyarrow"),
+        orders,
+        fact_key="l_orderkey", fact_val="rev",
+        dim_key="o_orderkey", dim_group="o_custkey",
+    )
+    per_cust = (
+        partials.groupby("dim_group")
+        .aggregate(Sum("sum_val", alias_name="revenue"),
+                   Sum("n_keys", alias_name="n_orders"))
+        .to_pandas()
+    )
+    per_cust["revenue"] = per_cust["revenue"].round(2)
+    per_cust = per_cust.sort_values(
+        ["revenue", "dim_group"], ascending=[False, True], kind="stable"
+    ).head(20)
+    names = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).to_pandas()
+    out = per_cust.merge(names, left_on="dim_group", right_on="c_custkey")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out[["c_custkey", "c_name", "revenue", "n_orders"]]
+
+
+CUSTOMER_REVENUE_TOPK_SQL = """
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # embeddings: vector ops
 

@@ -1,0 +1,138 @@
+"""Large-large equi-join, expressed the scale-safe way: ONE bucketed
+shuffle that co-locates both sides by the join key, with map-side partial
+aggregation on the fact side BEFORE the exchange and per-bucket partial
+aggregation AFTER the join, so the bytes that move are bounded by the
+distinct-key count, never the fact-table row count.
+
+Shape (same coarse-bucket discipline as stages/temporal.py and the dedup
+pipeline): each side is reduced per batch to fixed-width numeric columns
+plus `jbucket = mix64(key) % B`, the two sides are unioned under ONE
+shared schema (side flag), a single groupby(jbucket) shuffle co-locates
+every key, and a vectorized kernel inside the bucket finishes the
+fact-side aggregation (the same key can arrive as several partials from
+different batches), joins 1:1 against the dimension-of-the-bucket rows,
+and re-aggregates by the output key. The final groupby over per-bucket
+partials is tiny (<= |output keys| rows per bucket).
+
+Why not Ray Data's native `Dataset.join` here: the native operator
+shuffles the full fact table (one row per input row) to the join
+partitions and aggregates afterwards. Pre-aggregating per (batch, key)
+first cuts the exchange by the duplication factor of the join key (~4x
+for lineitem->orders, orders-of-magnitude for skewed keys), and the
+union trick makes the join + both aggregations ride a single shuffle.
+`tests/test_joins.py` proves this fused path equal to the native
+`Dataset.join` + groupby on the same input.
+
+At 10^12 rows: the exchange carries 28 B/row of partials keyed by a
+uniform hash bucket, hot join keys are bounded by map-side combining
+(a key appearing in every batch still ships one partial per batch, not
+one row per occurrence), and no stage materializes the fact table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from distill_ray.kernels.hashing import mix64
+
+
+def _bucket_of(keys: np.ndarray, n_buckets: int) -> np.ndarray:
+    return (mix64(keys.astype(np.int64).view(np.uint64))
+            % np.uint64(n_buckets)).astype(np.int32)
+
+
+def join_sum_by(
+    fact: rd.Dataset,
+    dim: rd.Dataset,
+    *,
+    fact_key: str,
+    fact_val: str,
+    dim_key: str,
+    dim_group: str,
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """sum(fact.fact_val) joined through dim (fact_key = dim_key, unique in
+    dim) and re-grouped by dim.dim_group — e.g. lineitem revenue through
+    orders to the customer key. Emits per-bucket partials
+    (dim_group:int64, sum_val:float64, n_keys:int64); callers finish with
+    one tiny groupby(dim_group).sum(). `n_keys` counts the DISTINCT join
+    keys that matched (count(distinct fact_key) in SQL terms — exact,
+    because a join key lives in exactly one bucket).
+
+    All keys must be int64-coercible; fact_val is summed as float64.
+    """
+    shared = pa.schema(
+        [("k", pa.int64()), ("v", pa.float64()), ("g", pa.int64()),
+         ("side", pa.int8()), ("jbucket", pa.int32())]
+    )
+    out_schema = pa.schema(
+        [("dim_group", pa.int64()), ("sum_val", pa.float64()),
+         ("n_keys", pa.int64())]
+    )
+
+    def fact_partial(b: pa.Table) -> pa.Table:
+        # map-side combine: one partial per (batch, key), not per row
+        k = b[fact_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[fact_val].to_numpy(zero_copy_only=False).astype(np.float64)
+        uk, inv = np.unique(k, return_inverse=True)
+        sums = np.bincount(inv, weights=v, minlength=len(uk))
+        return pa.Table.from_arrays(
+            [pa.array(uk), pa.array(sums),
+             pa.array(np.zeros(len(uk), dtype=np.int64)),
+             pa.array(np.zeros(len(uk), dtype=np.int8)),
+             pa.array(_bucket_of(uk, n_buckets))],
+            schema=shared,
+        )
+
+    def dim_rows(b: pa.Table) -> pa.Table:
+        k = b[dim_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = b[dim_group].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(k), pa.array(np.zeros(len(k), dtype=np.float64)),
+             pa.array(g), pa.array(np.ones(len(k), dtype=np.int8)),
+             pa.array(_bucket_of(k, n_buckets))],
+            schema=shared,
+        )
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        k = g["k"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        grp = g["g"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        is_dim = side == 1
+        fk, fv = k[~is_dim], v[~is_dim]
+        dk, dg = k[is_dim], grp[is_dim]
+        if len(fk) == 0 or len(dk) == 0:
+            return out_schema.empty_table()
+        # finish the fact-side aggregation (several partials per key)
+        uk, inv = np.unique(fk, return_inverse=True)
+        fsum = np.bincount(inv, weights=fv, minlength=len(uk))
+        # 1:1 join against the (unique-key) dimension rows of this bucket
+        do = np.argsort(dk, kind="stable")
+        dk, dg = dk[do], dg[do]
+        pos = np.searchsorted(dk, uk)
+        pos_safe = np.minimum(pos, len(dk) - 1)
+        hit = dk[pos_safe] == uk
+        jg = dg[pos_safe[hit]]
+        jv = fsum[hit]
+        # partial re-aggregate by the output group
+        ug, ginv = np.unique(jg, return_inverse=True)
+        gsum = np.bincount(ginv, weights=jv, minlength=len(ug))
+        gcnt = np.bincount(ginv, minlength=len(ug)).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(ug), pa.array(gsum), pa.array(gcnt)],
+            schema=out_schema,
+        )
+
+    tagged = fact.map_batches(
+        fact_partial, batch_format="pyarrow", batch_size=65536
+    ).union(dim.map_batches(dim_rows, batch_format="pyarrow"))
+    return tagged.groupby("jbucket").map_groups(
+        join_bucket, batch_format="pyarrow"
+    )

@@ -2,7 +2,7 @@
 entry at sf0.01 and compare rows/schema/values against oracle_sql() via
 DuckDB (columns sorted by name, values hashed after stable sort).
 
-Usage: python scripts/check_correctness.py [sf_dir]
+Usage: python scripts/check_correctness.py [sf_dir] [query_name ...]
 """
 from __future__ import annotations
 
@@ -34,6 +34,7 @@ def value_hash(df) -> str:
 
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
 
     import duckdb
     import ray
@@ -52,6 +53,8 @@ def main() -> None:
 
     results, n_pass, n_fail = {}, 0, 0
     for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
         try:
             out = fn(sf)
             df = out.to_pandas() if hasattr(out, "to_pandas") else out

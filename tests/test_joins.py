@@ -1,0 +1,116 @@
+"""Fused bucketed join (stages/joins.join_sum_by) vs the two references:
+Ray Data's native Dataset.join + groupby, and a plain pandas merge. Also
+covers unmatched keys on both sides and multi-partial fact keys (the same
+key arriving from several batches)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from distill_ray.stages.joins import join_sum_by
+
+
+def _finish(partials) -> pd.DataFrame:
+    from ray.data.aggregate import Sum
+
+    out = (
+        partials.groupby("dim_group")
+        .aggregate(Sum("sum_val", alias_name="sum_val"),
+                   Sum("n_keys", alias_name="n_keys"))
+        .to_pandas()
+        .sort_values("dim_group")
+        .reset_index(drop=True)
+    )
+    out["n_keys"] = out["n_keys"].astype("int64")
+    return out
+
+
+def _pandas_ref(fact: pd.DataFrame, dim: pd.DataFrame) -> pd.DataFrame:
+    j = fact.merge(dim, left_on="k", right_on="dk")
+    g = j.groupby("g").agg(sum_val=("v", "sum"), n_keys=("k", "nunique"))
+    return (
+        g.reset_index()
+        .rename(columns={"g": "dim_group"})
+        .sort_values("dim_group")
+        .reset_index(drop=True)
+        .astype({"n_keys": "int64"})
+    )
+
+
+def _mk_tables(n_fact=5000, n_dim=400, seed=7):
+    rng = np.random.default_rng(seed)
+    # fact keys: skewed (hot key 0), some keys with no dim row (>= n_dim)
+    fact = pd.DataFrame(
+        {
+            "k": np.where(rng.random(n_fact) < 0.2, 0,
+                          rng.integers(0, n_dim + 50, n_fact)),
+            "v": rng.normal(10.0, 3.0, n_fact),
+        }
+    )
+    # dim: unique keys, some never referenced
+    dim = pd.DataFrame(
+        {"dk": np.arange(n_dim, dtype=np.int64),
+         "g": rng.integers(0, 37, n_dim)}
+    )
+    return fact, dim
+
+
+def test_join_sum_by_matches_pandas(ray_session):
+    fact, dim = _mk_tables()
+    got = _finish(
+        join_sum_by(
+            # many small blocks so fact keys arrive as multiple partials
+            rd.from_pandas(fact).repartition(16),
+            rd.from_pandas(dim).repartition(4),
+            fact_key="k", fact_val="v", dim_key="dk", dim_group="g",
+            n_buckets=8,
+        )
+    )
+    ref = _pandas_ref(fact, dim)
+    pd.testing.assert_frame_equal(
+        got.assign(sum_val=got.sum_val.round(6)),
+        ref.assign(sum_val=ref.sum_val.round(6)),
+        check_dtype=False,
+    )
+
+
+def test_join_sum_by_matches_native_dataset_join(ray_session):
+    fact, dim = _mk_tables(n_fact=2000, n_dim=100, seed=13)
+    fused = _finish(
+        join_sum_by(
+            rd.from_pandas(fact).repartition(8),
+            rd.from_pandas(dim),
+            fact_key="k", fact_val="v", dim_key="dk", dim_group="g",
+        )
+    )
+    joined = rd.from_pandas(fact).join(
+        rd.from_pandas(dim), join_type="inner", num_partitions=4,
+        on=("k",), right_on=("dk",),
+    )
+    native = (
+        joined.to_pandas()
+        .groupby("g")
+        .agg(sum_val=("v", "sum"), n_keys=("k", "nunique"))
+        .reset_index()
+        .rename(columns={"g": "dim_group"})
+        .sort_values("dim_group")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        fused.assign(sum_val=fused.sum_val.round(6)),
+        native.assign(sum_val=native.sum_val.round(6)),
+        check_dtype=False,
+    )
+
+
+def test_join_sum_by_empty_sides(ray_session):
+    fact, dim = _mk_tables(n_fact=50, n_dim=10)
+    none_match = dim.assign(dk=dim.dk + 10_000)
+    partials = join_sum_by(
+        rd.from_pandas(fact), rd.from_pandas(none_match),
+        fact_key="k", fact_val="v", dim_key="dk", dim_group="g",
+    )
+    assert partials.count() == 0

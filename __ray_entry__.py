@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": qa.q_sessionize_events,
         "asof_join_orders": qa.q_asof_join_orders,
         "lag_events": qa.q_lag_events,
+        "rolling_events": qa.q_rolling_events,
         # dedup / operator surface (rows-only checks)
         "near_dup_clusters_docs": qo.q_near_dup_clusters_docs,
         "near_dup_pairs_docs": qo.q_near_dup_pairs_docs,
@@ -157,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": qa.SESSIONIZE_EVENTS_SQL,
         "asof_join_orders": qa.ASOF_JOIN_ORDERS_SQL,
         "lag_events": qa.LAG_EVENTS_SQL,
+        "rolling_events": qa.ROLLING_EVENTS_SQL,
         "multimodal_decode": qo.MULTIMODAL_DECODE_SQL,
         "prune_docs": qo.PRUNE_DOCS_SQL,
         "ngram_jaccard_topk": qo.NGRAM_JACCARD_TOPK_SQL,

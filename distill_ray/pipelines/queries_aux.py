@@ -840,3 +840,26 @@ SELECT event_id,
        round((epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1e6, 6) AS gap_s
 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
+
+
+def q_rolling_events(sf_dir: str) -> pd.DataFrame:
+    """Rolling 24-hour RANGE window per user: per event, the count and
+    value-sum of the user's events in [ts - 24h, ts] (peer rows with equal
+    ts included, as in SQL RANGE frames)."""
+    from distill_ray.stages.temporal import rolling_window
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    out = rolling_window(ds, window_s=86400.0).to_pandas()
+    out["sum_w"] = out["sum_w"].round(4)
+    return out
+
+
+ROLLING_EVENTS_SQL = """
+SELECT event_id, count(*) OVER w AS cnt_w, round(sum(value) OVER w, 4) AS sum_w
+FROM events WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts
+  RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+"""

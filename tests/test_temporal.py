@@ -165,3 +165,66 @@ def test_lag_events_first_event_null(ray_session):
     assert pd.isna(out.loc[5, "prev_event_id"]) and pd.isna(out.loc[7, "prev_event_id"])
     assert out.loc[6, "prev_event_id"] == 5
     assert out.loc[6, "gap_s"] == pytest.approx(15.0)
+
+
+def test_rolling_window_ties_and_boundary(ray_session):
+    from distill_ray.stages.temporal import rolling_window
+
+    # user 1: boundary exactly window_s back is IN frame; ties share the
+    # full peer-group frame (including the later peer row).
+    ev = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 2],
+            "event_id": [10, 11, 12, 13, 20],
+            "ts": _ts(0, 100, 100, 250, 100),
+            "value": [1.0, 2.0, 4.0, 8.0, 16.0],
+        }
+    )
+    out = (
+        rolling_window(rd.from_pandas(ev), window_s=100.0, n_buckets=4)
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    # ts=0: alone. ts=100 (x2): both peers + ts-100=0 row. ts=250: alone.
+    assert out.loc[10, "cnt_w"] == 1 and out.loc[10, "sum_w"] == 1.0
+    assert out.loc[11, "cnt_w"] == 3 and out.loc[11, "sum_w"] == 7.0
+    assert out.loc[12, "cnt_w"] == 3 and out.loc[12, "sum_w"] == 7.0
+    assert out.loc[13, "cnt_w"] == 1 and out.loc[13, "sum_w"] == 8.0
+    assert out.loc[20, "cnt_w"] == 1 and out.loc[20, "sum_w"] == 16.0
+
+
+def test_rolling_window_matches_duckdb(ray_session):
+    import duckdb
+
+    from distill_ray.stages.temporal import rolling_window
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    ev = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 40, n),
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(
+                rng.integers(0, 86400 * 3, n) * 1_000_000, unit="us"
+            ),
+            "value": rng.normal(5.0, 2.0, n).round(3),
+        }
+    )
+    got = (
+        rolling_window(rd.from_pandas(ev), window_s=3600.0, n_buckets=8)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    got["sum_w"] = got["sum_w"].round(6)
+    ref = duckdb.query_df(
+        ev, "events",
+        """SELECT event_id, count(*) OVER w AS cnt_w,
+                  round(sum(value) OVER w, 6) AS sum_w
+           FROM events WINDOW w AS (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+           ORDER BY event_id""",
+    ).df()
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)

@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_stats": q.q_events_type_stats,
         "revenue_by_nation": q.q_revenue_by_nation,
         "customer_revenue_topk": q.q_customer_revenue_topk,
+        "event_outliers": q.q_event_outliers,
         "embedding_centroids": q.q_embedding_centroids,
         "knn_query": q.q_knn_query,
         "memory_recall_rank": q.q_memory_recall_rank,
@@ -72,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": qo.q_sample_docs,
         "stratified_sample_docs": qo.q_stratified_sample_docs,
         "repetition_docs": qo.q_repetition_docs,
+        "redact_pii_docs": qo.q_redact_pii_docs,
         "decontaminate_docs": qc.q_decontaminate_docs,
         "top_ngrams": qc.q_top_ngrams,
         "length_quantiles": qc.q_length_quantiles,
@@ -139,6 +141,7 @@ def oracle_sql() -> dict[str, str]:
         "events_type_stats": q.EVENTS_TYPE_STATS_SQL,
         "revenue_by_nation": q.REVENUE_BY_NATION_SQL,
         "customer_revenue_topk": q.CUSTOMER_REVENUE_TOPK_SQL,
+        "event_outliers": q.EVENT_OUTLIERS_SQL,
         "embedding_centroids": q.EMBEDDING_CENTROIDS_SQL,
         "knn_query": q.KNN_QUERY_SQL,
         "memory_recall_rank": q.MEMORY_RECALL_SQL,
@@ -151,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_docs": qo.SAMPLE_DOCS_SQL,
         "stratified_sample_docs": qo.STRATIFIED_SAMPLE_SQL,
         "repetition_docs": qo.REPETITION_DOCS_SQL,
+        "redact_pii_docs": qo.REDACT_PII_SQL,
         "decontaminate_docs": qc.DECONTAMINATE_SQL,
         "top_ngrams": qc.TOP_NGRAMS_SQL,
         "length_quantiles": qc.LENGTH_QUANTILES_SQL,

@@ -496,11 +496,15 @@ def q_customer_revenue_topk(sf_dir: str) -> pd.DataFrame:
     )
 
     def revenue_col(b: pa.Table) -> pa.Table:
+        # exact integer cents, floor(x*100 + 0.5) — the identical IEEE
+        # operation sequence as the SQL oracle, so the sum is order-free
+        # (int-valued float64 cents add exactly) and no penny can flip at
+        # a rounding boundary from summation-tree differences.
         price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5)
         return pa.Table.from_arrays(
-            [b["l_orderkey"].combine_chunks(),
-             pa.array(price * (1.0 - disc))],
+            [b["l_orderkey"].combine_chunks(), pa.array(cents)],
             names=["l_orderkey", "rev"],
         )
 
@@ -519,7 +523,7 @@ def q_customer_revenue_topk(sf_dir: str) -> pd.DataFrame:
                    Sum("n_keys", alias_name="n_orders"))
         .to_pandas()
     )
-    per_cust["revenue"] = per_cust["revenue"].round(2)
+    per_cust["revenue"] = (per_cust["revenue"] / 100.0).round(2)
     per_cust = per_cust.sort_values(
         ["revenue", "dim_group"], ascending=[False, True], kind="stable"
     ).head(20)
@@ -531,9 +535,73 @@ def q_customer_revenue_topk(sf_dir: str) -> pd.DataFrame:
     return out[["c_custkey", "c_name", "revenue", "n_orders"]]
 
 
+def q_event_outliers(sf_dir: str) -> pd.DataFrame:
+    """Per-type z-score outliers (|z| > 2.5): two-pass — a tiny per-type
+    (n, sum, sumsq) aggregate (partial sums inside map_batches), stats
+    broadcast into a second map-only filter pass. Both sides compute
+    stddev from the SAME sum/sumsq formula so the filter boundary and the
+    6-dp rounding agree bit-for-bit at the scale of float64 noise."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy()
+        g = df.assign(v2=v * v).groupby("event_type", sort=False).agg(
+            n=("value", "size"), s=("value", "sum"), s2=("v2", "sum"))
+        return g.reset_index()
+
+    stats = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                   Sum("s2", alias_name="s2"))
+        .to_pandas()
+    )
+    stats["mean"] = stats["s"] / stats["n"]
+    stats["std"] = np.sqrt(stats["s2"] / stats["n"] - stats["mean"] ** 2)
+    lookup = stats.set_index("event_type")[["mean", "std"]]
+    lookup_ref = ray.put(lookup)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        lk = ray.get(lookup_ref)
+        m = df["event_type"].map(lk["mean"]).to_numpy()
+        s = df["event_type"].map(lk["std"]).to_numpy()
+        z = (df["value"].to_numpy() - m) / s
+        keep = np.abs(z) > 2.5
+        out = df.loc[keep, ["event_id", "event_type", "value"]].copy()
+        out["z"] = np.round(z[keep], 6)
+        return out
+
+    out = (
+        ds.map_batches(flag, batch_format="pandas", batch_size=65536)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    out["value"] = out["value"].round(6)
+    return out
+
+
+EVENT_OUTLIERS_SQL = """
+WITH st AS (
+  SELECT event_type, count(*) AS n, sum(value) AS s, sum(value * value) AS s2
+  FROM events GROUP BY event_type
+), z AS (
+  SELECT e.event_id, e.event_type, e.value,
+         (e.value - st.s / st.n) / sqrt(st.s2 / st.n - (st.s / st.n) ^ 2) AS zv
+  FROM events e JOIN st USING (event_type)
+)
+SELECT event_id, event_type, round(value, 6) AS value, round(zv, 6) AS z
+FROM z WHERE abs(zv) > 2.5 ORDER BY event_id
+"""
+
+
 CUSTOMER_REVENUE_TOPK_SQL = """
 SELECT c_custkey, c_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                      AS BIGINT)) / 100.0, 2) AS revenue,
        count(DISTINCT o_orderkey) AS n_orders
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               JOIN customer ON o_custkey = c_custkey

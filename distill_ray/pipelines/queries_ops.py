@@ -940,6 +940,73 @@ FROM documents
 """
 
 
+# PII redaction patterns — RE2-compatible (no lookaround/backrefs) so the
+# identical pattern strings run under Python re AND DuckDB's regexp_replace.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def q_redact_pii_docs(sf_dir: str) -> rd.Dataset:
+    """PII redaction over text: emails, phone numbers and IPv4 addresses
+    replaced with typed placeholders, plus a per-category match count.
+    Map-only (no shuffle), vectorized pandas str kernels over compiled
+    patterns. The raw synthetic docs carry no PII, so each doc gets a
+    deterministic PII sentence appended first (same derivation in the SQL
+    oracle), making the redaction regexes do real work."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def redact(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy()
+        t = (
+            df["text"]
+            + " Contact: user" + pd.Series(d.astype(str), index=df.index)
+            + "@example.org or +1-415-555-"
+            + pd.Series((d % 10000).astype(str), index=df.index).str.zfill(4)
+            + " from 10." + pd.Series((d % 256).astype(str), index=df.index)
+            + "." + pd.Series(((d // 7) % 256).astype(str), index=df.index)
+            + "." + pd.Series((d % 200 + 1).astype(str), index=df.index) + "."
+        )
+        n_email = t.str.count(_PII_EMAIL).astype("int64")
+        n_phone = t.str.count(_PII_PHONE).astype("int64")
+        n_ip = t.str.count(_PII_IPV4).astype("int64")
+        red = (
+            t.str.replace(_PII_EMAIL, "<EMAIL>", regex=True)
+            .str.replace(_PII_PHONE, "<PHONE>", regex=True)
+            .str.replace(_PII_IPV4, "<IP>", regex=True)
+        )
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "redacted": red, "n_email": n_email,
+             "n_phone": n_phone, "n_ip": n_ip}
+        )
+
+    return ds.map_batches(redact, batch_format="pandas")
+
+
+REDACT_PII_SQL = rf"""
+WITH derived AS (
+  SELECT doc_id,
+         text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+              || '@example.org or +1-415-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST((doc_id // 7) % 256 AS VARCHAR)
+              || '.' || CAST(doc_id % 200 + 1 AS VARCHAR) || '.' AS t
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(t,
+      '{_PII_EMAIL}', '<EMAIL>', 'g'),
+      '{_PII_PHONE}', '<PHONE>', 'g'),
+      '{_PII_IPV4}', '<IP>', 'g') AS redacted,
+  CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT) AS n_ip
+FROM derived
+"""
+
+
 def q_langid_docs(sf_dir: str) -> rd.Dataset:
     """Heuristic language ID: CJK charset detection + stopword voting.
     SQL-checked: the lookaround token-count regex is equivalent to

@@ -92,3 +92,33 @@ def test_repetition_docs_values(ray_session, tmp_path):
     assert out["n_words"].tolist() == [4, 3, 0, 3]
     assert out["n_distinct_words"].tolist() == [1, 3, 0, 2]
     assert out["dup_word_ratio"].tolist() == [0.75, 0.0, 0.0, round(1 - 2 / 3, 6)]
+
+
+def test_pii_patterns_python_vs_duckdb_dialect():
+    """The redaction patterns run under BOTH Python re (Ray side) and
+    DuckDB RE2 (oracle side); prove the two dialects agree on adversarial
+    inputs the sf tables can't produce."""
+    import re
+
+    import duckdb
+    import pandas as pd
+
+    from distill_ray.pipelines.queries_ops import (
+        _PII_EMAIL, _PII_IPV4, _PII_PHONE)
+
+    cases = pd.DataFrame({"t": [
+        "plain text, no pii at all 1234 5.6",
+        "a@b.io then x.y-z%q@mail.example.co.uk done",
+        "call +1-415-555-0001 or 44-207-123-4567 now",
+        "ip 10.0.0.1, bad 999.999.999.999.999, ver 1.2.3",
+        "v1.2.3.4beta is no ip but 192.168.0.255. ends one",
+        "email@no-tld@double@@ and trailing a@b.c",
+    ]})
+    con = duckdb.connect()
+    for name, pat in [("email", _PII_EMAIL), ("phone", _PII_PHONE),
+                      ("ip", _PII_IPV4)]:
+        py = [re.sub(pat, "<X>", s) for s in cases["t"]]
+        sql = con.execute(
+            "SELECT regexp_replace(t, ?, '<X>', 'g') FROM cases", [pat]
+        ).fetchall()
+        assert [r[0] for r in sql] == py, f"dialect mismatch for {name}"

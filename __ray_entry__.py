@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams": qc.q_top_ngrams,
         "length_quantiles": qc.q_length_quantiles,
         "tfidf_keywords": qc.q_tfidf_keywords,
+        "surprisal_docs": qc.q_surprisal_docs,
         "sessionize_events": qa.q_sessionize_events,
         "asof_join_orders": qa.q_asof_join_orders,
         "lag_events": qa.q_lag_events,
@@ -159,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
         "top_ngrams": qc.TOP_NGRAMS_SQL,
         "length_quantiles": qc.LENGTH_QUANTILES_SQL,
         "tfidf_keywords": qc.TFIDF_KEYWORDS_SQL,
+        "surprisal_docs": qc.SURPRISAL_DOCS_SQL,
         "sessionize_events": qa.SESSIONIZE_EVENTS_SQL,
         "asof_join_orders": qa.ASOF_JOIN_ORDERS_SQL,
         "lag_events": qa.LAG_EVENTS_SQL,

@@ -312,6 +312,167 @@ def q_tfidf_keywords(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id", "kw_rank"]).reset_index(drop=True)
 
 
+# --- bigram-LM surprisal scoring ----------------------------------------------
+
+_LM_V = 512  # vocabulary cap: top-V tokens by (count desc, token asc)
+
+
+def _doc_bigrams(df: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, w1, w2), one row per within-doc bigram position."""
+    df = df.reset_index(drop=True)
+    words = df["text"].str.split()
+    e = words.explode().dropna()
+    if len(e) < 2:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "w1": pd.Series([], dtype="object"),
+                             "w2": pd.Series([], dtype="object")})
+    pos = e.index.to_numpy()
+    s = e.astype(str).to_numpy()
+    same = pos[1:] == pos[:-1]
+    return pd.DataFrame(
+        {"doc_id": df["doc_id"].to_numpy()[pos[:-1][same]],
+         "w1": s[:-1][same], "w2": s[1:][same]}
+    )
+
+
+def q_surprisal_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-doc mean bigram surprisal under a corpus-fitted add-one bigram
+    LM over a capped vocabulary (the classic LM-quality filter for
+    training data): surprisal = avg over bigram positions of
+    -ln((c(w1,w2)+1) / (c(w1)+V+1)), OOV tokens mapped to <unk>.
+
+    Scale shape: the vocabulary cap bounds the model regardless of corpus
+    size — the broadcast state is V unigram counts + at most (V+1)^2
+    bigram counts. Three streaming passes: (1) unigram counts via
+    map-side combine + ONE bucket groupby where each bucket emits its
+    local top-V (exact: a token lives in one bucket) plus a sentinel
+    bucket-total row, giving vocab AND the corpus token total; (2) the
+    same shape over OOV-mapped bigrams (exchange bounded by distinct
+    mapped bigrams <= (V+1)^2); (3) a map-only scoring pass against the
+    broadcast model. No pass materializes the corpus."""
+    from distill_ray.pipelines.dedup import _named
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+
+    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
+        e = df["text"].str.split().explode().dropna().astype(str)
+        cnt = e.groupby(e.to_numpy(), sort=False).size()
+        out = cnt.rename("cnt").reset_index().rename(columns={"index": "tok"})
+        out["bucket"] = (
+            pd.util.hash_pandas_object(out["tok"], index=False).to_numpy()
+            % np.uint64(_NGRAM_BUCKETS)
+        ).astype(np.int32)
+        return out
+
+    def uni_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("tok", sort=False)["cnt"].sum().reset_index()
+        top = tot.sort_values(["cnt", "tok"], ascending=[False, True],
+                              kind="mergesort").head(_LM_V)
+        # sentinel "" row (tokenizer drops empties, so "" can't collide)
+        # carries the bucket's full token total for the <unk> mass
+        sent = pd.DataFrame({"tok": [""], "cnt": [tot["cnt"].sum()]})
+        return pd.concat([top, sent], ignore_index=True)[["tok", "cnt"]]
+
+    cand = (
+        ds.map_batches(uni_partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_named(uni_bucket, "lm_vocab"), batch_format="pandas")
+        .to_pandas()
+    )
+    total = int(cand.loc[cand["tok"] == "", "cnt"].sum())
+    vocab = (
+        cand[cand["tok"] != ""]
+        .sort_values(["cnt", "tok"], ascending=[False, True], kind="mergesort")
+        .head(_LM_V)
+    )
+    ucm = vocab.set_index("tok")["cnt"].astype("int64")
+    ucm.loc["<unk>"] = total - int(vocab["cnt"].sum())
+    vset = set(vocab["tok"])
+    model_ref = ray.put((vset, ucm))
+    _cache: dict = {}
+
+    def big_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if "m" not in _cache:
+            _cache["m"] = ray.get(model_ref)
+        vs, _ = _cache["m"]
+        bg = _doc_bigrams(df)
+        key = (bg["w1"].where(bg["w1"].isin(vs), "<unk>") + " "
+               + bg["w2"].where(bg["w2"].isin(vs), "<unk>"))
+        cnt = key.groupby(key.to_numpy(), sort=False).size()
+        out = cnt.rename("cnt").reset_index().rename(columns={"index": "bg"})
+        out["bucket"] = (
+            pd.util.hash_pandas_object(out["bg"], index=False).to_numpy()
+            % np.uint64(_NGRAM_BUCKETS)
+        ).astype(np.int32)
+        return out
+
+    def big_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("bg", sort=False)["cnt"].sum().reset_index()
+        return tot[["bg", "cnt"]]
+
+    bc = (
+        ds.map_batches(big_partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_named(big_bucket, "lm_bigrams"), batch_format="pandas")
+        .to_pandas()
+    )
+    bc_ref = ray.put(bc.set_index("bg")["cnt"].astype("int64"))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if "m" not in _cache:
+            _cache["m"] = ray.get(model_ref)
+        vs, uc = _cache["m"]
+        if "bc" not in _cache:
+            _cache["bc"] = ray.get(bc_ref)
+        bg = _doc_bigrams(df)
+        if bg.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "surprisal": pd.Series([], dtype="float64"),
+                                 "n_bigrams": pd.Series([], dtype="int64")})
+        w1m = bg["w1"].where(bg["w1"].isin(vs), "<unk>")
+        w2m = bg["w2"].where(bg["w2"].isin(vs), "<unk>")
+        cb = (w1m + " " + w2m).map(_cache["bc"]).to_numpy(dtype=np.float64)
+        cu = w1m.map(uc).to_numpy(dtype=np.float64)
+        s = -np.log((cb + 1.0) / (cu + float(_LM_V + 1)))
+        g = bg.assign(s=s).groupby("doc_id", sort=False)["s"]
+        out = g.mean().rename("surprisal").reset_index()
+        out["surprisal"] = out["surprisal"].round(6)
+        out["n_bigrams"] = g.size().to_numpy().astype("int64")
+        return out
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SURPRISAL_DOCS_SQL = rf"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS ws
+  FROM documents),
+t AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+uni AS (SELECT tok, count(*)::BIGINT AS c FROM t GROUP BY tok),
+vocab AS (SELECT tok, c FROM uni ORDER BY c DESC, tok LIMIT {_LM_V}),
+ucm AS (
+  SELECT tok, c FROM vocab
+  UNION ALL
+  SELECT '<unk>', (SELECT sum(c) FROM uni) - (SELECT sum(c) FROM vocab)),
+seq AS (SELECT doc_id, i, ws[i] AS tok
+        FROM w, unnest(range(1, len(ws) + 1)) AS u(i)),
+m AS (SELECT seq.doc_id, seq.i,
+             CASE WHEN v.tok IS NULL THEN '<unk>' ELSE seq.tok END AS mt
+      FROM seq LEFT JOIN vocab v ON v.tok = seq.tok),
+big AS (SELECT a.doc_id, a.mt AS w1, b.mt AS w2
+        FROM m a JOIN m b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+bc AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM big GROUP BY 1, 2),
+sc AS (SELECT big.doc_id,
+              -ln((bc.cb + 1.0) / (ucm.c + {_LM_V + 1}.0)) AS s
+       FROM big JOIN bc USING (w1, w2) JOIN ucm ON ucm.tok = big.w1)
+SELECT doc_id, round(avg(s), 6) AS surprisal, count(*)::BIGINT AS n_bigrams
+FROM sc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 TFIDF_KEYWORDS_SQL = r"""
 WITH w AS (
   SELECT doc_id,

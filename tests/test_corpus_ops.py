@@ -134,3 +134,24 @@ def test_tfidf_keywords_values(ray_session, tmp_path):
     assert r0 == ["apple", "banana"]
     # doc 2 has a single keyword at rank 1
     assert out[out["doc_id"] == 2]["kw_rank"].tolist() == [1]
+
+
+def test_surprisal_docs_tiny_hand_case(ray_session, tmp_path):
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distill_ray.pipelines.queries_corpus import _LM_V, q_surprisal_docs
+
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "text": ["a b a", "b a"]}),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = q_surprisal_docs(str(tmp_path)).set_index("doc_id")
+    # corpus: c(a)=3, c(b)=2; bigrams: (a b)x1, (b a)x2; denom V+1
+    s_ab = -math.log((1 + 1) / (3 + _LM_V + 1))
+    s_ba = -math.log((2 + 1) / (2 + _LM_V + 1))
+    assert out.loc[1, "n_bigrams"] == 2 and out.loc[2, "n_bigrams"] == 1
+    assert abs(out.loc[1, "surprisal"] - round((s_ab + s_ba) / 2, 6)) < 1e-9
+    assert abs(out.loc[2, "surprisal"] - round(s_ba, 6)) < 1e-9

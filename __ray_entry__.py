@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_outliers": q.q_event_outliers,
         "embedding_centroids": q.q_embedding_centroids,
         "knn_query": q.q_knn_query,
+        "knn_batch": q.q_knn_batch,
         "memory_recall_rank": q.q_memory_recall_rank,
         "quality_docs": qo.q_quality_docs,
         "bpe_token_counts": qo.q_bpe_token_counts,
@@ -83,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_orders": qa.q_asof_join_orders,
         "lag_events": qa.q_lag_events,
         "rolling_events": qa.q_rolling_events,
+        "running_totals_events": qa.q_running_totals_events,
         # dedup / operator surface (rows-only checks)
         "near_dup_clusters_docs": qo.q_near_dup_clusters_docs,
         "near_dup_pairs_docs": qo.q_near_dup_pairs_docs,
@@ -145,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
         "event_outliers": q.EVENT_OUTLIERS_SQL,
         "embedding_centroids": q.EMBEDDING_CENTROIDS_SQL,
         "knn_query": q.KNN_QUERY_SQL,
+        "knn_batch": q.KNN_BATCH_SQL,
         "memory_recall_rank": q.MEMORY_RECALL_SQL,
         "quality_docs": qo.QUALITY_DOCS_SQL,
         "bpe_token_counts": qo.BPE_TOKEN_COUNTS_SQL,
@@ -165,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_orders": qa.ASOF_JOIN_ORDERS_SQL,
         "lag_events": qa.LAG_EVENTS_SQL,
         "rolling_events": qa.ROLLING_EVENTS_SQL,
+        "running_totals_events": qa.RUNNING_TOTALS_SQL,
         "multimodal_decode": qo.MULTIMODAL_DECODE_SQL,
         "prune_docs": qo.PRUNE_DOCS_SQL,
         "ngram_jaccard_topk": qo.NGRAM_JACCARD_TOPK_SQL,

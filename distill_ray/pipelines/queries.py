@@ -718,6 +718,79 @@ ORDER BY d.dot / (d.n * qn.n) DESC, d.vec_id LIMIT 10
 """
 
 
+_KNN_BATCH_MOD = 211
+_KNN_BATCH_K = 3
+
+
+def q_knn_batch(sf_dir: str) -> pd.DataFrame:
+    """Batched similarity search: top-3 cosine neighbors for EVERY query
+    in a deterministic query set (vec_id % 211 == 0), self-matches
+    excluded. The query matrix broadcasts once (ray.put); each batch does
+    ONE (batch x dim) @ (dim x nq) matmul and emits only its local top-k
+    per query, so the driver merge is bounded by k * nq * n_blocks —
+    output-scale, never corpus-scale."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    df = t.to_pandas()
+    qdf = df[df["vec_id"] % _KNN_BATCH_MOD == 0]
+    qids = qdf["vec_id"].to_numpy().astype(np.int64)
+    qm = np.stack([np.asarray(e, dtype=np.float64) for e in qdf["embedding"]])
+    qm = qm / np.sqrt(np.einsum("ij,ij->i", qm, qm))[:, None]
+    q_ref = ray.put((qids, qm))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        ids, qmat = ray.get(q_ref)
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
+        m = m / np.sqrt(np.einsum("ij,ij->i", m, m))[:, None]
+        sims = m @ qmat.T  # (batch, nq)
+        vid = df["vec_id"].to_numpy().astype(np.int64)
+        sims[vid[:, None] == ids[None, :]] = -np.inf  # self-match
+        k = min(_KNN_BATCH_K, len(vid))
+        top = np.argsort(-sims, axis=0, kind="stable")[:k]  # ties: later rows lose
+        cols = np.broadcast_to(np.arange(len(ids)), top.shape)
+        return pd.DataFrame(
+            {"qid": ids[cols.ravel()], "vec_id": vid[top.ravel()],
+             "sim": sims[top.ravel(), cols.ravel()]}
+        )
+
+    cand = ds.map_batches(
+        partial_topk, batch_format="pandas", batch_size=65536
+    ).to_pandas()
+    cand = cand.sort_values(["qid", "sim", "vec_id"],
+                            ascending=[True, False, True], kind="mergesort")
+    out = cand.groupby("qid", sort=False).head(_KNN_BATCH_K).copy()
+    out["rank"] = (out.groupby("qid", sort=False).cumcount() + 1).astype("int64")
+    out["sim"] = out["sim"].round(6)
+    return out.reset_index(drop=True)
+
+
+KNN_BATCH_SQL = f"""
+WITH qflat AS (
+  SELECT vec_id AS qid, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id % {_KNN_BATCH_MOD} = 0),
+flat AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+dots AS (
+  SELECT q.qid, f.vec_id, sum(f.v * q.v) AS dot,
+         sqrt(sum(f.v * f.v)) AS nf, sqrt(sum(q.v * q.v)) AS nq
+  FROM flat f JOIN qflat q ON f.i = q.i
+  WHERE f.vec_id <> q.qid GROUP BY q.qid, f.vec_id),
+r AS (
+  SELECT qid, vec_id, dot / (nf * nq) AS sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY dot / (nf * nq) DESC, vec_id) AS rn
+  FROM dots)
+SELECT qid, vec_id, round(sim, 6) AS sim, rn::BIGINT AS rank
+FROM r WHERE rn <= {_KNN_BATCH_K}
+"""
+
+
 def q_memory_recall_rank(sf_dir: str) -> pd.DataFrame:
     """C12 memory recall ranking: relevance = 0.7*cos_sim + 0.3*recency,
     recency = 1/(1 + age_h/24) with synthetic age_h = doc_id; MinRelevance

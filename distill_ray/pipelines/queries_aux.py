@@ -863,3 +863,25 @@ FROM events WINDOW w AS (
   PARTITION BY user_id ORDER BY ts
   RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
 """
+
+
+def q_running_totals_events(sf_dir: str) -> pd.DataFrame:
+    """Per-user running value-sum and row count in (ts, event_id) order
+    (ROWS UNBOUNDED PRECEDING frame)."""
+    from distill_ray.stages.temporal import running_totals
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    out = running_totals(ds).to_pandas()
+    out["run_sum"] = out["run_sum"].round(4)
+    return out
+
+
+RUNNING_TOTALS_SQL = """
+SELECT event_id, round(sum(value) OVER w, 4) AS run_sum,
+       count(*) OVER w AS run_n
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+"""

@@ -308,6 +308,58 @@ def rolling_window(
     )
 
 
+# --- per-key running totals ---------------------------------------------------
+
+def running_totals(
+    events: rd.Dataset,
+    n_buckets: int = 64,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> rd.Dataset:
+    """Per-key cumulative aggregates in (ts, id) order — SQL's
+    `ROWS UNBOUNDED PRECEDING` frame: running value-sum and running row
+    count per key. One lexsort + one cumsum per bucket; per-key reset is
+    a subtraction of the segment-start prefix, no per-key loop."""
+    out_schema = pa.schema(
+        [(id_col, pa.int64()), ("run_sum", pa.float64()),
+         ("run_n", pa.int64())]
+    )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["rbucket"] = _bucket_of(df[key_col].to_numpy(), n_buckets)
+        return df
+
+    def run_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        key = g[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_us(g[ts_col].to_numpy(zero_copy_only=False))
+        eid = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = g[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        o = np.lexsort((eid, ts, key))
+        key, eid, val = key[o], eid[o], val[o]
+        csum = np.cumsum(val)
+        idx = np.arange(len(key), dtype=np.int64)
+        seg_start = np.maximum.accumulate(
+            np.where(np.r_[True, key[1:] != key[:-1]], idx, 0))
+        base = np.where(seg_start > 0, csum[seg_start - 1], 0.0)
+        return pa.Table.from_arrays(
+            [pa.array(eid), pa.array(csum - base),
+             pa.array(idx - seg_start + 1)],
+            schema=out_schema,
+        )
+
+    return (
+        events.map_batches(add_bucket, batch_format="pandas")
+        .groupby("rbucket")
+        .map_groups(run_bucket, batch_format="pyarrow")
+    )
+
+
 # --- per-key lag ------------------------------------------------------------
 
 def lag_events(

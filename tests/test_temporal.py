@@ -228,3 +228,38 @@ def test_rolling_window_matches_duckdb(ray_session):
            ORDER BY event_id""",
     ).df()
     pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_running_totals_matches_duckdb(ray_session):
+    import duckdb
+
+    from distill_ray.stages.temporal import running_totals
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    ev = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 25, n),
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(
+                rng.integers(0, 86400, n) * 1_000_000, unit="us"
+            ),
+            "value": rng.normal(5.0, 2.0, n).round(3),
+        }
+    )
+    got = (
+        running_totals(rd.from_pandas(ev), n_buckets=8)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    got["run_sum"] = got["run_sum"].round(6)
+    ref = duckdb.query_df(
+        ev, "events",
+        """SELECT event_id, round(sum(value) OVER w, 6) AS run_sum,
+                  count(*) OVER w AS run_n
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING)
+           ORDER BY event_id""",
+    ).df()
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)

@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": q.q_revenue_by_nation,
         "customer_revenue_topk": q.q_customer_revenue_topk,
         "event_outliers": q.q_event_outliers,
+        "orders_without_events": q.q_orders_without_events,
         "embedding_centroids": q.q_embedding_centroids,
         "knn_query": q.q_knn_query,
         "knn_batch": q.q_knn_batch,
@@ -145,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": q.REVENUE_BY_NATION_SQL,
         "customer_revenue_topk": q.CUSTOMER_REVENUE_TOPK_SQL,
         "event_outliers": q.EVENT_OUTLIERS_SQL,
+        "orders_without_events": q.ORDERS_WITHOUT_EVENTS_SQL,
         "embedding_centroids": q.EMBEDDING_CENTROIDS_SQL,
         "knn_query": q.KNN_QUERY_SQL,
         "knn_batch": q.KNN_BATCH_SQL,

@@ -535,6 +535,33 @@ def q_customer_revenue_topk(sf_dir: str) -> pd.DataFrame:
     return out[["c_custkey", "c_name", "revenue", "n_orders"]]
 
 
+def q_orders_without_events(sf_dir: str) -> pd.DataFrame:
+    """Anti-join: orders from customers with no event activity
+    (stages/joins.anti_join_keys — one bucketed shuffle, right side
+    reduced to distinct keys map-side)."""
+    from distill_ray.stages.joins import anti_join_keys
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"]
+    )
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    out = (
+        anti_join_keys(orders, ev, left_key="o_custkey",
+                       left_val="o_orderkey", right_key="user_id")
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+ORDERS_WITHOUT_EVENTS_SQL = """
+SELECT o_custkey, o_orderkey
+FROM orders WHERE o_custkey NOT IN (SELECT user_id FROM events)
+ORDER BY o_orderkey
+"""
+
+
 def q_event_outliers(sf_dir: str) -> pd.DataFrame:
     """Per-type z-score outliers (|z| > 2.5): two-pass — a tiny per-type
     (n, sum, sumsq) aggregate (partial sums inside map_batches), stats

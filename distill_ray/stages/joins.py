@@ -136,3 +136,75 @@ def join_sum_by(
     return tagged.groupby("jbucket").map_groups(
         join_bucket, batch_format="pyarrow"
     )
+
+
+def anti_join_keys(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    left_key: str,
+    left_val: str,
+    right_key: str,
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """Anti-join: left rows whose key has NO match in right — the
+    incremental-ingest / orphan-detection shape (`WHERE k NOT IN
+    (SELECT k FROM right)`). Same one-shuffle discipline as join_sum_by:
+    the right side is reduced to DISTINCT keys per batch before the
+    exchange (so a hot right key ships once per batch, not once per row),
+    both sides ride one bucketed groupby, and the bucket kernel is a
+    sorted-unique + searchsorted membership test. Output: (left_key,
+    left_val) for the surviving rows, both int64."""
+    shared = pa.schema(
+        [("k", pa.int64()), ("v", pa.int64()), ("side", pa.int8()),
+         ("jbucket", pa.int32())]
+    )
+    out_schema = pa.schema([(left_key, pa.int64()), (left_val, pa.int64())])
+
+    def left_rows(b: pa.Table) -> pa.Table:
+        k = b[left_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[left_val].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(k), pa.array(v),
+             pa.array(np.zeros(len(k), dtype=np.int8)),
+             pa.array(_bucket_of(k, n_buckets))],
+            schema=shared,
+        )
+
+    def right_keys(b: pa.Table) -> pa.Table:
+        k = np.unique(
+            b[right_key].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.Table.from_arrays(
+            [pa.array(k), pa.array(np.zeros(len(k), dtype=np.int64)),
+             pa.array(np.ones(len(k), dtype=np.int8)),
+             pa.array(_bucket_of(k, n_buckets))],
+            schema=shared,
+        )
+
+    def anti_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        k = g["k"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        is_r = side == 1
+        lk, lv = k[~is_r], v[~is_r]
+        if len(lk) == 0:
+            return out_schema.empty_table()
+        rk = np.unique(k[is_r])
+        if len(rk):
+            pos = np.searchsorted(rk, lk)
+            pos_safe = np.minimum(pos, len(rk) - 1)
+            keep = rk[pos_safe] != lk
+        else:
+            keep = np.ones(len(lk), dtype=bool)
+        return pa.Table.from_arrays(
+            [pa.array(lk[keep]), pa.array(lv[keep])], schema=out_schema
+        )
+
+    tagged = left.map_batches(left_rows, batch_format="pyarrow").union(
+        right.map_batches(right_keys, batch_format="pyarrow")
+    )
+    return tagged.groupby("jbucket").map_groups(
+        anti_bucket, batch_format="pyarrow"
+    )

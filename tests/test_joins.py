@@ -114,3 +114,42 @@ def test_join_sum_by_empty_sides(ray_session):
         fact_key="k", fact_val="v", dim_key="dk", dim_group="g",
     )
     assert partials.count() == 0
+
+
+def test_anti_join_keys_matches_pandas(ray_session):
+    from distill_ray.stages.joins import anti_join_keys
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({"k": rng.integers(0, 300, 4000),
+                         "v": np.arange(4000, dtype=np.int64)})
+    right = pd.DataFrame({"rk": rng.integers(100, 250, 900)})
+    got = (
+        anti_join_keys(
+            rd.from_pandas(left).repartition(8),
+            rd.from_pandas(right).repartition(4),
+            left_key="k", left_val="v", right_key="rk", n_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    ref = (
+        left[~left["k"].isin(set(right["rk"]))]
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    assert got["v"].tolist() == ref["v"].tolist()
+    assert got["k"].tolist() == ref["k"].tolist()
+
+
+def test_anti_join_keys_empty_right(ray_session):
+    from distill_ray.stages.joins import anti_join_keys
+
+    left = pd.DataFrame({"k": np.arange(10, dtype=np.int64),
+                         "v": np.arange(10, dtype=np.int64)})
+    right = pd.DataFrame({"rk": pd.Series([], dtype="int64")})
+    got = anti_join_keys(
+        rd.from_pandas(left), rd.from_pandas(right),
+        left_key="k", left_val="v", right_key="rk",
+    )
+    assert got.count() == 10

@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_revenue_topk": q.q_customer_revenue_topk,
         "event_outliers": q.q_event_outliers,
         "orders_without_events": q.q_orders_without_events,
+        "revenue_by_part_type": q.q_revenue_by_part_type,
+        "region_order_stats": q.q_region_order_stats,
         "embedding_centroids": q.q_embedding_centroids,
         "knn_query": q.q_knn_query,
         "knn_batch": q.q_knn_batch,
@@ -147,6 +149,8 @@ def oracle_sql() -> dict[str, str]:
         "customer_revenue_topk": q.CUSTOMER_REVENUE_TOPK_SQL,
         "event_outliers": q.EVENT_OUTLIERS_SQL,
         "orders_without_events": q.ORDERS_WITHOUT_EVENTS_SQL,
+        "revenue_by_part_type": q.REVENUE_BY_PART_TYPE_SQL,
+        "region_order_stats": q.REGION_ORDER_STATS_SQL,
         "embedding_centroids": q.EMBEDDING_CENTROIDS_SQL,
         "knn_query": q.KNN_QUERY_SQL,
         "knn_batch": q.KNN_BATCH_SQL,

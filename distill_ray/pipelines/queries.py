@@ -535,6 +535,125 @@ def q_customer_revenue_topk(sf_dir: str) -> pd.DataFrame:
     return out[["c_custkey", "c_name", "revenue", "n_orders"]]
 
 
+def q_revenue_by_part_type(sf_dir: str) -> pd.DataFrame:
+    """lineitem revenue by part type and supplier nation: TWO broadcast
+    dimension joins (part, supplier x nation) resolved map-side per batch
+    with partial aggregation, ONE tiny final groupby — no fact shuffle.
+    Integer-cents discipline as in customer_revenue_topk."""
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).to_pandas()
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    sn = supp.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+    part_ref = ray.put(part.set_index("p_partkey")["p_type"])
+    sn_ref = ray.put(sn.set_index("s_suppkey")["n_name"])
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ptype = df["l_partkey"].map(ray.get(part_ref))
+        nname = df["l_suppkey"].map(ray.get(sn_ref))
+        cents = np.floor(
+            df["l_extendedprice"].to_numpy()
+            * (1.0 - df["l_discount"].to_numpy()) * 100.0 + 0.5)
+        g = (
+            pd.DataFrame({"p_type": ptype, "n_name": nname, "c": cents})
+            .groupby(["p_type", "n_name"], sort=False)
+            .agg(c=("c", "sum"), n=("c", "size"))
+        )
+        return g.reset_index()
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby(["p_type", "n_name"])
+        .aggregate(Sum("c", alias_name="c"), Sum("n", alias_name="n_items"))
+        .to_pandas()
+    )
+    out["revenue"] = (out["c"] / 100.0).round(2)
+    out["n_items"] = out["n_items"].astype("int64")
+    return out[["p_type", "n_name", "revenue", "n_items"]]
+
+
+REVENUE_BY_PART_TYPE_SQL = """
+SELECT p_type, n_name,
+       round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                      AS BIGINT)) / 100.0, 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+GROUP BY p_type, n_name
+"""
+
+
+def q_region_order_stats(sf_dir: str) -> pd.DataFrame:
+    """Order stats per region: the full 4-table dimension chain
+    (customer -> nation -> region) collapsed into ONE broadcast lookup;
+    orders stream map-only with partial aggregation."""
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    dim = (
+        cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    dim_ref = ray.put(dim.set_index("c_custkey")["r_name"])
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rname = df["o_custkey"].map(ray.get(dim_ref))
+        cents = np.floor(df["o_totalprice"].to_numpy() * 100.0 + 0.5)
+        g = (
+            pd.DataFrame({"r_name": rname, "c": cents})
+            .groupby("r_name", sort=False)
+            .agg(c=("c", "sum"), n=("c", "size"))
+        )
+        return g.reset_index()
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("r_name")
+        .aggregate(Sum("c", alias_name="c"), Sum("n", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["total_price"] = (out["c"] / 100.0).round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out[["r_name", "total_price", "n_orders"]]
+
+
+REGION_ORDER_STATS_SQL = """
+SELECT r_name,
+       round(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0, 2)
+         AS total_price,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 def q_orders_without_events(sf_dir: str) -> pd.DataFrame:
     """Anti-join: orders from customers with no event activity
     (stages/joins.anti_join_keys — one bucketed shuffle, right side

@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_without_events": q.q_orders_without_events,
         "revenue_by_part_type": q.q_revenue_by_part_type,
         "region_order_stats": q.q_region_order_stats,
+        "event_value_histogram": q.q_event_value_histogram,
         "embedding_centroids": q.q_embedding_centroids,
         "knn_query": q.q_knn_query,
         "knn_batch": q.q_knn_batch,
@@ -83,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": qc.q_length_quantiles,
         "tfidf_keywords": qc.q_tfidf_keywords,
         "surprisal_docs": qc.q_surprisal_docs,
+        "profile_docs": qc.q_profile_docs,
         "sessionize_events": qa.q_sessionize_events,
         "asof_join_orders": qa.q_asof_join_orders,
         "lag_events": qa.q_lag_events,
@@ -151,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_without_events": q.ORDERS_WITHOUT_EVENTS_SQL,
         "revenue_by_part_type": q.REVENUE_BY_PART_TYPE_SQL,
         "region_order_stats": q.REGION_ORDER_STATS_SQL,
+        "event_value_histogram": q.EVENT_VALUE_HISTOGRAM_SQL,
         "embedding_centroids": q.EMBEDDING_CENTROIDS_SQL,
         "knn_query": q.KNN_QUERY_SQL,
         "knn_batch": q.KNN_BATCH_SQL,
@@ -170,6 +173,7 @@ def oracle_sql() -> dict[str, str]:
         "length_quantiles": qc.LENGTH_QUANTILES_SQL,
         "tfidf_keywords": qc.TFIDF_KEYWORDS_SQL,
         "surprisal_docs": qc.SURPRISAL_DOCS_SQL,
+        "profile_docs": qc.PROFILE_DOCS_SQL,
         "sessionize_events": qa.SESSIONIZE_EVENTS_SQL,
         "asof_join_orders": qa.ASOF_JOIN_ORDERS_SQL,
         "lag_events": qa.LAG_EVENTS_SQL,

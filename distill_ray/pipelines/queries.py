@@ -654,6 +654,50 @@ GROUP BY r_name
 """
 
 
+def q_event_value_histogram(sf_dir: str) -> pd.DataFrame:
+    """Distributed equal-width histogram (20 bins over the global value
+    range) per event type: a tiny min/max pass fixes the bin edges, then
+    one map-only binning pass with per-batch partial counts and a small
+    final groupby. The bin formula (least(floor((v-mn)/w), 19)) is the
+    identical float expression on both sides, so edges can't disagree."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    s = ds.aggregate(Min("value"), Max("value"))
+    mn, mx = float(s["min(value)"]), float(s["max(value)"])
+    w = (mx - mn) / 20.0
+
+    def binned(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy()
+        b = np.minimum(np.floor((v - mn) / w), 19.0).astype(np.int64)
+        g = (
+            pd.DataFrame({"event_type": df["event_type"], "bin": b})
+            .groupby(["event_type", "bin"], sort=False)
+            .size()
+        )
+        return g.rename("n").reset_index()
+
+    out = (
+        ds.map_batches(binned, batch_format="pandas", batch_size=65536)
+        .groupby(["event_type", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+EVENT_VALUE_HISTOGRAM_SQL = """
+WITH s AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
+SELECT event_type,
+       CAST(least(floor((value - s.mn) / ((s.mx - s.mn) / 20)), 19)
+            AS BIGINT) AS bin,
+       count(*) AS n
+FROM events, s GROUP BY event_type, bin
+"""
+
+
 def q_orders_without_events(sf_dir: str) -> pd.DataFrame:
     """Anti-join: orders from customers with no event activity
     (stages/joins.anti_join_keys — one bucketed shuffle, right side

@@ -312,6 +312,91 @@ def q_tfidf_keywords(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id", "kw_rank"]).reset_index(drop=True)
 
 
+# --- column profiling -----------------------------------------------------------
+
+_PROFILE_COLS = ("doc_id", "lang", "n_chars", "source", "text")
+
+
+def q_profile_docs(sf_dir: str) -> pd.DataFrame:
+    """Data profiling over documents: per column, null count and EXACT
+    distinct count. Per-batch partials carry each batch's distinct
+    (column, value) pairs once — the exchange is bounded by per-column
+    distinct cardinality, not rows — then ONE bucketed groupby dedups
+    across batches and per-bucket distinct subtotals sum exactly (a value
+    lives in one bucket). Values ride as strings here to keep the SQL
+    oracle byte-exact; at open-vocabulary scale they would ride as 64-bit
+    value hashes (same shape, bounded width)."""
+    from ray.data.aggregate import Sum
+
+    from distill_ray.pipelines.dedup import _named
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=list(_PROFILE_COLS))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in _PROFILE_COLS:
+            vals = df[c]
+            nn = int(vals.isna().sum())
+            uniq = vals.dropna().astype(str).unique()
+            frames.append(pd.DataFrame(
+                {"col_name": c, "val": uniq, "nulls": 0}))
+            frames.append(pd.DataFrame(
+                {"col_name": [c], "val": [None], "nulls": [nn]}))
+        out = pd.concat(frames, ignore_index=True)
+        out["bucket"] = (
+            pd.util.hash_pandas_object(
+                out["col_name"] + "\x00" + out["val"].fillna(""), index=False
+            ).to_numpy() % np.uint64(_NGRAM_BUCKETS)
+        ).astype(np.int32)
+        return out
+
+    def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g[g["val"].notna()]
+        d = vals.groupby("col_name", sort=False)["val"].nunique()
+        n = g.groupby("col_name", sort=False)["nulls"].sum()
+        out = pd.DataFrame({"col_name": sorted(set(g["col_name"]))})
+        out["n_distinct"] = out["col_name"].map(d).fillna(0).astype("int64")
+        out["n_nulls"] = out["col_name"].map(n).fillna(0).astype("int64")
+        return out
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_named(bucket_count, "profile_count"),
+                    batch_format="pandas")
+        .groupby("col_name")
+        .aggregate(Sum("n_distinct", alias_name="n_distinct"),
+                   Sum("n_nulls", alias_name="n_nulls"))
+        .to_pandas()
+        .sort_values("col_name")
+        .reset_index(drop=True)
+    )
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    out["n_nulls"] = out["n_nulls"].astype("int64")
+    return out
+
+
+PROFILE_DOCS_SQL = """
+SELECT * FROM (
+  SELECT 'doc_id' AS col_name, count(DISTINCT CAST(doc_id AS VARCHAR))::BIGINT AS n_distinct,
+         (count(*) - count(doc_id))::BIGINT AS n_nulls FROM documents
+  UNION ALL
+  SELECT 'lang', count(DISTINCT lang)::BIGINT,
+         (count(*) - count(lang))::BIGINT FROM documents
+  UNION ALL
+  SELECT 'n_chars', count(DISTINCT CAST(n_chars AS VARCHAR))::BIGINT,
+         (count(*) - count(n_chars))::BIGINT FROM documents
+  UNION ALL
+  SELECT 'source', count(DISTINCT source)::BIGINT,
+         (count(*) - count(source))::BIGINT FROM documents
+  UNION ALL
+  SELECT 'text', count(DISTINCT text)::BIGINT,
+         (count(*) - count(text))::BIGINT FROM documents
+) ORDER BY col_name
+"""
+
+
 # --- bigram-LM surprisal scoring ----------------------------------------------
 
 _LM_V = 512  # vocabulary cap: top-V tokens by (count desc, token asc)

@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "verbatim_spans": qo.q_verbatim_spans,
         "verbatim_spans_docs": qo.q_verbatim_spans_docs,
         "cluster_transcripts": qo.q_cluster_transcripts,
+        "incremental_dedup_docs": qo.q_incremental_dedup_docs,
         "commit_similarity": qo.q_commit_similarity,
         "summarize_transcripts": qo.q_summarize_transcripts,
         "session_budget": qo.q_session_budget,

@@ -91,6 +91,8 @@ class DedupRunResult:
     assignments: rd.Dataset  # rid, conv_id, turn_idx, cluster_id, is_representative
     edges: rd.Dataset        # verified (a, b) pairs at <= threshold
     stats: dict = field(default_factory=dict)
+    signatures: rd.Dataset | None = None  # fused P2+P5 table — the state
+    #   an incremental append consumes (pipelines/incremental.py)
 
 
 def run_dedup(
@@ -606,4 +608,5 @@ def run_dedup(
         stats["edges"] = n_edges
         stats["driver_labels"] = use_driver_labels
 
-    return DedupRunResult(assignments=assignments, edges=edges, stats=stats)
+    return DedupRunResult(assignments=assignments, edges=edges, stats=stats,
+                          signatures=fused)

@@ -1,0 +1,323 @@
+"""Incremental dedup: link a NEW batch of transcripts against the
+persisted signature state of a prior `run_dedup` WITHOUT re-pairing the
+old corpus — the append-1-TB/day-to-a-deduped-100-TB-corpus workflow.
+
+Contract (documented deviation from a full re-run, which could merge two
+old clusters through a new bridge row — incremental never mutates old
+assignments):
+  - a new row with a verified near-dup edge to an old row joins that old
+    row's cluster (several old clusters reachable -> lexicographically
+    smallest cluster id, deterministic);
+  - new rows connected only to each other form a new cluster whose id is
+    the lexicographically smallest member rid (that member is the
+    representative);
+  - exact duplicates inside the new batch collapse first-wins as in the
+    full pipeline; exact duplicates OF OLD ROWS link through the near-dup
+    path (identical text -> identical bands in every LSH band + cosine 0).
+
+Scale design — why this never touches old-old pairs:
+  - The band expansion over (old state UNION new sketch) is pruned
+    map-side to the FRONTIER key set: `pairable keys of the combined
+    table` INTERSECT `band keys of new rows`. A band group survives only
+    if a new row collides in it, so pair emission is bounded by the
+    frontier, not by |old| x |old|. The >= min_band_collisions count for
+    every new-touching pair is EXACT under this prune (both colliding
+    bands of such a pair contain the new row, so both emissions survive).
+  - Old signatures stream from parquet; nothing old is re-sketched.
+  - Driver state is bounded by the INCREMENT (new-row id maps) and the
+    frontier edge set, never the old corpus. The old-cluster lookup for
+    edge endpoints is a broadcast-filtered scan of the state assignments,
+    bounded by the edges that actually touched old rows.
+
+v1 runs the broadcast verify mode (old+new unique rows within the same
+limit as run_dedup's broadcast path); the endpoint-attach variant of the
+main pipeline is the drop-in for larger states.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from distill_ray.config import DedupConfig
+from distill_ray.stages.dedup_stages import (
+    BandPairNumericBucket,
+    as_arrow_block,
+    band_keys32,
+    build_broadcast_artifacts,
+    make_add_text_hash_arrow,
+    make_dedupe_verify_broadcast,
+    make_exact_dedup_sketch_bucket,
+    make_expand_bands_numeric,
+    prep_batch,
+    rid_hash64,
+    winners_table,
+)
+
+
+@dataclass
+class IncrementalResult:
+    assignments: pd.DataFrame  # new rows only: rid, conv_id, turn_idx,
+    #                            cluster_id, is_representative, is_new_cluster
+    stats: dict = field(default_factory=dict)
+
+
+def save_dedup_state(fused: rd.Dataset, assignments: rd.Dataset,
+                     state_dir: str) -> None:
+    """Persist a run's signature state for later incremental appends:
+    winner signature rows (rid, rh, emb, simhash, bands, n_tokens) and the
+    assignment table. Both partitioned parquet directories."""
+    fused.map_batches(winners_table, batch_format="pyarrow").write_parquet(
+        f"{state_dir}/signatures")
+    assignments.write_parquet(f"{state_dir}/assignments")
+
+
+def _sketch_new(new_transcripts: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
+    """P1 + fused P2+P5 over the new batch only (same kernels as
+    run_dedup: pipelines/dedup.py P2+P5)."""
+    from distill_ray.pipelines.dedup import _named
+
+    B = cfg.shuffle_buckets
+    prep = new_transcripts.map_batches(prep_batch, batch_format="pandas",
+                                       batch_size=cfg.batch_size)
+    hashed = prep.map_batches(make_add_text_hash_arrow(B),
+                              batch_format="pandas")
+    return (
+        hashed.groupby("bucket")
+        .map_groups(_named(make_exact_dedup_sketch_bucket(cfg),
+                           "inc_dedup_sketch"), batch_format="pyarrow")
+        .materialize()
+    )
+
+
+def _new_band_keys(new_fused: rd.Dataset) -> np.ndarray:
+    """Sorted unique uint32 band keys of the new winners (the frontier)."""
+    def keys_of(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if "rh" not in t.column_names:  # empty no-column partition
+            return pa.table({"k": pa.array([], type=pa.uint32())})
+        t = t.filter(pc.is_valid(t["rh"]))
+        if t.num_rows == 0:
+            return pa.table({"k": pa.array([], type=pa.uint32())})
+        u = np.unique(band_keys32(t).reshape(-1).view(np.uint32))
+        return pa.table({"k": pa.array(u)})
+
+    parts = new_fused.map_batches(keys_of, batch_format="pyarrow").to_pandas()
+    return np.unique(parts["k"].to_numpy().astype(np.uint32))
+
+
+def _old_cluster_lookup(state_dir: str, need_rh: np.ndarray) -> dict:
+    """rh -> old cluster_id for exactly the old rows named in `need_rh`
+    (edge-frontier-bounded): broadcast the needed sorted keys, filtered
+    scan of the state assignments, collect only hits."""
+    if len(need_rh) == 0:
+        return {}
+    need_ref = ray.put(np.sort(need_rh))
+
+    def lookup(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(need_ref)
+        rh = rid_hash64(df["rid"].to_numpy())
+        pos = np.minimum(np.searchsorted(keys, rh), len(keys) - 1)
+        hit = keys[pos] == rh
+        return pd.DataFrame({"rh": rh[hit],
+                             "cluster_id": df["cluster_id"].to_numpy()[hit]})
+
+    mp = (
+        rd.read_parquet(f"{state_dir}/assignments",
+                        columns=["rid", "cluster_id"])
+        .map_batches(lookup, batch_format="pandas")
+        .to_pandas()
+    )
+    return dict(zip(mp["rh"].tolist(), mp["cluster_id"].tolist()))
+
+
+def run_dedup_incremental(
+    new_transcripts: rd.Dataset,
+    state_dir: str,
+    cfg: DedupConfig | None = None,
+) -> IncrementalResult:
+    from distill_ray.pipelines.dedup import _named
+
+    cfg = cfg or DedupConfig()
+    B = cfg.shuffle_buckets
+    stats: dict = {}
+
+    # 1. sketch the new batch (exact dedup inside the batch + signatures)
+    new_fused = _sketch_new(new_transcripts, cfg)
+
+    # bounded-by-increment driver maps for the new rows
+    _WIN_IDS = pa.schema(
+        [("rid", pa.string()), ("conv_id", pa.string()),
+         ("turn_idx", pa.int32()), ("rh", pa.int64())])
+    _LOSE_IDS = pa.schema(
+        [("rid", pa.string()), ("conv_id", pa.string()),
+         ("turn_idx", pa.int32()), ("canon_rid", pa.string())])
+
+    def winner_ids(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if "rh" not in t.column_names:  # empty no-column partition
+            return _WIN_IDS.empty_table()
+        t = t.filter(pc.is_valid(t["rh"]))
+        return t.select(["rid", "conv_id", "turn_idx", "rh"]).cast(_WIN_IDS)
+
+    def loser_ids(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if "rh" not in t.column_names:
+            return _LOSE_IDS.empty_table()
+        t = t.filter(pc.is_null(t["rh"]))
+        return t.select(["rid", "conv_id", "turn_idx",
+                         "canon_rid"]).cast(_LOSE_IDS)
+
+    new_win = new_fused.map_batches(winner_ids,
+                                    batch_format="pyarrow").to_pandas()
+    new_lose = new_fused.map_batches(loser_ids,
+                                     batch_format="pyarrow").to_pandas()
+    if new_lose.empty:  # all-empty to_pandas drops columns
+        new_lose = _LOSE_IDS.empty_table().to_pandas()
+    if new_win.empty:
+        new_win = _WIN_IDS.empty_table().to_pandas()
+    new_rh = np.sort(new_win["rh"].to_numpy().astype(np.int64))
+    stats["n_new"] = len(new_win) + len(new_lose)
+    stats["n_new_winners"] = len(new_win)
+
+    # 2. combined signature view (old streams from parquet, nothing
+    #    re-sketched) + broadcast artifacts over it
+    old_sig = rd.read_parquet(f"{state_dir}/signatures")
+    combined = old_sig.union(new_fused).materialize()
+    lookup_ref, pairable_ref = build_broadcast_artifacts(combined)
+
+    # 3. frontier prune: pairable keys that a NEW row actually touches
+    new_keys = _new_band_keys(new_fused)
+    pairable = ray.get(pairable_ref)
+    frontier = np.intersect1d(pairable, new_keys, assume_unique=True)
+    frontier_ref = ray.put(frontier)
+    stats["n_frontier_keys"] = int(len(frontier))
+
+    # 4. band pairs within frontier groups, in-band cosine verify, then
+    #    the multiset collapse + >= min_band_collisions count (identical
+    #    kernels to run_dedup's broadcast mode)
+    raw_pairs = (
+        combined.map_batches(
+            make_expand_bands_numeric(B, include_simhash=False,
+                                      pairable_ref=frontier_ref),
+            batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            _named(BandPairNumericBucket(
+                cfg, narrow=True, sim_lookup=lookup_ref,
+                verify_threshold=cfg.threshold), "inc_band_pairs"),
+            batch_format="pyarrow")
+    ).materialize()
+    edges = (
+        raw_pairs.groupby("kbucket")
+        .map_groups(
+            _named(make_dedupe_verify_broadcast(
+                cfg.min_band_collisions, cfg.threshold, lookup_ref,
+                preverified=True), "inc_dedupe_verify"),
+            batch_format="pyarrow")
+        .to_pandas()
+    )
+
+    # 5. keep only edges touching a new row (frontier groups can still
+    #    pair two old rows that happen to share a new row's band)
+    def _is_new(v: np.ndarray) -> np.ndarray:
+        if len(new_rh) == 0:
+            return np.zeros(len(v), dtype=bool)
+        pos = np.minimum(np.searchsorted(new_rh, v), len(new_rh) - 1)
+        return new_rh[pos] == v
+
+    a = edges["a"].to_numpy().astype(np.int64)
+    b = edges["b"].to_numpy().astype(np.int64)
+    an, bn = _is_new(a), _is_new(b)
+    keep = an | bn
+    a, b, an, bn = a[keep], b[keep], an[keep], bn[keep]
+    stats["n_edges_new"] = int(len(a))
+
+    # 6. union-find over the (frontier-bounded) kept edges
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for xa, xb in zip(a.tolist(), b.tolist()):
+        ra, rb = find(xa), find(xb)
+        if ra != rb:
+            parent[ra] = rb
+
+    comp: dict[int, list[int]] = {}
+    nodes = set(a.tolist()) | set(b.tolist())
+    for x in nodes:
+        comp.setdefault(find(x), []).append(x)
+
+    # 7. resolve labels: old members pin the component to the smallest
+    #    old cluster id; all-new components take the smallest member rid
+    old_nodes = np.array(
+        sorted(set(np.concatenate([a[~an], b[~bn]]).tolist())
+               if len(a) else []), dtype=np.int64)
+    old_cluster = _old_cluster_lookup(state_dir, old_nodes)
+    rid_of_new = dict(zip(new_win["rh"].tolist(), new_win["rid"].tolist()))
+
+    label: dict[int, tuple[str, bool]] = {}  # new rh -> (cluster, is_new_cluster)
+    for members in comp.values():
+        olds = sorted(old_cluster[m] for m in members if m in old_cluster)
+        news = [m for m in members if m in rid_of_new]
+        if olds:
+            for m in news:
+                label[m] = (olds[0], False)
+        else:
+            rep = min(rid_of_new[m] for m in news)
+            for m in news:
+                label[m] = (rep, True)
+
+    win_cluster = [
+        label.get(rh, (rid, True))[0]
+        for rh, rid in zip(new_win["rh"].tolist(), new_win["rid"].tolist())
+    ]
+    win_isnew = [
+        label.get(rh, (rid, True))[1]
+        for rh, rid in zip(new_win["rh"].tolist(), new_win["rid"].tolist())
+    ]
+    out_w = pd.DataFrame(
+        {
+            "rid": new_win["rid"], "conv_id": new_win["conv_id"],
+            "turn_idx": new_win["turn_idx"], "cluster_id": win_cluster,
+            "is_new_cluster": win_isnew,
+        }
+    )
+    out_w["is_representative"] = out_w["is_new_cluster"] & (
+        out_w["rid"] == out_w["cluster_id"])
+
+    # exact-dup losers inside the new batch follow their winner
+    canon_map = dict(zip(out_w["rid"], out_w["cluster_id"]))
+    canon_new = dict(zip(out_w["rid"], out_w["is_new_cluster"]))
+    out_l = pd.DataFrame(
+        {
+            "rid": new_lose["rid"], "conv_id": new_lose["conv_id"],
+            "turn_idx": new_lose["turn_idx"],
+            "cluster_id": new_lose["canon_rid"].map(canon_map),
+            "is_new_cluster": new_lose["canon_rid"].map(canon_new),
+        }
+    )
+    out_l["is_representative"] = False
+
+    out = (
+        pd.concat([out_w, out_l], ignore_index=True)
+        .sort_values(["conv_id", "turn_idx", "rid"])
+        .reset_index(drop=True)
+    )
+    stats["n_joined_old"] = int((~out["is_new_cluster"]).sum())
+    return IncrementalResult(assignments=out, stats=stats)

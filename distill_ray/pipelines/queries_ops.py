@@ -1242,6 +1242,39 @@ def q_session_budget(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["conv_id", "seq"]).reset_index(drop=True)
 
 
+def q_incremental_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """Incremental append (pipelines/incremental.py): full dedup of the
+    even-doc_id half of documents, state saved, then the odd half linked
+    against that state without re-pairing the old corpus. Rows-only by
+    contract (iterative two-phase pipeline); semantics are pinned by
+    tests/test_incremental.py (planted near-dups join the right old
+    cluster, all-new groups cluster, old assignments immutable)."""
+    import tempfile
+
+    from distill_ray.pipelines.dedup import run_dedup
+    from distill_ray.pipelines.incremental import (
+        run_dedup_incremental, save_dedup_state)
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+
+    def frame(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"conv_id": "d" + df["doc_id"].astype(str),
+             "turn_idx": np.zeros(len(df), dtype=np.int32),
+             "text": df["text"]}
+        )
+
+    old = frame(docs[docs["doc_id"] % 2 == 0])
+    new = frame(docs[docs["doc_id"] % 2 == 1])
+    res = run_dedup(rd.from_pandas(old))
+    with tempfile.TemporaryDirectory(prefix="inc_state_") as state_dir:
+        save_dedup_state(res.signatures, res.assignments, state_dir)
+        inc = run_dedup_incremental(rd.from_pandas(new), state_dir)
+    out = inc.assignments.sort_values("rid").reset_index(drop=True)
+    return out[["rid", "cluster_id", "is_new_cluster", "is_representative"]]
+
+
 def q_cluster_transcripts(sf_dir: str) -> pd.DataFrame:
     """The flagship near-dup pipeline over derived multi-turn transcripts
     (the entry() pipeline, parameterized by sf_dir); rows-only."""

@@ -1,0 +1,133 @@
+"""Incremental dedup vs the full pipeline: new rows that near-dup an old
+row must adopt the old row's cluster; all-new dup groups must cluster
+together; unique new rows stay singleton; old assignments are never
+touched (they are inputs). Also: exact duplicates of OLD rows flow
+through the near-dup path into the right old cluster."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from distill_ray.config import DedupConfig
+from distill_ray.pipelines.dedup import run_dedup
+from distill_ray.pipelines.incremental import (
+    run_dedup_incremental, save_dedup_state)
+
+_WORDS = np.array(
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi "
+    "omicron pi rho sigma tau upsilon phi chi psi omega red blue green "
+    "stream batch shuffle vector cluster band hash sketch verify".split()
+)
+
+
+def _text(rng, n=30):
+    return " ".join(rng.choice(_WORDS, size=n))
+
+
+def _perturb(rng, text):
+    """Light perturbation: swap one word — stays under the 0.15 cosine
+    threshold for 30-word docs with this generator."""
+    w = text.split()
+    w[int(rng.integers(0, len(w)))] = str(rng.choice(_WORDS))
+    return " ".join(w)
+
+
+def _frame(texts, conv_prefix):
+    return pd.DataFrame(
+        {
+            "conv_id": [f"{conv_prefix}{i:05d}" for i in range(len(texts))],
+            "turn_idx": np.zeros(len(texts), dtype=np.int32),
+            "text": texts,
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def incremental_setup(ray_session, tmp_path_factory):
+    rng = np.random.default_rng(17)
+    old_texts = [_text(rng) for _ in range(200)]
+    old = _frame(old_texts, "old")
+
+    # new batch: 30 near-dups of specific old rows, one exact copy of an
+    # old row, 3 all-new dup pairs, 20 unique rows, plus 2 exact dups
+    # inside the new batch
+    near_src = list(range(0, 90, 3))  # 30 distinct old rows
+    new_texts = [_perturb(rng, old_texts[i]) for i in near_src]
+    new_texts.append(old_texts[150])  # exact copy of old row 150
+    nn = [_text(rng) for _ in range(3)]
+    for t in nn:
+        new_texts += [t, _perturb(rng, t)]
+    uniq_start = len(new_texts)
+    new_texts += [_text(rng) for _ in range(20)]
+    new_texts.append(new_texts[0])  # exact dup inside the new batch
+    new = _frame(new_texts, "new")
+
+    cfg = DedupConfig()
+    res = run_dedup(rd.from_pandas(old), cfg)
+    state_dir = str(tmp_path_factory.mktemp("inc_state"))
+    save_dedup_state(res.signatures, res.assignments, state_dir)
+    old_assign = res.assignments.to_pandas().set_index("rid")
+
+    inc = run_dedup_incremental(rd.from_pandas(new), state_dir, cfg)
+    got = inc.assignments.set_index("rid")
+    return old, new, near_src, uniq_start, old_assign, got, inc
+
+
+def test_near_dups_of_old_join_old_clusters(incremental_setup):
+    _, _, near_src, _, old_assign, got, _ = incremental_setup
+    joined = 0
+    for j, i in enumerate(near_src):
+        row = got.loc[f"new{j:05d}:00000000"]
+        if not row["is_new_cluster"]:
+            assert row["cluster_id"] == old_assign.loc[
+                f"old{i:05d}:00000000", "cluster_id"]
+            joined += 1
+    # LSH recall: nearly all planted near-dups must link (>= 0.9 of 30)
+    assert joined >= 27
+
+
+def test_exact_copy_of_old_row_joins_its_cluster(incremental_setup):
+    _, _, near_src, _, old_assign, got, _ = incremental_setup
+    j = len(near_src)  # the exact copy's position
+    row = got.loc[f"new{j:05d}:00000000"]
+    assert not row["is_new_cluster"]
+    assert row["cluster_id"] == old_assign.loc["old00150:00000000", "cluster_id"]
+
+
+def test_new_new_groups_and_uniques(incremental_setup):
+    _, new, near_src, uniq_start, _, got, _ = incremental_setup
+    base = len(near_src) + 1
+    for g in range(3):
+        r1 = got.loc[f"new{base + 2 * g:05d}:00000000"]
+        r2 = got.loc[f"new{base + 2 * g + 1:05d}:00000000"]
+        assert r1["cluster_id"] == r2["cluster_id"]
+        assert r1["is_new_cluster"] and r2["is_new_cluster"]
+    # unique rows: singleton new clusters, self-representative
+    for j in range(uniq_start, uniq_start + 20):
+        row = got.loc[f"new{j:05d}:00000000"]
+        assert row["is_new_cluster"]
+        assert row["cluster_id"] == f"new{j:05d}:00000000"
+        assert row["is_representative"]
+
+
+def test_exact_dup_inside_new_batch_follows_winner(incremental_setup):
+    _, new, _, _, _, got, _ = incremental_setup
+    last = got.loc[f"new{len(new) - 1:05d}:00000000"]
+    first = got.loc["new00000:00000000"]
+    assert last["cluster_id"] == first["cluster_id"]
+    assert not last["is_representative"]
+
+
+def test_every_new_row_assigned_and_old_untouched(incremental_setup):
+    _, new, _, _, old_assign, got, inc = incremental_setup
+    assert len(got) == len(new)
+    assert got["cluster_id"].notna().all()
+    # old clusters referenced by joins must be real old cluster ids
+    joined = got[~got["is_new_cluster"]]
+    old_ids = set(old_assign["cluster_id"])
+    assert set(joined["cluster_id"]) <= old_ids
+    assert inc.stats["n_edges_new"] > 0

@@ -125,6 +125,40 @@ def run_bench() -> dict:
             phases = res.stats.get("timings")
         assert n_out == n_rows, f"row coverage {n_out} != {n_rows}"
     timings["dedup_transcripts"] = round(best, 3)
+
+    dedup_only = os.environ.get("RAY_GRAFT_DEDUP_ONLY") == "1"
+    inc_rows = 0
+    if not dedup_only:
+        # incremental append: persist the run's signature state, then link
+        # a fresh 5% batch against it (pipelines/incremental.py) — the
+        # append-to-a-deduped-corpus workflow. Timed in two parts: state
+        # write and the incremental link itself.
+        import shutil
+        import tempfile
+
+        from distill_ray.pipelines.incremental import (
+            run_dedup_incremental, save_dedup_state)
+        from distill_ray.sources.transcripts import write_transcripts_parquet
+
+        n_inc_convs = max(1, int(
+            os.environ.get("RAY_GRAFT_CONVS",
+                           _SF_TO_CONVS.get(_sf_name(), 12_000))) // 20)
+        inc_path = write_transcripts_parquet(
+            f"/tmp/distill_ray_bench/inc_v2_{n_inc_convs}x{TURNS_PER_CONV}",
+            n_inc_convs, TURNS_PER_CONV, seed=4242, conv_prefix="inc")
+        state_dir = tempfile.mkdtemp(prefix="bench_inc_state_")
+        try:
+            t0 = time.time()
+            save_dedup_state(res.signatures, res.assignments, state_dir)
+            timings["state_save"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            inc = run_dedup_incremental(rd.read_parquet(inc_path), state_dir)
+            inc_rows = len(inc.assignments)
+            timings["incremental_append"] = round(time.time() - t0, 3)
+            del inc
+        finally:
+            shutil.rmtree(state_dir, ignore_errors=True)
+
     # drop the result: its lineage pins the materialized intermediates
     # (fused signature table with 256 B/row embeddings, refined rows) in
     # the object store, which starves the span pass below into spilling
@@ -133,8 +167,6 @@ def run_bench() -> dict:
     import gc as _gc
 
     _gc.collect()
-
-    dedup_only = os.environ.get("RAY_GRAFT_DEDUP_ONLY") == "1"
 
     if not dedup_only:
         # P10 verbatim-span pass over the same transcripts
@@ -170,6 +202,7 @@ def run_bench() -> dict:
         "sf": _sf_name(),
         "num_cpus": NUM_CPUS,
         "transcript_rows": n_rows,
+        "incremental_rows": inc_rows,
         "throughput_rows_per_s": round(n_rows / timings["dedup_transcripts"], 1),
         "dedup_phases": phases,
     }

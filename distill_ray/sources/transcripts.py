@@ -93,6 +93,7 @@ def generate_transcripts(
     seed: int = 42,
     shuffled: bool = True,
     vocab_size: int | None = None,
+    conv_prefix: str = "conv",
 ) -> pd.DataFrame:
     rng = np.random.default_rng(seed)
     n = n_convs * turns_per_conv
@@ -100,7 +101,7 @@ def generate_transcripts(
 
     conv_num = np.repeat(np.arange(n_convs), turns_per_conv)
     turn_idx = np.tile(np.arange(turns_per_conv), n_convs).astype(np.int32)
-    conv_id = np.array([f"conv{c:06d}" for c in conv_num], dtype=object)
+    conv_id = np.array([f"{conv_prefix}{c:06d}" for c in conv_num], dtype=object)
 
     # roles: cycle user/assistant/tool/assistant; ~10% convs get system at turn 0
     cycle = np.array(["user", "assistant", "tool", "assistant"], dtype=object)
@@ -201,7 +202,8 @@ def transcripts_schema() -> pa.Schema:
 
 
 def write_transcripts_parquet(
-    path: str, n_convs: int, turns_per_conv: int = 8, seed: int = 42
+    path: str, n_convs: int, turns_per_conv: int = 8, seed: int = 42,
+    conv_prefix: str = "conv",
 ) -> str:
     """Write (cached) a generated transcript table as a DIRECTORY of shard
     files; returns the path.
@@ -219,7 +221,8 @@ def write_transcripts_parquet(
     done = os.path.join(path, "_DONE")
     if os.path.exists(done):
         return path
-    df = generate_transcripts(n_convs, turns_per_conv, seed)
+    df = generate_transcripts(n_convs, turns_per_conv, seed,
+                               conv_prefix=conv_prefix)
     table = pa.Table.from_pandas(df, schema=transcripts_schema(), preserve_index=False)
     n = table.num_rows
     shards = max(1, min(256, (n + 124_999) // 125_000))

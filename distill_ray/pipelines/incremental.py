@@ -36,6 +36,7 @@ main pipeline is the drop-in for larger states.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -66,6 +67,8 @@ class IncrementalResult:
     assignments: pd.DataFrame  # new rows only: rid, conv_id, turn_idx,
     #                            cluster_id, is_representative, is_new_cluster
     stats: dict = field(default_factory=dict)
+    new_signatures: rd.Dataset | None = None  # fused table of the new batch
+    #   (feeds save_incremental_state so appends CHAIN day over day)
 
 
 def save_dedup_state(fused: rd.Dataset, assignments: rd.Dataset,
@@ -76,6 +79,27 @@ def save_dedup_state(fused: rd.Dataset, assignments: rd.Dataset,
     fused.map_batches(winners_table, batch_format="pyarrow").write_parquet(
         f"{state_dir}/signatures")
     assignments.write_parquet(f"{state_dir}/assignments")
+
+
+def save_incremental_state(prev_state_dir: str, inc: IncrementalResult,
+                           out_dir: str) -> None:
+    """Roll the state forward after an append so increments CHAIN: the new
+    state's signatures are prev signatures + the new batch's winner rows,
+    and its assignment table is prev assignments + the new rows' (both
+    appended as extra parquet files — nothing old is rewritten; with a
+    shared filesystem this is a pure metadata append)."""
+    import shutil
+
+    if os.path.abspath(prev_state_dir) != os.path.abspath(out_dir):
+        shutil.copytree(f"{prev_state_dir}/signatures", f"{out_dir}/signatures")
+        shutil.copytree(f"{prev_state_dir}/assignments", f"{out_dir}/assignments")
+    inc.new_signatures.map_batches(
+        winners_table, batch_format="pyarrow"
+    ).write_parquet(f"{out_dir}/signatures")
+    rd.from_pandas(
+        inc.assignments[["rid", "conv_id", "turn_idx", "cluster_id",
+                         "is_representative"]]
+    ).write_parquet(f"{out_dir}/assignments")
 
 
 def _sketch_new(new_transcripts: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
@@ -320,4 +344,5 @@ def run_dedup_incremental(
         .reset_index(drop=True)
     )
     stats["n_joined_old"] = int((~out["is_new_cluster"]).sum())
-    return IncrementalResult(assignments=out, stats=stats)
+    return IncrementalResult(assignments=out, stats=stats,
+                             new_signatures=new_fused)

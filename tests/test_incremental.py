@@ -131,3 +131,49 @@ def test_every_new_row_assigned_and_old_untouched(incremental_setup):
     old_ids = set(old_assign["cluster_id"])
     assert set(joined["cluster_id"]) <= old_ids
     assert inc.stats["n_edges_new"] > 0
+
+
+def test_appends_chain_across_states(ray_session, tmp_path):
+    """Day-over-day composition: A full run -> +B incremental -> state
+    rolls forward -> +C incremental. C rows near-dupping B rows must join
+    the clusters B created; C rows near-dupping A rows still join A's."""
+    from distill_ray.pipelines.incremental import save_incremental_state
+
+    rng = np.random.default_rng(23)
+    a_texts = [_text(rng) for _ in range(120)]
+    b_texts = [_text(rng) for _ in range(40)]
+    c_texts = (
+        [_perturb(rng, b_texts[i]) for i in range(10)]    # near-dups of B
+        + [_perturb(rng, a_texts[i]) for i in range(10)]  # near-dups of A
+        + [_text(rng) for _ in range(10)]                 # unique
+    )
+    cfg = DedupConfig()
+    res = run_dedup(rd.from_pandas(_frame(a_texts, "aa")), cfg)
+    s0 = str(tmp_path / "s0")
+    save_dedup_state(res.signatures, res.assignments, s0)
+
+    inc_b = run_dedup_incremental(
+        rd.from_pandas(_frame(b_texts, "bb")), s0, cfg)
+    s1 = str(tmp_path / "s1")
+    save_incremental_state(s0, inc_b, s1)
+    b_assign = inc_b.assignments.set_index("rid")
+
+    inc_c = run_dedup_incremental(
+        rd.from_pandas(_frame(c_texts, "cc")), s1, cfg)
+    got = inc_c.assignments.set_index("rid")
+
+    a_assign = res.assignments.to_pandas().set_index("rid")
+    hits_b = hits_a = 0
+    for i in range(10):
+        row = got.loc[f"cc{i:05d}:00000000"]
+        if not row["is_new_cluster"]:
+            assert row["cluster_id"] == b_assign.loc[
+                f"bb{i:05d}:00000000", "cluster_id"]
+            hits_b += 1
+    for i in range(10):
+        row = got.loc[f"cc{10 + i:05d}:00000000"]
+        if not row["is_new_cluster"]:
+            assert row["cluster_id"] == a_assign.loc[
+                f"aa{i:05d}:00000000", "cluster_id"]
+            hits_a += 1
+    assert hits_b >= 9 and hits_a >= 9  # LSH recall over the chain

@@ -1,0 +1,136 @@
+"""Property-based checks (hypothesis) for the temporal kernels: for ANY
+generated keyed event stream and window size, the bucketed distributed
+kernels must equal the single-node reference (DuckDB window SQL /
+pandas.merge_asof). These hunt the structural edge cases a fixed fixture
+misses: all-one-key inputs, all-distinct keys, duplicate timestamps,
+window sizes straddling every gap, single-row streams."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import ray.data as rd
+
+from distill_ray.stages.temporal import (
+    lag_events, rolling_window, running_totals, sessionize)
+
+_slow = settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def event_frames(draw):
+    n = draw(st.integers(min_value=1, max_value=120))
+    n_keys = draw(st.integers(min_value=1, max_value=6))
+    keys = draw(st.lists(st.integers(min_value=0, max_value=n_keys - 1),
+                         min_size=n, max_size=n))
+    # coarse second grid so duplicate timestamps are COMMON, not rare
+    secs = draw(st.lists(st.integers(min_value=0, max_value=40),
+                         min_size=n, max_size=n))
+    vals = draw(st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False,
+                  allow_infinity=False),
+        min_size=n, max_size=n))
+    return pd.DataFrame(
+        {
+            "user_id": np.array(keys, dtype=np.int64),
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(np.array(secs, dtype=np.int64) * 1_000_000,
+                                 unit="us"),
+            "value": np.round(np.array(vals, dtype=np.float64), 3),
+        }
+    )
+
+
+@given(ev=event_frames(), win=st.integers(min_value=1, max_value=45))
+@_slow
+def test_rolling_window_property(ray_session, ev, win):
+    got = (
+        rolling_window(rd.from_pandas(ev), window_s=float(win), n_buckets=4)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    got["sum_w"] = got["sum_w"].round(6)
+    ref = duckdb.query_df(
+        ev, "events",
+        f"""SELECT event_id, count(*) OVER w AS cnt_w,
+                   round(sum(value) OVER w, 6) AS sum_w
+            FROM events WINDOW w AS (
+              PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL {win} SECONDS PRECEDING AND CURRENT ROW)
+            ORDER BY event_id""",
+    ).df()
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+@given(ev=event_frames())
+@_slow
+def test_running_totals_property(ray_session, ev):
+    got = (
+        running_totals(rd.from_pandas(ev), n_buckets=4)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    got["run_sum"] = got["run_sum"].round(6)
+    ref = duckdb.query_df(
+        ev, "events",
+        """SELECT event_id, round(sum(value) OVER w, 6) AS run_sum,
+                  count(*) OVER w AS run_n
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING)
+           ORDER BY event_id""",
+    ).df()
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+@given(ev=event_frames(), gap=st.integers(min_value=1, max_value=30))
+@_slow
+def test_sessionize_property(ray_session, ev, gap):
+    got = (
+        sessionize(rd.from_pandas(ev), gap_s=float(gap), n_buckets=4)
+        .to_pandas()
+        .sort_values(["user_id", "session_start", "n_events", "sum_value"])
+        .reset_index(drop=True)
+    )
+    got["sum_value"] = got["sum_value"].round(6)
+    ref = duckdb.query_df(
+        ev, "events",
+        f"""WITH g AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w > INTERVAL {gap} SECONDS
+                      THEN 1 ELSE 0 END AS brk
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g)
+        SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM s GROUP BY user_id, sid
+        ORDER BY user_id, session_start, n_events, sum_value""",
+    ).df()
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+@given(ev=event_frames())
+@_slow
+def test_lag_property(ray_session, ev):
+    got = (
+        lag_events(rd.from_pandas(ev), n_buckets=4)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    got["gap_s"] = got["gap_s"].round(6)
+    ref = duckdb.query_df(
+        ev, "events",
+        """SELECT event_id, lag(event_id) OVER w AS prev_event_id,
+                  round((epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1e6, 6)
+                    AS gap_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           ORDER BY event_id""",
+    ).df()
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)

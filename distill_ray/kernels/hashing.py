@@ -78,6 +78,14 @@ def stable_hash64(values) -> np.ndarray:
     return pd.util.hash_array(arr, categorize=False)
 
 
+def bucket_of(keys: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Coarse shuffle-bucket id for int64 keys: mix64 % n_buckets, int32.
+    Shared by every keyed co-partitioning stage (temporal, joins) — two
+    stages that must co-locate the same key MUST use this one function."""
+    return (mix64(keys.astype(np.int64).view(np.uint64))
+            % np.uint64(n_buckets)).astype(np.int32)
+
+
 def mix64(x: np.ndarray) -> np.ndarray:
     """splitmix64 finalizer — cheap avalanche for combining hashes."""
     x = x.astype(np.uint64, copy=True)

@@ -14,6 +14,10 @@ assignments):
   - exact duplicates inside the new batch collapse first-wins as in the
     full pipeline; exact duplicates OF OLD ROWS link through the near-dup
     path (identical text -> identical bands in every LSH band + cosine 0).
+    Corner: a new row whose text normalizes to ZERO tokens emits no band
+    rows (same n_tokens > 0 rule as the full pipeline's band expansion),
+    so it becomes a new singleton even if an identical zero-token old row
+    exists — a full re-run would exact-dedup that pair.
 
 Scale design — why this never touches old-old pairs:
   - The band expansion over (old state UNION new sketch) is pruned
@@ -134,6 +138,8 @@ def _new_band_keys(new_fused: rd.Dataset) -> np.ndarray:
         return pa.table({"k": pa.array(u)})
 
     parts = new_fused.map_batches(keys_of, batch_format="pyarrow").to_pandas()
+    if parts.empty:  # all-empty to_pandas drops columns
+        return np.empty(0, dtype=np.uint32)
     return np.unique(parts["k"].to_numpy().astype(np.uint32))
 
 
@@ -250,6 +256,9 @@ def run_dedup_incremental(
             batch_format="pyarrow")
         .to_pandas()
     )
+    if edges.empty:  # all-unique batch: all-empty to_pandas drops columns
+        edges = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64")})
 
     # 5. keep only edges touching a new row (frontier groups can still
     #    pair two old rows that happen to share a new row's band)
@@ -266,26 +275,16 @@ def run_dedup_incremental(
     a, b, an, bn = a[keep], b[keep], an[keep], bn[keep]
     stats["n_edges_new"] = int(len(a))
 
-    # 6. union-find over the (frontier-bounded) kept edges
-    parent: dict[int, int] = {}
+    # 6. components over the (frontier-bounded) kept edges — the shared
+    #    vectorized hash-min labeler (stages/components.py), not a per-edge
+    #    Python loop (that loop measured multiple driver seconds at ~1M
+    #    edges in round 1)
+    from distill_ray.stages.components import union_find_labels
 
-    def find(x: int) -> int:
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
-
-    for xa, xb in zip(a.tolist(), b.tolist()):
-        ra, rb = find(xa), find(xb)
-        if ra != rb:
-            parent[ra] = rb
-
-    comp: dict[int, list[int]] = {}
-    nodes = set(a.tolist()) | set(b.tolist())
-    for x in nodes:
-        comp.setdefault(find(x), []).append(x)
+    lab = union_find_labels(pd.DataFrame({"a": a, "b": b}))
+    comp: dict = {}
+    for node, label in zip(lab["node"].tolist(), lab["label"].tolist()):
+        comp.setdefault(label, []).append(node)
 
     # 7. resolve labels: old members pin the component to the smallest
     #    old cluster id; all-new components take the smallest member rid

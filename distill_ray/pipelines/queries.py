@@ -670,7 +670,10 @@ def q_event_value_histogram(sf_dir: str) -> pd.DataFrame:
 
     def binned(df: pd.DataFrame) -> pd.DataFrame:
         v = df["value"].to_numpy()
-        b = np.minimum(np.floor((v - mn) / w), 19.0).astype(np.int64)
+        if w == 0.0:  # constant column: single bin (CASE mirror in SQL)
+            b = np.zeros(len(v), dtype=np.int64)
+        else:
+            b = np.minimum(np.floor((v - mn) / w), 19.0).astype(np.int64)
         g = (
             pd.DataFrame({"event_type": df["event_type"], "bin": b})
             .groupby(["event_type", "bin"], sort=False)
@@ -691,8 +694,9 @@ def q_event_value_histogram(sf_dir: str) -> pd.DataFrame:
 EVENT_VALUE_HISTOGRAM_SQL = """
 WITH s AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
 SELECT event_type,
-       CAST(least(floor((value - s.mn) / ((s.mx - s.mn) / 20)), 19)
-            AS BIGINT) AS bin,
+       CAST(CASE WHEN s.mx = s.mn THEN 0
+                 ELSE least(floor((value - s.mn) / ((s.mx - s.mn) / 20)), 19)
+            END AS BIGINT) AS bin,
        count(*) AS n
 FROM events, s GROUP BY event_type, bin
 """
@@ -708,14 +712,13 @@ def q_orders_without_events(sf_dir: str) -> pd.DataFrame:
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"]
     )
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
-    out = (
-        anti_join_keys(orders, ev, left_key="o_custkey",
-                       left_val="o_orderkey", right_key="user_id")
-        .to_pandas()
-        .sort_values("o_orderkey")
-        .reset_index(drop=True)
-    )
-    return out
+    out = anti_join_keys(orders, ev, left_key="o_custkey",
+                         left_val="o_orderkey",
+                         right_key="user_id").to_pandas()
+    if out.empty:  # all-empty to_pandas drops columns
+        return pd.DataFrame({"o_custkey": pd.Series(dtype="int64"),
+                             "o_orderkey": pd.Series(dtype="int64")})
+    return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
 ORDERS_WITHOUT_EVENTS_SQL = """

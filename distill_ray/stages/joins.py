@@ -37,12 +37,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from distill_ray.kernels.hashing import mix64
-
-
-def _bucket_of(keys: np.ndarray, n_buckets: int) -> np.ndarray:
-    return (mix64(keys.astype(np.int64).view(np.uint64))
-            % np.uint64(n_buckets)).astype(np.int32)
+from distill_ray.kernels.hashing import bucket_of as _bucket_of
 
 
 def join_sum_by(

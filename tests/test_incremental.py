@@ -177,3 +177,22 @@ def test_appends_chain_across_states(ray_session, tmp_path):
                 f"aa{i:05d}:00000000", "cluster_id"]
             hits_a += 1
     assert hits_b >= 9 and hits_a >= 9  # LSH recall over the chain
+
+
+def test_all_unique_batch_no_edges(ray_session, tmp_path):
+    """The common daily case: a batch with NO near-dups anywhere — zero
+    verified edges must yield all-singleton new clusters, not a crash."""
+    rng = np.random.default_rng(31)
+    old = _frame([_text(rng) for _ in range(60)], "o")
+    new = _frame([_text(rng) for _ in range(15)], "n")
+    cfg = DedupConfig()
+    res = run_dedup(rd.from_pandas(old), cfg)
+    state_dir = str(tmp_path / "s")
+    save_dedup_state(res.signatures, res.assignments, state_dir)
+    inc = run_dedup_incremental(rd.from_pandas(new), state_dir, cfg)
+    got = inc.assignments
+    assert len(got) == 15
+    # with this generator distinct 30-word texts never near-dup; every row
+    # is its own representative
+    assert got["is_new_cluster"].all()
+    assert (got["cluster_id"] == got["rid"]).all()

@@ -702,6 +702,52 @@ FROM events, s GROUP BY event_type, bin
 """
 
 
+def q_value_quantiles_cont(sf_dir: str) -> pd.DataFrame:
+    """Interpolated (percentile_cont) p25/p50/p95 of value per event type
+    via the value-histogram exchange: ONE groupby over (type, value)
+    counts — bounded by distinct pairs — then the driver interpolates
+    between adjacent order statistics at rank q*(n-1), the same formula
+    DuckDB's percentile_cont evaluates."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df.groupby(["event_type", "value"], sort=False).size()
+        return cnt.rename("cnt").reset_index()
+
+    hist = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby(["event_type", "value"])
+        .sum("cnt")
+        .to_pandas()
+        .rename(columns={"sum(cnt)": "cnt"})
+    )
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("value")
+        vals = g["value"].to_numpy()
+        cum = g["cnt"].cumsum().to_numpy()
+        n = int(cum[-1])
+        row = {"event_type": et}
+        for q, name in [(0.25, "p25"), (0.5, "p50"), (0.95, "p95")]:
+            t = q * (n - 1)
+            lo_i, hi_i = int(np.floor(t)), int(np.ceil(t))
+            lo = vals[np.searchsorted(cum, lo_i + 1)]
+            hi = vals[np.searchsorted(cum, hi_i + 1)]
+            row[name] = round(lo + (hi - lo) * (t - np.floor(t)), 6)
+        rows.append(row)
+    return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+
+
+VALUE_QUANTILES_CONT_SQL = """
+SELECT event_type,
+       round(percentile_cont(0.25) WITHIN GROUP (ORDER BY value), 6) AS p25,
+       round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY value), 6) AS p50,
+       round(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 6) AS p95
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_orders_without_events(sf_dir: str) -> pd.DataFrame:
     """Anti-join: orders from customers with no event activity
     (stages/joins.anti_join_keys — one bucketed shuffle, right side

@@ -4,6 +4,9 @@
     python -m distill_ray spans --input transcripts.parquet --output /tmp/out --span-k 50
     python -m distill_ray summarize --input transcripts.parquet --output /tmp/out --now 2026-01-03
     python -m distill_ray pipeline --input transcripts.parquet --output /tmp/out
+    python -m distill_ray dedup --input day0.parquet --output /tmp/a --state-dir /tmp/s0
+    python -m distill_ray incremental --input day1.parquet --output /tmp/b \
+        --state-dir /tmp/s0 --next-state-dir /tmp/s1
 
 Owns its Ray session (guarded init; the driver/test paths never come
 through here). Outputs are partitioned parquet directories plus checkpoint
@@ -19,10 +22,16 @@ import sys
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="distill_ray")
-    p.add_argument("verb", choices=["dedup", "spans", "summarize", "pipeline"])
+    p.add_argument("verb", choices=["dedup", "spans", "summarize", "pipeline",
+                                    "incremental"])
     p.add_argument("--input", required=True, help="input transcripts parquet")
     p.add_argument("--output", required=True, help="output directory")
     p.add_argument("--checkpoint-dir", default="", help="resume checkpoints here")
+    p.add_argument("--state-dir", default="",
+                   help="dedup: also persist signature state here; "
+                        "incremental: the prior state to append against")
+    p.add_argument("--next-state-dir", default="",
+                   help="incremental: roll the state forward here")
     p.add_argument("--num-cpus", type=int, default=0, help="0 = let Ray decide")
     p.add_argument("--threshold", type=float, default=0.15)
     p.add_argument("--span-k", type=int, default=50)
@@ -62,6 +71,10 @@ def main(argv=None):
         )
         res = run_dedup(ds, cfg, ckpt=ckpt, collect_stats=True)
         res.assignments.write_parquet(args.output)
+        if args.state_dir:
+            from distill_ray.pipelines.incremental import save_dedup_state
+
+            save_dedup_state(res.signatures, res.assignments, args.state_dir)
         stats = res.stats
     elif args.verb == "spans":
         from distill_ray.stages.dedup_stages import prep_batch
@@ -89,6 +102,17 @@ def main(argv=None):
             )
         )
         out.write_parquet(args.output)
+    elif args.verb == "incremental":
+        from distill_ray.pipelines.incremental import (
+            run_dedup_incremental, save_incremental_state)
+
+        if not args.state_dir:
+            p.error("incremental requires --state-dir")
+        inc = run_dedup_incremental(ds, args.state_dir, cfg)
+        rd.from_pandas(inc.assignments).write_parquet(args.output)
+        if args.next_state_dir:
+            save_incremental_state(args.state_dir, inc, args.next_state_dir)
+        stats = inc.stats
     else:  # pipeline
         from distill_ray.pipelines.chain import run_pipeline_chain
 

@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_order_stats": q.q_region_order_stats,
         "event_value_histogram": q.q_event_value_histogram,
         "value_quantiles_cont": q.q_value_quantiles_cont,
+        "event_value_corr": q.q_event_value_corr,
         "embedding_centroids": q.q_embedding_centroids,
         "knn_query": q.q_knn_query,
         "knn_batch": q.q_knn_batch,
@@ -157,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         "region_order_stats": q.REGION_ORDER_STATS_SQL,
         "event_value_histogram": q.EVENT_VALUE_HISTOGRAM_SQL,
         "value_quantiles_cont": q.VALUE_QUANTILES_CONT_SQL,
+        "event_value_corr": q.EVENT_VALUE_CORR_SQL,
         "embedding_centroids": q.EMBEDDING_CENTROIDS_SQL,
         "knn_query": q.KNN_QUERY_SQL,
         "knn_batch": q.KNN_BATCH_SQL,

@@ -702,6 +702,67 @@ FROM events, s GROUP BY event_type, bin
 """
 
 
+def q_event_value_corr(sf_dir: str) -> pd.DataFrame:
+    """Per-type Pearson correlation between value and hour-of-day, computed
+    from one-pass moment sums (n, Σx, Σy, Σxy, Σx², Σy²) — partial sums per
+    batch, tiny final groupby, identical closed-form on both sides. Hours
+    are small ints so the x-moments are exact; y-moments share the same
+    float64 discipline as event_outliers."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = pd.to_datetime(df["ts"]).dt.hour.to_numpy().astype(np.float64)
+        y = df["value"].to_numpy()
+        g = (
+            pd.DataFrame({"event_type": df["event_type"], "x": x, "y": y,
+                          "xy": x * y, "x2": x * x, "y2": y * y})
+            .groupby("event_type", sort=False)
+            .agg(n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+                 sxy=("xy", "sum"), sx2=("x2", "sum"), sy2=("y2", "sum"))
+        )
+        return g.reset_index()
+
+    m = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                   Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
+                   Sum("sx2", alias_name="sx2"), Sum("sy2", alias_name="sy2"))
+        .to_pandas()
+    )
+    n = m["n"].to_numpy().astype(np.float64)
+    cov = m["sxy"].to_numpy() - m["sx"].to_numpy() * m["sy"].to_numpy() / n
+    vx = m["sx2"].to_numpy() - m["sx"].to_numpy() ** 2 / n
+    vy = m["sy2"].to_numpy() - m["sy"].to_numpy() ** 2 / n
+    out = pd.DataFrame(
+        {"event_type": m["event_type"],
+         "corr_hour_value": np.round(cov / np.sqrt(vx * vy), 6),
+         "n": m["n"].astype("int64")}
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+EVENT_VALUE_CORR_SQL = """
+WITH m AS (
+  SELECT event_type, count(*)::DOUBLE AS n,
+         sum(hour(ts)::DOUBLE) AS sx, sum(value) AS sy,
+         sum(hour(ts)::DOUBLE * value) AS sxy,
+         sum(hour(ts)::DOUBLE * hour(ts)::DOUBLE) AS sx2,
+         sum(value * value) AS sy2
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       round((sxy - sx * sy / n)
+             / sqrt((sx2 - sx * sx / n) * (sy2 - sy * sy / n)), 6)
+         AS corr_hour_value,
+       n::BIGINT AS n
+FROM m ORDER BY event_type
+"""
+
+
 def q_value_quantiles_cont(sf_dir: str) -> pd.DataFrame:
     """Interpolated (percentile_cont) p25/p50/p95 of value per event type
     via the value-histogram exchange: ONE groupby over (type, value)

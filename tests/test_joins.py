@@ -153,3 +153,78 @@ def test_anti_join_keys_empty_right(ray_session):
         left_key="k", left_val="v", right_key="rk",
     )
     assert got.count() == 10
+
+
+# --- property-based: any fact/dim shape must equal the pandas reference ----
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_hyp = settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def fact_dim(draw):
+    nf = draw(st.integers(min_value=1, max_value=300))
+    nd = draw(st.integers(min_value=1, max_value=60))
+    key_space = draw(st.integers(min_value=1, max_value=80))
+    fact = pd.DataFrame(
+        {
+            "k": np.array(draw(st.lists(
+                st.integers(min_value=0, max_value=key_space),
+                min_size=nf, max_size=nf)), dtype=np.int64),
+            "v": np.round(np.array(draw(st.lists(
+                st.floats(min_value=-50, max_value=50, allow_nan=False),
+                min_size=nf, max_size=nf)), dtype=np.float64), 3),
+        }
+    )
+    dks = draw(st.lists(st.integers(min_value=0, max_value=key_space),
+                        min_size=1, max_size=nd, unique=True))
+    dim = pd.DataFrame(
+        {"dk": np.array(dks, dtype=np.int64),
+         "g": np.array(draw(st.lists(
+             st.integers(min_value=0, max_value=9),
+             min_size=len(dks), max_size=len(dks))), dtype=np.int64)}
+    )
+    return fact, dim
+
+
+@given(fd=fact_dim())
+@_hyp
+def test_join_sum_by_property(ray_session, fd):
+    fact, dim = fd
+    partials = join_sum_by(
+        rd.from_pandas(fact).repartition(4), rd.from_pandas(dim),
+        fact_key="k", fact_val="v", dim_key="dk", dim_group="g", n_buckets=4,
+    )
+    ref = _pandas_ref(fact, dim)
+    if ref.empty:
+        assert partials.count() == 0
+        return
+    got = _finish(partials)
+    pd.testing.assert_frame_equal(
+        got.assign(sum_val=got.sum_val.round(6)),
+        ref.assign(sum_val=ref.sum_val.round(6)),
+        check_dtype=False,
+    )
+
+
+@given(fd=fact_dim())
+@_hyp
+def test_anti_join_property(ray_session, fd):
+    from distill_ray.stages.joins import anti_join_keys
+
+    fact, dim = fd
+    fact = fact.assign(v=np.arange(len(fact), dtype=np.int64))
+    got = anti_join_keys(
+        rd.from_pandas(fact).repartition(4),
+        rd.from_pandas(dim.rename(columns={"dk": "rk"})),
+        left_key="k", left_val="v", right_key="rk", n_buckets=4,
+    ).to_pandas()
+    ref = fact[~fact["k"].isin(set(dim["dk"]))]
+    assert len(got) == len(ref)
+    if len(ref):
+        assert sorted(got["v"].tolist()) == sorted(ref["v"].tolist())

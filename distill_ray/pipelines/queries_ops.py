@@ -756,18 +756,17 @@ ORDER BY f.rank
 
 def q_verbatim_spans(sf_dir: str) -> pd.DataFrame:
     """P10 suffix-array/rolling-hash verbatim-span pass over transcripts
-    derived from documents (span_k=10 tokens); rows-only."""
-    import pyarrow.parquet as _pq
+    derived from documents (span_k=10 tokens); rows-only.
 
-    import ray.data as _rd
-
-    from distill_ray.sources.transcripts import transcripts_from_documents
+    The derivation is the DISTRIBUTED variant (map_batches + broadcast
+    donor pool) — the fixture streams end-to-end with no driver-side
+    table, exactly like entry()."""
     from distill_ray.stages.dedup_stages import prep_batch
     from distill_ray.stages.spans_stage import run_span_pass
 
-    docs = _pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
-    tr = transcripts_from_documents(docs, seed=42)
-    prep = _rd.from_pandas(tr).map_batches(prep_batch, batch_format="pandas")
+    prep = _derived_transcripts_ds(sf_dir).map_batches(
+        prep_batch, batch_format="pandas"
+    )
     spans = run_span_pass(prep, span_k=10).to_pandas()
     if spans.empty:
         return pd.DataFrame(
@@ -1188,14 +1187,20 @@ GROUP BY d.doc_id
 
 
 def _derived_transcripts_ds(sf_dir: str):
-    import pyarrow.parquet as _pq
-
+    """Transcript table derived from documents, fully distributed: a
+    column-pruned read_parquet into the map_batches derivation with its
+    broadcast donor pool (sources/transcripts.transcripts_from_documents_ds)
+    — no driver-side table at any size. All consumers of this fixture are
+    rows-only queries, so the (deterministic) content difference vs the
+    sequential pandas variant is immaterial to the gate."""
     import ray.data as _rd
 
-    from distill_ray.sources.transcripts import transcripts_from_documents
+    from distill_ray.sources.transcripts import transcripts_from_documents_ds
 
-    docs = _pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
-    return _rd.from_pandas(transcripts_from_documents(docs, seed=42))
+    docs = _rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return transcripts_from_documents_ds(docs, seed=42)
 
 
 def q_summarize_transcripts(sf_dir: str) -> pd.DataFrame:

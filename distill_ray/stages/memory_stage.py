@@ -125,29 +125,47 @@ def memory_write_dedup_streaming(
 ) -> StreamDedupResult:
     """Run the streaming dedup over items in arrival order.
 
-    ``items_ds``: Dataset with (arrival_seq int64, embedding list) — read
-    chunk-wise in arrival order. For convenience/testing, ``mat`` may be a
-    driver-side (n, d) matrix instead (chunks are sliced from it).
+    ``items_ds``: Dataset with (arrival_seq int64, embedding list) —
+    consumed via sorted ``iter_batches(batch_size=chunk_size)``, so driver
+    state is ONE chunk plus the stored-block object refs; the input table
+    itself is never materialized on the driver. For convenience/testing,
+    ``mat`` may be a driver-side (n, d) matrix instead (chunks are sliced
+    from it, seqs = row positions).
     """
-    if items_ds is not None:
-        df = items_ds.to_pandas().sort_values("arrival_seq").reset_index(drop=True)
-        mat = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
-    assert mat is not None
-    # mirror the port's storage precision: float32 entries, float64 math
-    mat = np.asarray(mat, dtype=np.float32).astype(np.float64)
-    n, dim = mat.shape
-    planes = _planes(dim)
 
+    def chunks():
+        """Yield (seqs int64[m], cmat float64[m, d]) in arrival order."""
+        if items_ds is not None:
+            it = items_ds.sort("arrival_seq").iter_batches(
+                batch_size=chunk_size, batch_format="pandas"
+            )
+            for b in it:
+                if b.empty:
+                    continue
+                # mirror the port's storage precision: float32 entries,
+                # float64 math
+                cm = np.stack(
+                    [np.asarray(e, dtype=np.float32) for e in b["embedding"]]
+                ).astype(np.float64)
+                yield b["arrival_seq"].to_numpy(dtype=np.int64), cm
+        else:
+            assert mat is not None
+            m64 = np.asarray(mat, dtype=np.float32).astype(np.float64)
+            for cs in range(0, len(m64), chunk_size):
+                ce = min(cs + chunk_size, len(m64))
+                yield np.arange(cs, ce, dtype=np.int64), m64[cs:ce]
+
+    planes: np.ndarray | None = None
     stored_blocks: list = []  # ObjectRefs of stored pandas blocks
     n_stored_rows = 0
     stored = dedup = conflicts = 0
     stored_seqs: list[int] = []
 
-    for cs in range(0, n, chunk_size):
-        ce = min(cs + chunk_size, n)
-        cmat = mat[cs:ce]
+    for seqs, cmat in chunks():
+        if planes is None:
+            planes = _planes(cmat.shape[1])
         ckeys = _band_keys(cmat, planes)
-        m = ce - cs
+        m = len(cmat)
 
         # distributed candidate matches vs ALL stored blocks
         matches = pd.DataFrame({"item_idx": pd.Series(dtype="int64"),
@@ -155,12 +173,14 @@ def memory_write_dedup_streaming(
                                 "dist": pd.Series(dtype="float64")})
         if n_stored_rows:
             chunk_ref = ray.put({"mat": cmat, "keys": ckeys})
-            matches = (
+            parts = list(
                 rd.from_pandas_refs(stored_blocks)
                 .map_batches(_make_match_stored(chunk_ref, conflict_threshold),
                              batch_format="pandas")
-                .to_pandas()
-            )
+                .iter_batches(batch_size=None, batch_format="pandas")
+            )  # match-bounded, never corpus-bounded
+            if parts:
+                matches = pd.concat(parts, ignore_index=True)
 
         # exact sequential resolution within the chunk (bounded work)
         local_dist = _cos_dist_block(cmat, cmat)
@@ -195,12 +215,12 @@ def memory_write_dedup_streaming(
             conflicts += n_conf
             chunk_stored_pos.append(i)
             stored += 1
-            stored_seqs.append(cs + i)
+            stored_seqs.append(int(seqs[i]))
 
         if chunk_stored_pos:
             pos = np.array(chunk_stored_pos)
             block = pd.DataFrame(
-                {"seq": (cs + pos).astype(np.int64),
+                {"seq": seqs[pos].astype(np.int64),
                  "emb": [cmat[p].tobytes() for p in pos],
                  "keys": [ckeys[p].tobytes() for p in pos]}
             )

@@ -68,3 +68,35 @@ def test_streaming_chunk_size_invariant():
     assert (r1.stored, r1.deduplicated, r1.conflicts) == \
         (r2.stored, r2.deduplicated, r2.conflicts)
     assert r1.stored_seqs == r2.stored_seqs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_streaming_items_ds_never_materialized(monkeypatch):
+    """The items_ds path must consume the input via sorted iter_batches:
+    driver state is one chunk + stored block refs. Monkeypatch to_pandas
+    to raise so any full-table driver materialization fails loudly, and
+    assert count/seq parity with the driver-matrix path."""
+    import pandas as pd
+    import ray.data as rd
+
+    mat = memory_write_items("/root/testdata/sf0.001")[:300]
+    want = memory_write_dedup_streaming(mat, chunk_size=64)
+
+    # shuffled input rows: the operator must re-establish arrival order
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(len(mat))
+    items = pd.DataFrame(
+        {"arrival_seq": perm.astype("int64"),
+         "embedding": [mat[i].astype(np.float32) for i in perm]}
+    )
+    ds = rd.from_pandas(items).repartition(5)
+
+    monkeypatch.setattr(
+        rd.Dataset, "to_pandas",
+        lambda self, *a, **k: (_ for _ in ()).throw(
+            AssertionError("items_ds materialized on the driver")),
+    )
+    got = memory_write_dedup_streaming(items_ds=ds, chunk_size=64)
+    assert (got.stored, got.deduplicated, got.conflicts) == \
+        (want.stored, want.deduplicated, want.conflicts)
+    assert got.stored_seqs == want.stored_seqs

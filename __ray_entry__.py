@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup / operator surface (rows-only checks)
         "near_dup_clusters_docs": qo.q_near_dup_clusters_docs,
         "near_dup_pairs_docs": qo.q_near_dup_pairs_docs,
+        "near_dup_pairs_exact_docs": qo.q_near_dup_pairs_exact_docs,
         "simhash_docs": qo.q_simhash_docs,
         "ngram_jaccard_topk": qo.q_ngram_jaccard_topk,
         "kmeans_dedup_embeddings": qo.q_kmeans_dedup_embeddings,
@@ -193,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "ttl_tracker": qa.TTL_TRACKER_SQL,
         "vector_store_topk": qo.VECTOR_STORE_TOPK_SQL,
         "verbatim_spans_docs": qo.VERBATIM_SPANS_DOCS_SQL,
+        "near_dup_pairs_exact_docs": qo.NEAR_DUP_PAIRS_EXACT_SQL,
         "simhash_docs": qo.SIMHASH_DOCS_SQL,
         "fingerprint_docs": qo.FINGERPRINT_DOCS_SQL,
         "mmr_top8": qo.MMR_TOP8_SQL,

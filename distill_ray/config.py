@@ -11,8 +11,11 @@ parameters of the scale path (ours to design; the reference has no sketching).
 
 from __future__ import annotations
 
+import dataclasses
 import hashlib
 import json
+import os
+import re
 from dataclasses import asdict, dataclass, field
 
 
@@ -97,3 +100,125 @@ class MemoryConfig:
 
 
 DEFAULT_CONFIG = DedupConfig()
+
+
+# --- M20: env interpolation + validation (config.go:124-270) --------------
+
+_ENV_PATTERN = re.compile(r"\$\{([^}:]+)(?::-([^}]*))?\}")
+
+
+def interpolate_env(s: str) -> str:
+    """``${VAR}`` / ``${VAR:-default}`` interpolation, reference semantics
+    (/root/reference/pkg/config/config.go:222-245): the env value if the
+    variable is SET (even to empty), else the default if non-empty, else
+    the pattern is left verbatim."""
+
+    def sub(m: re.Match) -> str:
+        val = os.environ.get(m.group(1))
+        if val is not None:
+            return val
+        default = m.group(2) or ""
+        return default if default != "" else m.group(0)
+
+    return _ENV_PATTERN.sub(sub, s)
+
+
+_LINKAGES = ("single", "complete", "average")
+_STRATEGIES = ("score", "centroid", "length", "hybrid")
+
+
+def validate_config(cfg) -> None:
+    """Range/enum validation in the reference's collect-all-errors style
+    (config.go:152-221): every violation is reported in one ValueError."""
+    errs: list[str] = []
+
+    def unit(name: str, v: float) -> None:
+        if not 0.0 <= v <= 1.0:
+            errs.append(f"{name}: must be between 0 and 1, got {v}")
+
+    def pos(name: str, v: int) -> None:
+        if v <= 0:
+            errs.append(f"{name}: must be positive, got {v}")
+
+    def nonneg(name: str, v: float) -> None:
+        if v < 0:
+            errs.append(f"{name}: must be non-negative, got {v}")
+
+    if isinstance(cfg, DedupConfig):
+        unit("dedup.threshold", cfg.threshold)
+        unit("dedup.mmr_lambda", cfg.mmr_lambda)
+        unit("dedup.kmeans_threshold", cfg.kmeans_threshold)
+        unit("dedup.conflict_threshold", cfg.conflict_threshold)
+        if cfg.linkage not in _LINKAGES:
+            errs.append(
+                f"dedup.linkage: unsupported linkage {cfg.linkage!r} "
+                f"(supported: {', '.join(_LINKAGES)})")
+        if cfg.select_strategy not in _STRATEGIES:
+            errs.append(
+                f"dedup.select_strategy: unsupported strategy "
+                f"{cfg.select_strategy!r} (supported: {', '.join(_STRATEGIES)})")
+        nonneg("dedup.mmr_target_k", cfg.mmr_target_k)
+        pos("dedup.shingle_k", cfg.shingle_k)
+        pos("dedup.num_perm", cfg.num_perm)
+        pos("dedup.lsh_bands", cfg.lsh_bands)
+        if cfg.lsh_bands > 0 and cfg.num_perm % cfg.lsh_bands != 0:
+            errs.append(
+                f"dedup.lsh_bands: must divide num_perm "
+                f"({cfg.num_perm}), got {cfg.lsh_bands}")
+        pos("dedup.simhash_bits", cfg.simhash_bits)
+        nonneg("dedup.simhash_hamming_max", cfg.simhash_hamming_max)
+        pos("dedup.embed_dim", cfg.embed_dim)
+        pos("dedup.band_group_cap", cfg.band_group_cap)
+        pos("dedup.min_band_collisions", cfg.min_band_collisions)
+        pos("dedup.batch_size", cfg.batch_size)
+        pos("dedup.signer_concurrency", cfg.signer_concurrency)
+        pos("dedup.max_component_size", cfg.max_component_size)
+        pos("dedup.shuffle_buckets", cfg.shuffle_buckets)
+    elif isinstance(cfg, SummarizeConfig):
+        nonneg("summarize.max_tokens", cfg.max_tokens)
+        nonneg("summarize.preserve_recent", cfg.preserve_recent)
+        unit("summarize.importance_threshold", cfg.importance_threshold)
+        for age, level in cfg.age_levels:
+            nonneg("summarize.age_levels.age", age)
+            if not 0 <= level <= 4:
+                errs.append(
+                    f"summarize.age_levels.level: must be 0-4, got {level}")
+    elif isinstance(cfg, MemoryConfig):
+        unit("memory.dedup_threshold", cfg.dedup_threshold)
+        unit("memory.conflict_threshold", cfg.conflict_threshold)
+        nonneg("memory.summary_age_h", cfg.summary_age_h)
+        nonneg("memory.keywords_age_h", cfg.keywords_age_h)
+        nonneg("memory.evict_age_h", cfg.evict_age_h)
+        unit("memory.recency_weight", cfg.recency_weight)
+    else:
+        raise TypeError(f"unknown config type: {type(cfg).__name__}")
+
+    if errs:
+        raise ValueError("configuration errors:\n  - " + "\n  - ".join(errs))
+
+
+def load_config(data: dict, cls=DedupConfig):
+    """Build a validated config from a parsed mapping (YAML/JSON dict):
+    unknown keys error, string values get ${VAR:-default} interpolation,
+    numeric strings coerce to the field's default type, then the full
+    range/enum validation runs (Load() at config.go:124-138)."""
+    proto = cls()
+    known = {f.name for f in dataclasses.fields(cls)}
+    unknown = sorted(set(data) - known)
+    if unknown:
+        raise ValueError(f"unknown config key(s): {', '.join(unknown)}")
+    kw = {}
+    for k, v in data.items():
+        if isinstance(v, str):
+            v = interpolate_env(v)
+        dv = getattr(proto, k)
+        if isinstance(dv, bool):
+            v = bool(v)
+        elif isinstance(dv, int) and not isinstance(v, bool):
+            v = int(v)
+        elif isinstance(dv, float):
+            v = float(v)
+        kw[k] = v
+    cfg = dataclasses.replace(proto, **kw)
+    validate_config(cfg)
+    return cfg

@@ -43,6 +43,36 @@ def cosine_similarity(a, b) -> float:
     return 1.0 - cosine_distance(a, b)
 
 
+def cosine_distances_to(mat, v) -> np.ndarray:
+    """Vectorized cosine distance of every row of ``mat`` to ``v`` with the
+    reference edge rules (zero-norm row or query -> 2.0, width mismatch ->
+    truncate, clamp to [-1, 1], float64 accumulation over float32 inputs).
+
+    Values can differ from the scalar ``cosine_distance`` in the last few
+    ulps (BLAS gemv vs ddot summation order); tests assert element
+    closeness at 1e-12 and DECISION parity (first-min medoid pick and
+    threshold comparisons) on random fixtures — the differences sit ~1e-16
+    relative, far below any meaningful threshold gap."""
+    mat = np.atleast_2d(np.asarray(mat, dtype=np.float32))
+    v = np.asarray(v, dtype=np.float32).reshape(-1)
+    if mat.shape[0] == 0:
+        return np.empty(0, dtype=np.float64)
+    if mat.shape[1] == 0 or v.size == 0:
+        return np.full(mat.shape[0], 2.0)
+    n = min(mat.shape[1], v.size)
+    m64 = mat[:, :n].astype(np.float64)
+    v64 = v[:n].astype(np.float64)
+    dots = m64 @ v64
+    rn = np.einsum("ij,ij->i", m64, m64)
+    vn = float(np.dot(v64, v64))
+    denom = np.sqrt(rn * vn)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sim = np.where(denom > 0.0, dots / np.where(denom == 0.0, 1.0, denom), 0.0)
+    dist = 1.0 - np.clip(sim, -1.0, 1.0)
+    dist[denom == 0.0] = 2.0
+    return dist
+
+
 def pairwise_cosine_distance(embs: list[np.ndarray] | np.ndarray) -> np.ndarray:
     """Full symmetric N x N cosine-distance matrix with edge rules.
 

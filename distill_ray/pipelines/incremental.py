@@ -33,9 +33,17 @@ Scale design — why this never touches old-old pairs:
     edge endpoints is a broadcast-filtered scan of the state assignments,
     bounded by the edges that actually touched old rows.
 
-v1 runs the broadcast verify mode (old+new unique rows within the same
-limit as run_dedup's broadcast path); the endpoint-attach variant of the
-main pipeline is the drop-in for larger states.
+Two verify modes, auto-selected on combined unique-row count exactly like
+run_dedup (edge-set parity: tests/test_incremental.py):
+  - broadcast (below broadcast_verify_limit): the combined (rh, emb)
+    table ships once via plasma; one bucketed groupby fuses multiset
+    collapse + count filter + in-band cosine verify.
+  - endpoint (above the limit — the >8M-row-state path): NOTHING is
+    broadcast except increment-bounded key sets. The frontier is computed
+    by a distributed count restricted to the new rows' band keys; band
+    rows stay narrow; embeddings travel once per frontier-touching row as
+    carrier rows through the same attach-A / attach-B-verify kernels as
+    run_dedup's endpoint mode.
 """
 
 from __future__ import annotations
@@ -53,10 +61,14 @@ import ray.data as rd
 from distill_ray.config import DedupConfig
 from distill_ray.stages.dedup_stages import (
     BandPairNumericBucket,
+    PAIRX_SCHEMA,
     as_arrow_block,
     band_keys32,
     build_broadcast_artifacts,
     make_add_text_hash_arrow,
+    make_attach_b_verify_bucket,
+    make_carrier_rows,
+    make_dedupe_attach_a_bucket,
     make_dedupe_verify_broadcast,
     make_exact_dedup_sketch_bucket,
     make_expand_bands_numeric,
@@ -168,10 +180,118 @@ def _old_cluster_lookup(state_dir: str, need_rh: np.ndarray) -> dict:
     return dict(zip(mp["rh"].tolist(), mp["cluster_id"].tolist()))
 
 
+def _assert_rids_fresh(state_dir: str, batch_rh: np.ndarray) -> None:
+    """Raise if any new-batch rid already exists in the persisted state.
+
+    A re-delivered rid (yesterday's file delivered twice, or a continued
+    conv_id:turn_idx) aliases its old row's rh, so its self-pair would be
+    dropped by the a<b edge rule and the row would silently become a new
+    singleton instead of joining its old cluster — or die later with an
+    opaque rh-collision error. Detect it up front with an increment-
+    bounded broadcast + a filtered scan of the state assignment table."""
+    if len(batch_rh) == 0:
+        return
+    ref = ray.put(np.sort(batch_rh.astype(np.int64)))
+
+    def hits(df: pd.DataFrame) -> pd.DataFrame:
+        if "rid" not in df.columns:
+            return pd.DataFrame({"rid": pd.Series(dtype=object)})
+        keys = ray.get(ref)
+        rh = rid_hash64(df["rid"].to_numpy())
+        pos = np.minimum(np.searchsorted(keys, rh), len(keys) - 1)
+        return df.loc[keys[pos] == rh, ["rid"]]
+
+    got = (
+        rd.read_parquet(f"{state_dir}/assignments", columns=["rid"])
+        .map_batches(hits, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(got):
+        sample = sorted(got["rid"].tolist())[:5]
+        raise ValueError(
+            f"incremental append: {len(got)} rid(s) of the new batch already "
+            f"exist in the persisted state (e.g. {sample}). Re-delivered or "
+            "continued rows must be dropped or re-keyed before appending — "
+            "incremental never mutates existing assignments."
+        )
+
+
+def _build_frontier_keys(combined: rd.Dataset, new_keys: np.ndarray) -> np.ndarray:
+    """Endpoint-mode frontier: sorted uint32 band keys OF NEW ROWS that
+    >= 2 combined rows share, via a distributed count restricted to the
+    (broadcast, increment-bounded) new key set. Nothing corpus-bounded
+    touches the driver: per-block partials are subsets of new_keys and the
+    result is too. The broadcast path gets the same set from
+    pairable ∩ new_keys; this variant never builds the corpus-wide
+    pairable array."""
+    import pyarrow.compute as pc
+
+    empty = np.empty(0, dtype=np.uint32)
+    if len(new_keys) == 0:
+        return empty
+    new_ref = ray.put(np.sort(new_keys.astype(np.uint32)))
+
+    def block_counts(t: pa.Table) -> pa.Table:
+        out = pa.table({"k": pa.array([], pa.uint32()),
+                        "c": pa.array([], pa.int64())})
+        if "n_tokens" not in t.column_names:
+            return out
+        t = t.filter(pc.greater(t["n_tokens"], 0))
+        if t.num_rows == 0:
+            return out
+        nk = ray.get(new_ref)
+        keys = band_keys32(t).reshape(-1).view(np.uint32)
+        pos = np.minimum(np.searchsorted(nk, keys), len(nk) - 1)
+        keys = keys[nk[pos] == keys]
+        if not len(keys):
+            return out
+        u, c = np.unique(keys, return_counts=True)
+        return pa.table({"k": pa.array(u), "c": pa.array(c.astype(np.int64))})
+
+    parts = combined.map_batches(block_counts, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return empty
+    u, inv = np.unique(parts["k"].to_numpy().astype(np.uint32),
+                       return_inverse=True)
+    tot = np.bincount(inv, weights=parts["c"].to_numpy(), minlength=len(u))
+    return u[tot >= 2]
+
+
+def _make_frontier_carriers(frontier_ref, n_buckets: int):
+    """Carrier rows for the endpoint attach, prefiltered map-side to rows
+    with >= 1 band key in the frontier — every surviving pair's endpoints
+    formed inside a frontier band group, so all their carriers survive the
+    prune (exact), while rows untouched by the increment ship nothing."""
+    import pyarrow.compute as pc
+
+    carrier = make_carrier_rows(n_buckets)
+
+    def frontier_carrier_rows(t: pa.Table) -> pa.Table:
+        if "rh" not in t.column_names:
+            return PAIRX_SCHEMA.empty_table()
+        t = t.filter(pc.greater(t["n_tokens"], 0))
+        if t.num_rows == 0:
+            return PAIRX_SCHEMA.empty_table()
+        frontier = ray.get(frontier_ref)
+        if not len(frontier):
+            return PAIRX_SCHEMA.empty_table()
+        keys = band_keys32(t).view(np.uint32)
+        pos = np.minimum(np.searchsorted(frontier, keys), len(frontier) - 1)
+        hit = (frontier[pos] == keys).any(axis=1)
+        if not hit.any():
+            return PAIRX_SCHEMA.empty_table()
+        return carrier(t.select(["rh", "emb"]).filter(pa.array(hit)))
+
+    return frontier_carrier_rows
+
+
 def run_dedup_incremental(
     new_transcripts: rd.Dataset,
     state_dir: str,
     cfg: DedupConfig | None = None,
+    *,
+    verify_mode: str = "auto",  # auto | broadcast | endpoint
+    broadcast_verify_limit: int = 8_000_000,
 ) -> IncrementalResult:
     from distill_ray.pipelines.dedup import _named
 
@@ -219,43 +339,99 @@ def run_dedup_incremental(
     stats["n_new"] = len(new_win) + len(new_lose)
     stats["n_new_winners"] = len(new_win)
 
-    # 2. combined signature view (old streams from parquet, nothing
-    #    re-sketched) + broadcast artifacts over it
-    old_sig = rd.read_parquet(f"{state_dir}/signatures")
-    combined = old_sig.union(new_fused).materialize()
-    lookup_ref, pairable_ref = build_broadcast_artifacts(combined)
-
-    # 3. frontier prune: pairable keys that a NEW row actually touches
-    new_keys = _new_band_keys(new_fused)
-    pairable = ray.get(pairable_ref)
-    frontier = np.intersect1d(pairable, new_keys, assume_unique=True)
-    frontier_ref = ray.put(frontier)
-    stats["n_frontier_keys"] = int(len(frontier))
-
-    # 4. band pairs within frontier groups, in-band cosine verify, then
-    #    the multiset collapse + >= min_band_collisions count (identical
-    #    kernels to run_dedup's broadcast mode)
-    raw_pairs = (
-        combined.map_batches(
-            make_expand_bands_numeric(B, include_simhash=False,
-                                      pairable_ref=frontier_ref),
-            batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(
-            _named(BandPairNumericBucket(
-                cfg, narrow=True, sim_lookup=lookup_ref,
-                verify_threshold=cfg.threshold), "inc_band_pairs"),
-            batch_format="pyarrow")
-    ).materialize()
-    edges = (
-        raw_pairs.groupby("kbucket")
-        .map_groups(
-            _named(make_dedupe_verify_broadcast(
-                cfg.min_band_collisions, cfg.threshold, lookup_ref,
-                preverified=True), "inc_dedupe_verify"),
-            batch_format="pyarrow")
-        .to_pandas()
+    # 1b. guard: a re-delivered rid aliases its old row's rh — fail fast
+    #     with a clear message instead of a silent singleton / opaque
+    #     collision error downstream (winners AND exact-dup losers)
+    _assert_rids_fresh(
+        state_dir,
+        rid_hash64(pd.concat([new_win["rid"], new_lose["rid"]],
+                             ignore_index=True).to_numpy()),
     )
+
+    # 2. combined signature view (old streams from parquet, nothing
+    #    re-sketched); pick the verify mode on the combined unique count
+    old_sig = rd.read_parquet(f"{state_dir}/signatures")
+    n_old = old_sig.count()  # metadata-only for parquet
+    combined = old_sig.union(new_fused).materialize()
+    new_keys = _new_band_keys(new_fused)
+    if verify_mode == "auto":
+        verify_mode = (
+            "broadcast" if n_old + len(new_win) <= broadcast_verify_limit
+            else "endpoint"
+        )
+    stats["verify_mode"] = verify_mode
+
+    # 3+4. frontier prune (band groups where a NEW row collides) + band
+    #      pairs + multiset collapse + >= min_band_collisions + exact
+    #      cosine verify — same kernels as run_dedup's two modes
+    if verify_mode == "broadcast":
+        lookup_ref, pairable_ref = build_broadcast_artifacts(combined)
+        pairable = ray.get(pairable_ref)
+        frontier = np.intersect1d(pairable, new_keys.astype(np.uint32),
+                                  assume_unique=True)
+        frontier_ref = ray.put(frontier)
+        stats["n_frontier_keys"] = int(len(frontier))
+        raw_pairs = (
+            combined.map_batches(
+                make_expand_bands_numeric(B, include_simhash=False,
+                                          pairable_ref=frontier_ref),
+                batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(
+                _named(BandPairNumericBucket(
+                    cfg, narrow=True, sim_lookup=lookup_ref,
+                    verify_threshold=cfg.threshold), "inc_band_pairs"),
+                batch_format="pyarrow")
+        ).materialize()
+        edges = (
+            raw_pairs.groupby("kbucket")
+            .map_groups(
+                _named(make_dedupe_verify_broadcast(
+                    cfg.min_band_collisions, cfg.threshold, lookup_ref,
+                    preverified=True), "inc_dedupe_verify"),
+                batch_format="pyarrow")
+            .to_pandas()
+        )
+    else:
+        # endpoint: nothing corpus-bounded is broadcast — the frontier is
+        # an increment-bounded distributed count, band rows stay narrow
+        # (+simhash for the in-band hamming gate), embeddings travel once
+        # per frontier-touching row as carrier rows
+        frontier = _build_frontier_keys(combined, new_keys)
+        frontier_ref = ray.put(frontier)
+        stats["n_frontier_keys"] = int(len(frontier))
+        if len(frontier) == 0:
+            edges = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                  "b": pd.Series(dtype="int64")})
+        else:
+            raw_pairs = (
+                combined.map_batches(
+                    make_expand_bands_numeric(B, pairable_ref=frontier_ref),
+                    batch_format="pyarrow")
+                .groupby("bucket")
+                .map_groups(_named(BandPairNumericBucket(cfg),
+                                   "inc_band_pairs"),
+                            batch_format="pyarrow")
+            ).materialize()
+            carriers = combined.map_batches(
+                _make_frontier_carriers(frontier_ref, B),
+                batch_format="pyarrow")
+            attached_a = (
+                raw_pairs.union(carriers)
+                .groupby("kbucket")
+                .map_groups(
+                    _named(make_dedupe_attach_a_bucket(
+                        B, cfg.min_band_collisions), "inc_attach_a"),
+                    batch_format="pyarrow")
+            ).materialize()
+            edges = (
+                attached_a.union(carriers)
+                .groupby("kbucket")
+                .map_groups(_named(make_attach_b_verify_bucket(cfg.threshold),
+                                   "inc_attach_b_verify"),
+                            batch_format="pyarrow")
+                .to_pandas()
+            )
     if edges.empty:  # all-unique batch: all-empty to_pandas drops columns
         edges = pd.DataFrame({"a": pd.Series(dtype="int64"),
                               "b": pd.Series(dtype="int64")})

@@ -766,9 +766,19 @@ FROM m ORDER BY event_type
 def q_value_quantiles_cont(sf_dir: str) -> pd.DataFrame:
     """Interpolated (percentile_cont) p25/p50/p95 of value per event type
     via the value-histogram exchange: ONE groupby over (type, value)
-    counts — bounded by distinct pairs — then the driver interpolates
-    between adjacent order statistics at rank q*(n-1), the same formula
-    DuckDB's percentile_cont evaluates."""
+    counts, then the driver interpolates between adjacent order statistics
+    at rank q*(n-1), the same formula DuckDB's percentile_cont evaluates.
+
+    SCALE CAVEAT: `value` here is a continuous float64, so distinct
+    (type, value) pairs ~ row count — the histogram exchange and the
+    driver cumsum are corpus-scale, unlike the integer-valued
+    q_length_quantiles this pattern is borrowed from (whose exchange is
+    bounded by the value domain). This query exists for the exact-oracle
+    gate; at 100-TB scale use a bounded representation instead —
+    fixed-precision value quantization (round to the needed output
+    precision first, making the exchange domain-bounded again) or a
+    distributed t-digest/per-group partial sort — trading exactness of
+    the interpolation boundary for cardinality-bounded driver work."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_type", "value"])
 
@@ -1028,28 +1038,40 @@ def q_knn_batch(sf_dir: str) -> pd.DataFrame:
     excluded. The query matrix broadcasts once (ray.put); each batch does
     ONE (batch x dim) @ (dim x nq) matmul and emits only its local top-k
     per query, so the driver merge is bounded by k * nq * n_blocks —
-    output-scale, never corpus-scale."""
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
-    df = t.to_pandas()
-    qdf = df[df["vec_id"] % _KNN_BATCH_MOD == 0]
+    output-scale, never corpus-scale. The query-set extraction is itself
+    a distributed filtered scan: only the ~1/211 query rows ever reach
+    the driver."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def pick_queries(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["vec_id"] % _KNN_BATCH_MOD == 0]
+
+    qdf = (
+        ds.map_batches(pick_queries, batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
     qids = qdf["vec_id"].to_numpy().astype(np.int64)
     qm = np.stack([np.asarray(e, dtype=np.float64) for e in qdf["embedding"]])
     qm = qm / np.sqrt(np.einsum("ij,ij->i", qm, qm))[:, None]
     q_ref = ray.put((qids, qm))
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
-
     def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
         ids, qmat = ray.get(q_ref)
+        # explicit vec_id-ascending order INSIDE the batch so the stable
+        # argsort's tie-break is (sim desc, vec_id asc) regardless of the
+        # source's row order (a shuffled parquet must not change the
+        # candidate set at the k boundary)
+        df = df.sort_values("vec_id")
         m = np.stack([np.asarray(e, dtype=np.float64) for e in df["embedding"]])
         m = m / np.sqrt(np.einsum("ij,ij->i", m, m))[:, None]
         sims = m @ qmat.T  # (batch, nq)
         vid = df["vec_id"].to_numpy().astype(np.int64)
         sims[vid[:, None] == ids[None, :]] = -np.inf  # self-match
         k = min(_KNN_BATCH_K, len(vid))
-        top = np.argsort(-sims, axis=0, kind="stable")[:k]  # ties: later rows lose
+        top = np.argsort(-sims, axis=0, kind="stable")[:k]  # ties: vec_id asc wins
         cols = np.broadcast_to(np.arange(len(ids)), top.shape)
         return pd.DataFrame(
             {"qid": ids[cols.ravel()], "vec_id": vid[top.ravel()],

@@ -95,6 +95,140 @@ def q_near_dup_pairs_docs(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_near_dup_pairs_exact_docs(sf_dir: str) -> pd.DataFrame:
+    """SQL-checkable twin of near_dup_pairs_docs: exact BRUTE-FORCE
+    near-dup pairs at cosine distance <= 0.15 over the deterministic
+    FNV feature-hash embedding (dim 64, ±1 sign from the splitmix64
+    finalizer's top bit, integer count vectors). The DuckDB oracle
+    reproduces the ENTIRE operator — tokenize, FNV-1a64 per token,
+    sign/bucket feature hash, integer-vector cosine — so the gate checks
+    the embedding kernel itself, not just row counts. All intermediate
+    vector components/dots are small integers (exact in float64) and both
+    sides evaluate 1 - dot/(sqrt(sa)*sqrt(sb)) with the same correctly-
+    rounded IEEE ops, so the threshold decision is bit-identical.
+
+    Distributed blocked all-pairs (same audit-scale guard as
+    q_embedding_near_dups; LSH is the pipeline-scale path)."""
+    from distill_ray.kernels.embed import tokenize_series
+    from distill_ray.kernels.hashing import mix64
+
+    dim = 64
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def feat(df: pd.DataFrame) -> pd.DataFrame:
+        th, dl = tokenize_series(df["text"], token_hash="fnv")
+        n = len(df)
+        out = np.zeros((n, dim), dtype=np.float64)
+        if len(th):
+            doc_ids = np.repeat(np.arange(n), dl)
+            idx = (th % np.uint64(dim)).astype(np.int64)
+            sign = np.where((mix64(th) >> np.uint64(63)).astype(bool),
+                            1.0, -1.0)
+            np.add.at(out, (doc_ids, idx), sign)
+        return pd.DataFrame({"vec_id": df["doc_id"].astype("int64"),
+                             "emb": [row.tobytes() for row in out]})
+
+    base = ds.map_batches(feat, batch_format="pandas")
+    n = base.count()
+    if n > _ALL_PAIRS_MAX_ROWS:
+        raise ValueError(
+            f"near_dup_pairs_exact_docs is exact all-pairs (O(N^2)) and is "
+            f"capped at {_ALL_PAIRS_MAX_ROWS} rows; got {n}. Use the LSH "
+            "pipeline (near_dup_pairs_docs) for large tables."
+        )
+    n_blocks = max(1, -(-n // 2048))
+    blocks = base.repartition(n_blocks).materialize().to_pandas_refs()
+    k = len(blocks)
+    tasks = rd.from_items([{"i": i, "j": j}
+                           for i in range(k) for j in range(i, k)])
+
+    def block_pair(dfp: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for i, j in zip(dfp["i"].to_numpy(), dfp["j"].to_numpy()):
+            da, db = ray.get(blocks[int(i)]), ray.get(blocks[int(j)])
+            ids_a = da["vec_id"].to_numpy()
+            ids_b = db["vec_id"].to_numpy()
+            ma = np.frombuffer(b"".join(da["emb"]),
+                               dtype=np.float64).reshape(len(da), dim)
+            mb = np.frombuffer(b"".join(db["emb"]),
+                               dtype=np.float64).reshape(len(db), dim)
+            sa = np.einsum("ij,ij->i", ma, ma)  # integer-valued, exact
+            sb = np.einsum("ij,ij->i", mb, mb)
+            dots = ma @ mb.T
+            with np.errstate(divide="ignore", invalid="ignore"):
+                dist = 1.0 - (dots / (np.sqrt(sa)[:, None]
+                                      * np.sqrt(sb)[None, :]))
+            ii, jj = np.nonzero(dist <= 0.15)  # NaN (zero-norm) never passes
+            keep = (ids_a[ii] < ids_b[jj]) if int(i) == int(j) \
+                else (ids_a[ii] != ids_b[jj])
+            ii, jj = ii[keep], jj[keep]
+            outs.append(pd.DataFrame(
+                {"a": np.minimum(ids_a[ii], ids_b[jj]),
+                 "b": np.maximum(ids_a[ii], ids_b[jj]),
+                 "dist": np.round(dist[ii, jj], 6)}))
+        if not outs:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "dist": pd.Series(dtype="float64")})
+        return pd.concat(outs, ignore_index=True)
+
+    out = tasks.map_batches(block_pair, batch_format="pandas",
+                            batch_size=1).to_pandas()
+    out["a"] = out["a"].astype("int64")
+    out["b"] = out["b"].astype("int64")
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# The oracle IS the operator in SQL: same tokenization, the FNV-1a64
+# byte-fold of SIMHASH_DOCS_SQL, the splitmix64 finalizer chain of
+# _SPLITMIX_H_CTE for the ±1 sign, bucket = h % 64, per-(doc, bucket)
+# integer sums, then exact cosine via a bucket-equijoin (missing buckets
+# contribute 0 to the dot exactly as in the dense numpy vectors).
+NEAR_DUP_PAIRS_EXACT_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           list_transform(string_split_regex(text, '\s+'),
+                          x -> lower(trim(x, '.,;:!?"''()[]{}'))),
+           t -> len(t) > 0)) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(14695981039346656037::UHUGEINT,
+             list_transform(range(1, length(tok) + 1),
+                            i -> ascii(substr(tok, i, 1))::UHUGEINT)),
+           (h, b) -> ((xor(h::UBIGINT, b::UBIGINT))::UHUGEINT
+                      * 1099511628211::UHUGEINT)
+                     % 18446744073709551616::UHUGEINT
+         )::UBIGINT AS h
+  FROM toks
+),
+s1 AS (SELECT doc_id, h, xor(h, h >> 30) AS x FROM th),
+s2 AS (SELECT doc_id, h, ((x::UHUGEINT * 13787848793156543929::UHUGEINT)
+                          % 18446744073709551616::UHUGEINT)::UBIGINT AS x FROM s1),
+s3 AS (SELECT doc_id, h, xor(x, x >> 27) AS x FROM s2),
+s4 AS (SELECT doc_id, h, ((x::UHUGEINT * 10723151780598845931::UHUGEINT)
+                          % 18446744073709551616::UHUGEINT)::UBIGINT AS x FROM s3),
+sgn AS (SELECT doc_id, h,
+               CASE WHEN (xor(x, x >> 31) >> 63) = 1 THEN 1.0 ELSE -1.0 END AS s
+        FROM s4),
+feat AS (SELECT doc_id, (h % 64) AS bucket, SUM(s) AS v
+         FROM sgn GROUP BY doc_id, h % 64),
+nrm AS (SELECT doc_id, SUM(v * v) AS ss FROM feat GROUP BY doc_id),
+dots AS (SELECT x.doc_id AS a, y.doc_id AS b, SUM(x.v * y.v) AS dot
+         FROM feat x JOIN feat y ON x.bucket = y.bucket
+                                AND x.doc_id < y.doc_id
+         GROUP BY x.doc_id, y.doc_id),
+dd AS (SELECT a, b, 1 - (dot / (sqrt(na.ss) * sqrt(nb.ss))) AS dist
+       FROM dots JOIN nrm na ON na.doc_id = dots.a
+                 JOIN nrm nb ON nb.doc_id = dots.b)
+SELECT a, b, round(dist, 6) AS dist FROM dd WHERE dist <= 0.15 ORDER BY a, b
+"""
+
+
 def q_simhash_docs(sf_dir: str) -> rd.Dataset:
     """64-bit SimHash per document (as int64 view), over FNV-1a token
     hashes. The dedup pipeline's simhash gate runs the same simhash64
@@ -390,6 +524,12 @@ def _decoded_block(ref):
     return hit
 
 
+# Ceiling for the exact all-pairs operator: ~100k rows = ~2.4k block-pair
+# tasks at 2048-row blocks (~5e9 cosine cells) — an intentional audit-scale
+# bound, far below anything a near-dup PIPELINE should do (use LSH there).
+_ALL_PAIRS_MAX_ROWS = 100_000
+
+
 def q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
     """Embedding-cosine near-dup pairs (sim >= 0.3) via DISTRIBUTED blocked
     all-pairs: the table is split into ~2k-row blocks held in the object
@@ -405,11 +545,22 @@ def q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
     all-pairs is inherently O(N^2) compute; the scale answer is to
     distribute it evenly, which this does. The bucketed LSH path IS the
     right tool in the high-similarity regime — see
-    q_embedding_near_dups_lsh (sim >= 0.45, exact-by-margin recall)."""
+    q_embedding_near_dups_lsh (sim >= 0.45, exact-by-margin recall).
+
+    GUARDED: raises above _ALL_PAIRS_MAX_ROWS rows — O(N^2) compute is a
+    deliberate tool for exact low-threshold audits of bounded tables, not
+    a pipeline stage a 100-TB table may flow through."""
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     base = ds.map_batches(_encode_emb_batch, batch_format="pandas")
     n = base.count()
+    if n > _ALL_PAIRS_MAX_ROWS:
+        raise ValueError(
+            f"embedding_near_dups is exact all-pairs (O(N^2)) and is capped "
+            f"at {_ALL_PAIRS_MAX_ROWS} rows; got {n}. For large tables use "
+            "q_embedding_near_dups_lsh (high-similarity regime) or "
+            "q_ann_ivf (top-k neighbors)."
+        )
     n_blocks = max(1, -(-n // 2048))
     blocks = base.repartition(n_blocks).materialize().to_pandas_refs()
     k = len(blocks)

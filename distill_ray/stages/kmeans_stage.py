@@ -21,9 +21,10 @@ Execution design (the reference recommends K-Means for N >= 10,000 —
   output-equivalent because a centroid fixpoint makes every subsequent
   assignment pass a no-op.
 - medoid-prune runs as a coarse-bucketed groupby over cluster ids
-  (cluster % shuffle_buckets) with the scalar parity kernel per member —
-  members-per-cluster is O(sqrt N) by the K rule, so the per-group work is
-  bounded and the shuffle moves one 256-byte embedding per row, once.
+  (cluster % shuffle_buckets) with the shared vectorized distance kernel
+  (two vector ops per cluster) — members-per-cluster is O(sqrt N) by the K
+  rule, so the per-group work is bounded and the shuffle moves one
+  256-byte embedding per row, once.
 
 Float caveat (documented, tested): per-batch partial sums add in a
 different order than the oracle's single ``np.mean``; distances may differ
@@ -42,7 +43,7 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-from distill_ray.kernels.vmath import cosine_distance
+from distill_ray.kernels.vmath import cosine_distance, cosine_distances_to
 from distill_ray.oracle.kmeans import _distances_to_centroids
 
 
@@ -113,8 +114,12 @@ class _PruneBucket:
 
     Exact kmeans.go:311-351 semantics: members in ascending vec_id (== row
     rank) order; medoid = first-min cosine distance to the float32-cast
-    centroid; keep medoid, keep others iff distance-to-medoid >= threshold.
-    Uses the scalar parity kernel so distances match the oracle bit-for-bit.
+    centroid (np.argmin == strict-< first-min); keep medoid, keep others
+    iff distance-to-medoid >= threshold. Distances come from the shared
+    vectorized kernel (vmath.cosine_distances_to) — two vector ops per
+    cluster instead of a per-member Python loop; decision parity vs the
+    scalar oracle kernel is asserted in tests/test_kernels.py and
+    end-to-end in test_kmeans_distributed.
     """
 
     def __init__(self, cref, threshold: float):
@@ -145,20 +150,14 @@ class _PruneBucket:
                 kept_cl.append(int(c))
                 continue
             cvec = self.c[int(c)].astype(np.float32)
-            dists = [cosine_distance(m[i], cvec) for i in range(len(ids))]
-            medoid_pos = 0
-            for p in range(1, len(dists)):
-                if dists[p] < dists[medoid_pos]:
-                    medoid_pos = p
+            medoid_pos = int(np.argmin(cosine_distances_to(m, cvec)))
             kept_ids.append(int(ids[medoid_pos]))
             kept_cl.append(int(c))
-            mv = m[medoid_pos]
-            for i in range(len(ids)):
-                if i == medoid_pos:
-                    continue
-                if cosine_distance(m[i], mv) >= self.threshold:
-                    kept_ids.append(int(ids[i]))
-                    kept_cl.append(int(c))
+            keep = cosine_distances_to(m, m[medoid_pos]) >= self.threshold
+            keep[medoid_pos] = False
+            for i in np.flatnonzero(keep):
+                kept_ids.append(int(ids[i]))
+                kept_cl.append(int(c))
         return pd.DataFrame({"vec_id": pd.Series(kept_ids, dtype="int64"),
                              "cluster": pd.Series(kept_cl, dtype="int64")})
 

@@ -383,3 +383,24 @@ def test_prune_sql_oracle_parity(tmp_path):
     )
     want = con.execute(PRUNE_DOCS_SQL).df().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_all_pairs_guard(monkeypatch, tmp_path):
+    """The exact all-pairs embedding operator must refuse tables above its
+    documented ceiling and point at the LSH/ANN scale paths."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distill_ray.pipelines import queries_ops as qo
+
+    monkeypatch.setattr(qo, "_ALL_PAIRS_MAX_ROWS", 50)
+    big = pd.DataFrame(
+        {"vec_id": np.arange(60, dtype=np.int64),
+         "embedding": [np.ones(4, dtype=np.float32) for _ in range(60)]}
+    )
+    pq.write_table(pa.Table.from_pandas(big), str(tmp_path / "embeddings.parquet"))
+    with pytest.raises(ValueError, match="all-pairs"):
+        qo.q_embedding_near_dups(str(tmp_path))

@@ -1,0 +1,89 @@
+"""M20 config surface: ${VAR:-default} interpolation + range/enum
+validation (reference /root/reference/pkg/config/config.go:124-270)."""
+
+from __future__ import annotations
+
+import pytest
+
+from distill_ray.config import (
+    DedupConfig,
+    MemoryConfig,
+    SummarizeConfig,
+    interpolate_env,
+    load_config,
+    validate_config,
+)
+
+
+def test_interpolate_env_set(monkeypatch):
+    monkeypatch.setenv("DR_HOST", "h1.example")
+    assert interpolate_env("http://${DR_HOST}:8080") == "http://h1.example:8080"
+
+
+def test_interpolate_env_set_empty_wins_over_default(monkeypatch):
+    # Go LookupEnv semantics: a SET-but-empty variable beats the default
+    monkeypatch.setenv("DR_EMPTY", "")
+    assert interpolate_env("x${DR_EMPTY:-fallback}y") == "xy"
+
+
+def test_interpolate_env_default(monkeypatch):
+    monkeypatch.delenv("DR_MISSING", raising=False)
+    assert interpolate_env("${DR_MISSING:-fallback}") == "fallback"
+
+
+def test_interpolate_env_unset_no_default_left_verbatim(monkeypatch):
+    monkeypatch.delenv("DR_MISSING", raising=False)
+    assert interpolate_env("a ${DR_MISSING} b") == "a ${DR_MISSING} b"
+
+
+def test_interpolate_env_multiple(monkeypatch):
+    monkeypatch.setenv("A", "1")
+    monkeypatch.delenv("B", raising=False)
+    assert interpolate_env("${A}/${B:-2}/${A:-9}") == "1/2/1"
+
+
+def test_load_config_env_coercion(monkeypatch):
+    monkeypatch.setenv("DR_THRESH", "0.2")
+    monkeypatch.setenv("DR_LINKAGE", "single")
+    cfg = load_config({"threshold": "${DR_THRESH}",
+                       "linkage": "${DR_LINKAGE:-average}",
+                       "num_perm": "64", "lsh_bands": 16})
+    assert cfg.threshold == 0.2
+    assert cfg.linkage == "single"
+    assert cfg.num_perm == 64 and cfg.lsh_rows == 4
+
+
+def test_load_config_unknown_key():
+    with pytest.raises(ValueError, match="unknown config key"):
+        load_config({"treshold": 0.2})
+
+
+def test_validate_collects_all_errors():
+    bad = DedupConfig(threshold=1.5, linkage="ward", mmr_lambda=-0.1,
+                      lsh_bands=7)
+    with pytest.raises(ValueError) as ei:
+        validate_config(bad)
+    msg = str(ei.value)
+    assert "dedup.threshold" in msg
+    assert "unsupported linkage 'ward'" in msg
+    assert "dedup.mmr_lambda" in msg
+    assert "must divide num_perm" in msg
+
+
+def test_validate_defaults_pass():
+    validate_config(DedupConfig())
+    validate_config(SummarizeConfig())
+    validate_config(MemoryConfig())
+
+
+def test_validate_memory_and_summarize_ranges():
+    with pytest.raises(ValueError, match="memory.dedup_threshold"):
+        validate_config(MemoryConfig(dedup_threshold=2.0))
+    with pytest.raises(ValueError, match="summarize.preserve_recent"):
+        validate_config(SummarizeConfig(preserve_recent=-1))
+
+
+def test_default_config_hash_stable():
+    """Adding the M20 surface must not move the checkpoint config hash of
+    default configs (manifest compatibility across rounds)."""
+    assert DedupConfig().config_hash() == "08fca404de460c43"

@@ -196,3 +196,40 @@ def test_all_unique_batch_no_edges(ray_session, tmp_path):
     # is its own representative
     assert got["is_new_cluster"].all()
     assert (got["cluster_id"] == got["rid"]).all()
+
+
+def test_endpoint_mode_matches_broadcast(incremental_setup, tmp_path):
+    """Forced endpoint verify (the >8M-row-state path: distributed
+    frontier, carrier-row attach, nothing broadcast) must produce the
+    exact assignment set of the broadcast mode."""
+    old, new, *_ = incremental_setup
+    cfg = DedupConfig()
+    res = run_dedup(rd.from_pandas(old), cfg)
+    state_dir = str(tmp_path / "state_ep")
+    save_dedup_state(res.signatures, res.assignments, state_dir)
+
+    bc = run_dedup_incremental(rd.from_pandas(new), state_dir, cfg,
+                               verify_mode="broadcast")
+    ep = run_dedup_incremental(rd.from_pandas(new), state_dir, cfg,
+                               verify_mode="endpoint")
+    assert ep.stats["verify_mode"] == "endpoint"
+    cols = ["rid", "cluster_id", "is_new_cluster", "is_representative"]
+    a = bc.assignments[cols].sort_values("rid").reset_index(drop=True)
+    b = ep.assignments[cols].sort_values("rid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert ep.stats["n_edges_new"] == bc.stats["n_edges_new"]
+
+
+def test_redelivered_rids_rejected(incremental_setup, tmp_path):
+    """A new batch whose rids already exist in the state (re-delivered
+    file / continued conv) must fail fast with a clear error, not become
+    silent singletons."""
+    old, new, *_ = incremental_setup
+    cfg = DedupConfig()
+    res = run_dedup(rd.from_pandas(old), cfg)
+    state_dir = str(tmp_path / "state_guard")
+    save_dedup_state(res.signatures, res.assignments, state_dir)
+
+    redelivered = old.iloc[:5]  # same conv_id/turn_idx -> same rids
+    with pytest.raises(ValueError, match="already"):
+        run_dedup_incremental(rd.from_pandas(redelivered), state_dir, cfg)

@@ -257,3 +257,34 @@ def test_sensitivity_levels():
 def test_sensitivity_max_wins():
     text = "email a@b.co password=deadbeef"
     assert sens.classify_level(text) == sens.CREDENTIALS
+
+
+def test_cosine_distances_to_matches_scalar():
+    """Vectorized row-distances kernel vs the scalar reference port:
+    element closeness at 1e-12 and DECISION parity (first-min medoid pick,
+    >= threshold keep set) on random float32 fixtures + edge rules."""
+    import numpy as np
+
+    from distill_ray.kernels.vmath import cosine_distance, cosine_distances_to
+
+    rng = np.random.default_rng(123)
+    for dim in (8, 64, 257):
+        m = rng.normal(size=(300, dim)).astype(np.float32)
+        v = rng.normal(size=dim).astype(np.float32)
+        got = cosine_distances_to(m, v)
+        want = np.array([cosine_distance(m[i], v) for i in range(len(m))])
+        assert np.allclose(got, want, rtol=0, atol=1e-12)
+        assert int(np.argmin(got)) == int(np.argmin(want))
+        for th in (0.05, 0.15, 0.5):
+            assert ((got >= th) == (want >= th)).all()
+    # edge rules: zero-norm row / zero-norm query / width mismatch / empty
+    m = np.stack([np.zeros(8, np.float32), np.ones(8, np.float32)])
+    assert cosine_distances_to(m, np.ones(8, np.float32))[0] == 2.0
+    assert (cosine_distances_to(m, np.zeros(8, np.float32)) == 2.0).all()
+    wide = cosine_distances_to(np.ones((2, 12), np.float32),
+                               np.ones(8, np.float32))
+    assert np.allclose(wide, 0.0)
+    assert len(cosine_distances_to(np.empty((0, 8), np.float32),
+                                   np.ones(8, np.float32))) == 0
+    assert (cosine_distances_to(np.empty((2, 0), np.float32),
+                                np.ones(8, np.float32)) == 2.0).all()

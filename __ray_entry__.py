@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_stability": qa.q_prefix_stability,
         "ttl_tracker": qa.q_ttl_tracker,
         "compress_placeholder_docs": qa.q_compress_placeholder_docs,
+        "serve_dedupe_requests": qa.q_serve_dedupe_requests,
     }
 
 

@@ -7,6 +7,7 @@
     python -m distill_ray dedup --input day0.parquet --output /tmp/a --state-dir /tmp/s0
     python -m distill_ray incremental --input day1.parquet --output /tmp/b \
         --state-dir /tmp/s0 --next-state-dir /tmp/s1
+    python -m distill_ray serve --input requests.jsonl --output /tmp/resp
 
 Owns its Ray session (guarded init; the driver/test paths never come
 through here). Outputs are partitioned parquet directories plus checkpoint
@@ -23,7 +24,7 @@ import sys
 def main(argv=None):
     p = argparse.ArgumentParser(prog="distill_ray")
     p.add_argument("verb", choices=["dedup", "spans", "summarize", "pipeline",
-                                    "incremental"])
+                                    "incremental", "serve"])
     p.add_argument("--input", required=True, help="input transcripts parquet")
     p.add_argument("--output", required=True, help="output directory")
     p.add_argument("--checkpoint-dir", default="", help="resume checkpoints here")
@@ -57,8 +58,21 @@ def main(argv=None):
     from distill_ray.config import DedupConfig, SummarizeConfig
 
     cfg = DedupConfig(threshold=args.threshold)
-    ds = rd.read_parquet(args.input)
     stats: dict = {}
+
+    if args.verb == "serve":
+        # request-shaped surface: JSONL requests in, parquet responses out
+        # (the batch analog of the reference's POST /v1/dedupe — see
+        # pipelines/serve.py)
+        from distill_ray.pipelines.serve import serve_requests
+
+        stats = serve_requests(args.input, args.output)
+        print(json.dumps({"verb": "serve", "output": args.output,
+                          "stats": stats}, default=str))
+        ray.shutdown()
+        return
+
+    ds = rd.read_parquet(args.input)
 
     if args.verb == "dedup":
         from distill_ray.pipelines.dedup import run_dedup

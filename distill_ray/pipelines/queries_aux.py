@@ -885,3 +885,48 @@ SELECT event_id, round(sum(value) OVER w, 4) AS run_sum,
 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING)
 """
+
+
+def q_serve_dedupe_requests(sf_dir: str) -> pd.DataFrame:
+    """X8 request-shaped service surface (pipelines/serve.py): documents
+    grouped 20-per-request into /v1/dedupe-style JSONL requests (chunks
+    with deterministic feature-hash embeddings computed by the service's
+    missing-embedding path), processed through the batch serve loop, with
+    per-request reference-shaped stats as the result table. Rows-only by
+    contract (agglomerative clustering is not SQL-expressible); the
+    kernel-level semantics are pinned by tests/test_serve.py."""
+    import json
+    import tempfile
+
+    from distill_ray.pipelines.serve import serve_requests
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+
+    rows = []
+    with tempfile.TemporaryDirectory(prefix="serve_q_") as td:
+        req_path = f"{td}/reqs.jsonl"
+        with open(req_path, "w") as f:
+            for start in range(0, len(docs), 20):
+                grp = docs.iloc[start:start + 20]
+                req = {
+                    "request_id": f"req{start // 20:04d}",
+                    "chunks": [
+                        {"id": f"d{int(r.doc_id)}", "text": str(r.text),
+                         "score": round(1.0 / (1 + int(r.doc_id)), 6)}
+                        for r in grp.itertuples()
+                    ],
+                }
+                f.write(json.dumps(req) + "\n")
+        serve_requests(req_path, f"{td}/resp")
+        t = pq.read_table(f"{td}/resp").to_pandas()
+        for rid, body in zip(t["request_id"], t["response"]):
+            resp = json.loads(body)
+            s = resp["stats"]
+            rows.append({"request_id": rid,
+                         "input_count": s["input_count"],
+                         "output_count": s["output_count"],
+                         "cluster_count": s["cluster_count"]})
+    return (pd.DataFrame(rows)
+            .sort_values("request_id").reset_index(drop=True))

@@ -1,0 +1,173 @@
+"""Request-shaped dedup surface — the batch analog of the reference's
+service endpoints (X8).
+
+The reference exposes the dedup kernel as HTTP `POST /v1/dedupe`
+(/root/reference/cmd/api.go:425-587), MCP tools (cmd/mcp.go:306-445) and
+the broker's no-retrieval `ProcessChunks` (pkg/contextlab/broker.go:262-301).
+This sandbox has no network, so the service surface is FILE-shaped: a JSONL
+file of request objects in, a JSONL of response objects out — but each
+request flows through the exact per-request kernel chain the reference
+runs:
+
+  [optional prefix freeze at the last cache_control marker (M19,
+   cmd/api.go:461-467)] -> embed missing embeddings (deterministic
+  feature-hash embedder standing in for the provider call,
+  cmd/api.go:469-494) -> agglomerative cluster at the request threshold
+  (C2, cmd/api.go:510-519) -> representative selection (C3, score
+  strategy) -> MMR when target_k is exceeded (C5, cmd/api.go:521-537) ->
+  re-prepend frozen prefix + stats (cmd/api.go:539-587).
+
+Requests are independent and request-scale (the reference regime is
+N=20-50 chunks, FAQ.md:161), so the Ray mapping is one stateless
+map_batches over request lines — each worker processes whole requests
+with driver-grade kernels; scale comes from the number of requests, not
+the size of one.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+import pandas as pd
+
+
+def process_chunks(
+    chunks: list[dict],
+    threshold: float = 0.15,
+    target_k: int = 0,
+    lam: float = 0.5,
+    select_strategy: str = "score",
+    embed_dim: int = 64,
+) -> dict:
+    """ProcessChunks semantics (broker.go:262-301 + the /v1/dedupe handler
+    path): cluster -> select representatives -> MMR if target_k exceeded.
+
+    Each chunk: {"id": str, "text": str, "embedding": [float]?,
+    "score": float?, "metadata": {...}?, "cache_control": bool?}.
+    Returns {"chunks": [...], "stats": {...}} with reference-shaped stats
+    (reduction_pct, cluster_count, prefix_hash — api.go:558-576).
+    """
+    from distill_ray.kernels.cache import partition_for_cache_aware_dedup
+    from distill_ray.kernels.embed import embed_texts
+    from distill_ray.oracle.cluster import agglomerative_cluster
+    from distill_ray.oracle.mmr import mmr_rerank
+    from distill_ray.oracle.selector import select_representative
+
+    t0 = time.time()
+    n_in = len(chunks)
+    if n_in == 0:
+        return {"chunks": [], "stats": {
+            "input_count": 0, "output_count": 0, "cluster_count": 0,
+            "reduction_pct": 0.0, "prefix_hash": "", "latency_ms": 0.0}}
+
+    texts = [str(c.get("text", "")) for c in chunks]
+    markers = [bool(c.get("cache_control")) for c in chunks]
+
+    # optional prefix freeze (M19): only the suffix is deduped; the frozen
+    # prefix rides through untouched and is re-prepended to the response
+    part = partition_for_cache_aware_dedup(texts, markers)
+    prefix_idx, suffix_idx = part["prefix"], part["suffix"]
+
+    sub = [chunks[i] for i in suffix_idx]
+    sub_texts = [texts[i] for i in suffix_idx]
+
+    # embed missing embeddings once per request (api.go:469-494; the
+    # deterministic embedder stands in for the provider EmbedBatch)
+    need = [i for i, c in enumerate(sub) if not c.get("embedding")]
+    if need:
+        mat = embed_texts(pd.Series([sub_texts[i] for i in need]),
+                          dim=embed_dim)
+        for row, i in enumerate(need):
+            sub[i] = dict(sub[i])
+            sub[i]["embedding"] = mat[row].tolist()
+
+    embs = [np.asarray(c.get("embedding", []), dtype=np.float32)
+            for c in sub]
+    scores = [float(c.get("score", 0.0)) for c in sub]
+
+    res = agglomerative_cluster(embs, threshold=threshold)
+    rep_rows: list[int] = []
+    for cid, members in enumerate(res.members):
+        rep = select_representative(
+            members, scores, sub_texts, embs, res.centroids[cid],
+            strategy=select_strategy)
+        rep_rows.append(rep)
+
+    if target_k > 0 and len(rep_rows) > target_k:
+        order = mmr_rerank([scores[r] for r in rep_rows],
+                           [embs[r] for r in rep_rows],
+                           lam=lam, target_k=target_k)
+        rep_rows = [rep_rows[i] for i in order]
+
+    out_chunks = [
+        {**{k: v for k, v in chunks[i].items()}, "cluster_id": -1}
+        for i in prefix_idx
+    ]
+    for r in rep_rows:
+        c = dict(sub[r])
+        c["cluster_id"] = int(res.cluster_ids[r])
+        out_chunks.append(c)
+
+    n_out = len(out_chunks)
+    return {
+        "chunks": out_chunks,
+        "stats": {
+            "input_count": n_in,
+            "output_count": n_out,
+            "cluster_count": len(res.members),
+            "reduction_pct": round(100.0 * (1.0 - n_out / n_in), 2),
+            "prefix_hash": part["prefix_hash"],
+            "frozen_prefix_tokens": part["frozen_prefix_tokens"],
+            "latency_ms": round(1000.0 * (time.time() - t0), 3),
+        },
+    }
+
+
+def serve_requests(input_path: str, output_dir: str) -> dict:
+    """Batch service loop: JSONL requests in, JSONL responses out.
+
+    Request line: {"request_id": str, "chunks": [...], "threshold"?,
+    "target_k"?, "lambda"?, "select_strategy"?}. Response rows are
+    partitioned parquet with columns (request_id: string, response:
+    JSON string of {"chunks", "stats"} or {"error"}) — malformed lines
+    produce an error response instead of failing the batch, the service
+    analog of S1's malformed-row drop (ingest/pipeline.go:256-304).
+
+    Distribution: requests stream as text lines through one stateless
+    map_batches; outputs are partitioned parquet (one file per block), so
+    a failed run resumes by reprocessing only missing partitions.
+    """
+    import ray.data as rd
+
+    ds = rd.read_text(input_path)
+
+    def handle(df: pd.DataFrame) -> pd.DataFrame:
+        rids, bodies = [], []
+        for line in df["text"]:
+            line = line.strip()
+            if not line:
+                continue
+            rid = None
+            try:
+                req = json.loads(line)
+                rid = req.get("request_id")
+                resp = process_chunks(
+                    req.get("chunks", []),
+                    threshold=float(req.get("threshold", 0.15)),
+                    target_k=int(req.get("target_k", 0)),
+                    lam=float(req.get("lambda", 0.5)),
+                    select_strategy=str(req.get("select_strategy", "score")),
+                )
+                bodies.append(json.dumps(resp, sort_keys=True))
+            except (ValueError, KeyError, TypeError) as exc:
+                bodies.append(json.dumps({"error": str(exc)}, sort_keys=True))
+            rids.append("" if rid is None else str(rid))
+        return pd.DataFrame({"request_id": pd.Series(rids, dtype=object),
+                             "response": pd.Series(bodies, dtype=object)})
+
+    res = ds.map_batches(handle, batch_format="pandas")
+    n = res.count()
+    res.write_parquet(output_dir)
+    return {"requests": n, "output": output_dir}

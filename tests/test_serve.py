@@ -1,0 +1,92 @@
+"""Request-shaped dedup surface (pipelines/serve.py): ProcessChunks
+semantics (broker.go:262-301 / cmd/api.go:425-587) + the JSONL batch
+service loop with malformed-line error responses."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from distill_ray.pipelines.serve import process_chunks, serve_requests
+
+
+def _vec(theta: float) -> list[float]:
+    v = np.zeros(8)
+    v[0], v[1] = np.cos(theta), np.sin(theta)
+    return v.tolist()
+
+
+def test_process_chunks_cluster_select():
+    """Near-dup pair collapses to the higher-score chunk (score strategy);
+    the distinct chunk survives; reference-shaped stats."""
+    chunks = [
+        {"id": "a", "text": "alpha", "embedding": _vec(0.0), "score": 0.9},
+        {"id": "b", "text": "beta", "embedding": _vec(0.05), "score": 0.5},
+        {"id": "c", "text": "gamma", "embedding": _vec(1.2), "score": 0.7},
+    ]
+    r = process_chunks(chunks)
+    assert [c["id"] for c in r["chunks"]] == ["a", "c"]
+    s = r["stats"]
+    assert (s["input_count"], s["output_count"], s["cluster_count"]) == (3, 2, 2)
+    assert s["reduction_pct"] == pytest.approx(33.33, abs=0.01)
+
+
+def test_process_chunks_missing_embeddings_and_prefix_freeze():
+    """Missing embeddings go through the deterministic embedder; chunks up
+    to the last cache_control marker are frozen (M19) — never deduped,
+    re-prepended in order, hashed into prefix_hash."""
+    chunks = [
+        {"id": "p1", "text": "system prompt", "cache_control": True},
+        {"id": "x", "text": "the quick brown fox jumps"},
+        {"id": "y", "text": "the quick brown fox jumps"},
+    ]
+    r = process_chunks(chunks)
+    ids = [c["id"] for c in r["chunks"]]
+    assert ids[0] == "p1" and "x" in ids and "y" not in ids
+    assert r["stats"]["prefix_hash"] != ""
+    assert r["stats"]["frozen_prefix_tokens"] > 0
+
+
+def test_process_chunks_mmr_target_k():
+    """More representatives than target_k triggers the MMR re-rank and
+    bounds the output."""
+    chunks = [
+        {"id": f"c{i}", "text": f"t{i}", "embedding": _vec(0.4 * i),
+         "score": 0.1 * i}
+        for i in range(6)
+    ]
+    r = process_chunks(chunks, target_k=3)
+    assert len(r["chunks"]) == 3
+
+
+def test_process_chunks_empty():
+    r = process_chunks([])
+    assert r["chunks"] == [] and r["stats"]["input_count"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_serve_requests_jsonl_loop(tmp_path):
+    chunks = [
+        {"id": "a", "text": "alpha", "embedding": _vec(0.0), "score": 0.9},
+        {"id": "b", "text": "beta", "embedding": _vec(0.05), "score": 0.5},
+    ]
+    req_path = str(tmp_path / "reqs.jsonl")
+    with open(req_path, "w") as f:
+        f.write(json.dumps({"request_id": "r1", "chunks": chunks}) + "\n")
+        f.write("this is not json\n")
+        f.write(json.dumps({"request_id": "r2", "chunks": []}) + "\n")
+    out_dir = str(tmp_path / "resp")
+    res = serve_requests(req_path, out_dir)
+    assert res["requests"] == 3
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(out_dir).to_pandas()
+    byid = dict(zip(t["request_id"], t["response"]))
+    assert json.loads(byid["r1"])["stats"]["output_count"] == 1
+    assert "error" in json.loads(byid[""])
+    assert json.loads(byid["r2"])["stats"]["input_count"] == 0
+    assert len(os.listdir(out_dir)) >= 1  # partitioned parquet

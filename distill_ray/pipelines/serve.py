@@ -167,7 +167,36 @@ def serve_requests(input_path: str, output_dir: str) -> dict:
         return pd.DataFrame({"request_id": pd.Series(rids, dtype=object),
                              "response": pd.Series(bodies, dtype=object)})
 
-    res = ds.map_batches(handle, batch_format="pandas")
-    n = res.count()
+    res = ds.map_batches(handle, batch_format="pandas").materialize()
+
+    # fold per-request stats into the A7 metrics registry exactly as the
+    # reference's handler does per HTTP request (RecordRequest +
+    # RecordDedup, cmd/api.go:288-296 via pkg/metrics) and persist the
+    # metrics table next to the responses (underscore-prefixed so parquet
+    # dataset readers skip it as a private file)
+    import os
+
+    from distill_ray.state.metrics import MetricsRegistry
+
+    reg = MetricsRegistry()
+    n = 0
+    for b in res.iter_batches(batch_size=4096, batch_format="pandas"):
+        for body in b["response"]:
+            n += 1
+            r = json.loads(body)
+            if "error" in r:
+                reg.record_request("/v1/dedupe", 400, 0.0)
+                continue
+            s = r["stats"]
+            reg.record_request("/v1/dedupe", 200, s["latency_ms"] / 1000.0)
+            reg.record_dedup("/v1/dedupe", s["input_count"],
+                             s["output_count"], s["cluster_count"])
     res.write_parquet(output_dir)
-    return {"requests": n, "output": output_dir}
+    reg.write_parquet(os.path.join(output_dir, "_metrics.parquet"))
+    return {
+        "requests": n,
+        "output": output_dir,
+        "chunks_in": reg.counters["distill_chunks_processed_total"].value("input"),
+        "chunks_out": reg.counters["distill_chunks_processed_total"].value("output"),
+        "errors": reg.counters["distill_requests_total"].value("/v1/dedupe", "400"),
+    }

@@ -1,0 +1,387 @@
+"""A7 metrics registry — the batch-engine port of the reference's
+Prometheus surface (/root/reference/pkg/metrics/metrics.go:41-262) and the
+per-call-site cache accounting tracker (pkg/metrics/callsite.go:9-171).
+
+There is no live scrape endpoint in a batch engine, so the surface is:
+
+- counters / gauges / histograms with label vectors and the reference's
+  recording semantics (RecordRequest, RecordDedup, RecordCacheUsage with
+  its derived hit-rate / write-efficiency gauges, RecordCacheBoundary);
+- `prometheus_text()` — the standard text exposition format, so the output
+  can be node-exporter-textfile-scraped or diffed against a real scrape;
+- `to_frame()` / `write_parquet()` — one row per (metric, labels) sample,
+  histograms expanded into cumulative `_bucket` rows plus `_sum`/`_count`
+  exactly as Prometheus exposes them — a metrics TABLE per run, which is
+  the queryable form a 100-TB pipeline run actually wants (the per-stage
+  manifest metrics.jsonl of state/manifest.py records lineage; this
+  records the operator-level counters).
+
+Recording happens on the driver: distributed stages already return their
+partial counts through data (the repo-wide pattern — e.g. DedupRunResult
+stats), and the driver folds them in. Nothing here is shared mutable
+state across workers by design (SURVEY §4: no shared mutable state).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+# reference bucket sets (metrics.go:58-62,71-75)
+REQUEST_DURATION_BUCKETS = (0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5,
+                            1.0, 2.5, 5.0)
+REDUCTION_RATIO_BUCKETS = (0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8,
+                           0.9, 1.0)
+
+
+def _label_key(labelnames: tuple, labelvalues: tuple) -> tuple:
+    if len(labelnames) != len(labelvalues):
+        raise ValueError(
+            f"expected {len(labelnames)} label value(s) "
+            f"{labelnames}, got {labelvalues}")
+    return tuple(str(v) for v in labelvalues)
+
+
+class Counter:
+    """Monotonic counter vector (prometheus.CounterVec semantics)."""
+
+    def __init__(self, name: str, help: str = "", labelnames: tuple = ()):
+        self.name = name
+        self.help = help
+        self.labelnames = tuple(labelnames)
+        self.samples: dict[tuple, float] = {}
+
+    def inc(self, amount: float = 1.0, *labelvalues) -> None:
+        if amount < 0:
+            raise ValueError("counters only go up")
+        k = _label_key(self.labelnames, labelvalues)
+        self.samples[k] = self.samples.get(k, 0.0) + amount
+
+    def value(self, *labelvalues) -> float:
+        return self.samples.get(_label_key(self.labelnames, labelvalues), 0.0)
+
+
+class Gauge:
+    """Settable gauge vector (prometheus.GaugeVec semantics)."""
+
+    def __init__(self, name: str, help: str = "", labelnames: tuple = ()):
+        self.name = name
+        self.help = help
+        self.labelnames = tuple(labelnames)
+        self.samples: dict[tuple, float] = {}
+
+    def set(self, v: float, *labelvalues) -> None:
+        self.samples[_label_key(self.labelnames, labelvalues)] = float(v)
+
+    def inc(self, amount: float = 1.0, *labelvalues) -> None:
+        k = _label_key(self.labelnames, labelvalues)
+        self.samples[k] = self.samples.get(k, 0.0) + amount
+
+    def dec(self, amount: float = 1.0, *labelvalues) -> None:
+        self.inc(-amount, *labelvalues)
+
+    def value(self, *labelvalues) -> float:
+        return self.samples.get(_label_key(self.labelnames, labelvalues), 0.0)
+
+
+class Histogram:
+    """Cumulative-bucket histogram vector (prometheus.HistogramVec):
+    observe() increments every bucket with le >= value, plus _sum/_count."""
+
+    def __init__(self, name: str, help: str = "", labelnames: tuple = (),
+                 buckets: tuple = REQUEST_DURATION_BUCKETS):
+        self.name = name
+        self.help = help
+        self.labelnames = tuple(labelnames)
+        self.buckets = tuple(sorted(buckets))
+        self.samples: dict[tuple, dict] = {}
+
+    def observe(self, v: float, *labelvalues) -> None:
+        k = _label_key(self.labelnames, labelvalues)
+        s = self.samples.setdefault(
+            k, {"bucket_counts": [0] * len(self.buckets),
+                "sum": 0.0, "count": 0})
+        for i, le in enumerate(self.buckets):
+            if v <= le:
+                s["bucket_counts"][i] += 1
+        s["sum"] += float(v)
+        s["count"] += 1
+
+
+@dataclass
+class CallSiteRecord:
+    """Cumulative cache usage for one call site (callsite.go:9-26)."""
+
+    call_site: str
+    cache_creation_tokens: int = 0
+    cache_read_tokens: int = 0
+    uncached_input_tokens: int = 0
+    output_tokens: int = 0
+    total_requests: int = 0
+    cache_hit_requests: int = 0
+    first_seen: float = 0.0
+    last_seen: float = 0.0
+
+    def hit_rate(self) -> float:
+        total = (self.cache_read_tokens + self.cache_creation_tokens
+                 + self.uncached_input_tokens)
+        return self.cache_read_tokens / total if total else 0.0
+
+    def write_efficiency(self) -> float:
+        if self.cache_creation_tokens == 0:
+            return 0.0
+        return self.cache_read_tokens / self.cache_creation_tokens
+
+    def request_hit_rate(self) -> float:
+        if self.total_requests == 0:
+            return 0.0
+        return self.cache_hit_requests / self.total_requests
+
+
+class CallSiteTracker:
+    """Per-call-site cache usage tracker (callsite.go:72-171)."""
+
+    def __init__(self, now=time.time):
+        self._now = now
+        self.records: dict[str, CallSiteRecord] = {}
+
+    def record(self, call_site: str, *, input_tokens: int = 0,
+               cache_creation_input_tokens: int = 0,
+               cache_read_input_tokens: int = 0,
+               output_tokens: int = 0) -> None:
+        r = self.records.get(call_site)
+        if r is None:
+            r = self.records[call_site] = CallSiteRecord(
+                call_site=call_site, first_seen=self._now())
+        r.cache_creation_tokens += int(cache_creation_input_tokens)
+        r.cache_read_tokens += int(cache_read_input_tokens)
+        r.uncached_input_tokens += int(input_tokens)
+        r.output_tokens += int(output_tokens)
+        r.total_requests += 1
+        if cache_read_input_tokens > 0:
+            r.cache_hit_requests += 1
+        r.last_seen = self._now()
+
+    def stats(self, call_site: str) -> CallSiteRecord | None:
+        r = self.records.get(call_site)
+        return None if r is None else CallSiteRecord(**vars(r))
+
+    def all_stats(self) -> list[CallSiteRecord]:
+        """Snapshots sorted by hit rate ASCENDING (worst first) with a
+        STABLE sort — same ordering as the insertion sort at
+        callsite.go:133-138."""
+        out = [CallSiteRecord(**vars(r)) for r in self.records.values()]
+        out.sort(key=lambda r: r.hit_rate())
+        return out
+
+    def reset(self, call_site: str) -> None:
+        self.records.pop(call_site, None)
+
+    def reset_all(self) -> None:
+        self.records = {}
+
+    def summary(self) -> str:
+        stats = self.all_stats()
+        if not stats:
+            return "no call sites recorded"
+        out = f"{'call site':<40} {'hit%':>8} {'eff':>8} {'reqs':>8}\n"
+        for s in stats:
+            out += (f"{s.call_site:<40} {s.hit_rate() * 100:>7.0f}% "
+                    f"{s.write_efficiency():>7.1f}x {s.total_requests:>8d}\n")
+        return out
+
+
+@dataclass
+class MetricsRegistry:
+    """The reference's metric set + recording methods (metrics.go:41-262),
+    minus the Go/process collectors (meaningless off-process) and the HTTP
+    handler (no server; see prometheus_text/write_parquet)."""
+
+    namespace: str = "distill"
+    counters: dict = field(default_factory=dict)
+    gauges: dict = field(default_factory=dict)
+    histograms: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        ns = self.namespace
+        self.counter(f"{ns}_requests_total",
+                     "Total requests by endpoint and status code.",
+                     ("endpoint", "status"))
+        self.histogram(f"{ns}_request_duration_seconds",
+                       "Request latency distribution.", ("endpoint",),
+                       REQUEST_DURATION_BUCKETS)
+        self.counter(f"{ns}_chunks_processed_total",
+                     "Total chunks processed by direction (input/output).",
+                     ("direction",))
+        self.histogram(f"{ns}_reduction_ratio",
+                       "Chunk reduction ratio per request.", ("endpoint",),
+                       REDUCTION_RATIO_BUCKETS)
+        self.gauge(f"{ns}_active_requests",
+                   "Requests currently being processed.")
+        self.counter(f"{ns}_clusters_formed_total",
+                     "Total clusters formed during deduplication.",
+                     ("endpoint",))
+        self.counter(f"{ns}_cache_creation_tokens_total",
+                     "Tokens written to prompt cache.", ("session_id",))
+        self.counter(f"{ns}_cache_read_tokens_total",
+                     "Tokens read from prompt cache.", ("session_id",))
+        self.counter(f"{ns}_uncached_input_tokens_total",
+                     "Input tokens not served from cache.", ("session_id",))
+        self.gauge(f"{ns}_cache_hit_rate", "Rolling cache hit rate.")
+        self.gauge(f"{ns}_cache_write_efficiency",
+                   "cache_read / cache_creation.")
+        self.gauge(f"{ns}_cache_boundary_position",
+                   "Cache boundary position in tokens.", ("session_id",))
+        self.counter(f"{ns}_cache_boundary_advances_total",
+                     "Cache boundary advances.", ("session_id",))
+        self.counter(f"{ns}_cache_boundary_retreats_total",
+                     "Cache boundary retreats.", ("session_id",))
+
+    # --- registration -----------------------------------------------------
+    def counter(self, name, help="", labelnames=()) -> Counter:
+        if name not in self.counters:
+            self.counters[name] = Counter(name, help, labelnames)
+        return self.counters[name]
+
+    def gauge(self, name, help="", labelnames=()) -> Gauge:
+        if name not in self.gauges:
+            self.gauges[name] = Gauge(name, help, labelnames)
+        return self.gauges[name]
+
+    def histogram(self, name, help="", labelnames=(),
+                  buckets=REQUEST_DURATION_BUCKETS) -> Histogram:
+        if name not in self.histograms:
+            self.histograms[name] = Histogram(name, help, labelnames, buckets)
+        return self.histograms[name]
+
+    # --- reference recording methods --------------------------------------
+    def record_request(self, endpoint: str, status_code: int,
+                       duration_s: float) -> None:
+        """metrics.go:69-74."""
+        ns = self.namespace
+        self.counters[f"{ns}_requests_total"].inc(
+            1, endpoint, str(status_code))
+        self.histograms[f"{ns}_request_duration_seconds"].observe(
+            duration_s, endpoint)
+
+    def record_dedup(self, endpoint: str, input_count: int,
+                     output_count: int, cluster_count: int) -> None:
+        """metrics.go:76-87."""
+        ns = self.namespace
+        self.counters[f"{ns}_chunks_processed_total"].inc(
+            input_count, "input")
+        self.counters[f"{ns}_chunks_processed_total"].inc(
+            output_count, "output")
+        self.counters[f"{ns}_clusters_formed_total"].inc(
+            cluster_count, endpoint)
+        if input_count > 0:
+            self.histograms[f"{ns}_reduction_ratio"].observe(
+                1.0 - output_count / input_count, endpoint)
+
+    def record_cache_usage(self, *, session_id: str = "",
+                           input_tokens: int = 0,
+                           cache_creation_input_tokens: int = 0,
+                           cache_read_input_tokens: int = 0,
+                           output_tokens: int = 0) -> None:
+        """metrics.go:102-130 — incl. the derived single-request gauges."""
+        ns = self.namespace
+        sid = session_id or "default"
+        if cache_creation_input_tokens > 0:
+            self.counters[f"{ns}_cache_creation_tokens_total"].inc(
+                cache_creation_input_tokens, sid)
+        if cache_read_input_tokens > 0:
+            self.counters[f"{ns}_cache_read_tokens_total"].inc(
+                cache_read_input_tokens, sid)
+        if input_tokens > 0:
+            self.counters[f"{ns}_uncached_input_tokens_total"].inc(
+                input_tokens, sid)
+        total = (input_tokens + cache_creation_input_tokens
+                 + cache_read_input_tokens)
+        if total > 0:
+            self.gauges[f"{ns}_cache_hit_rate"].set(
+                cache_read_input_tokens / total)
+        if cache_creation_input_tokens > 0:
+            self.gauges[f"{ns}_cache_write_efficiency"].set(
+                cache_read_input_tokens / cache_creation_input_tokens)
+
+    def record_cache_boundary(self, session_id: str, boundary_tokens: int,
+                              advanced: bool, retreated: bool) -> None:
+        """metrics.go:132-145."""
+        ns = self.namespace
+        sid = session_id or "default"
+        self.gauges[f"{ns}_cache_boundary_position"].set(
+            boundary_tokens, sid)
+        if advanced:
+            self.counters[f"{ns}_cache_boundary_advances_total"].inc(1, sid)
+        if retreated:
+            self.counters[f"{ns}_cache_boundary_retreats_total"].inc(1, sid)
+
+    # --- export -----------------------------------------------------------
+    def _samples(self):
+        """(metric, type, labels-dict, value) flat sample stream with
+        histogram cumulative-bucket expansion."""
+        for c in self.counters.values():
+            for k, v in sorted(c.samples.items()):
+                yield c.name, "counter", dict(zip(c.labelnames, k)), v
+        for g in self.gauges.values():
+            for k, v in sorted(g.samples.items()):
+                yield g.name, "gauge", dict(zip(g.labelnames, k)), v
+        for h in self.histograms.values():
+            for k, s in sorted(h.samples.items()):
+                base = dict(zip(h.labelnames, k))
+                for le, n in zip(h.buckets, s["bucket_counts"]):
+                    yield (f"{h.name}_bucket", "histogram",
+                           {**base, "le": "%g" % le}, n)
+                yield (f"{h.name}_bucket", "histogram",
+                       {**base, "le": "+Inf"}, s["count"])
+                yield f"{h.name}_sum", "histogram", base, s["sum"]
+                yield f"{h.name}_count", "histogram", base, s["count"]
+
+    def to_frame(self) -> pd.DataFrame:
+        """One row per sample: (metric, type, labels JSON-ish str, value)."""
+        import json
+
+        rows = [
+            {"metric": m, "type": t,
+             "labels": json.dumps(lbl, sort_keys=True), "value": float(v)}
+            for m, t, lbl, v in self._samples()
+        ]
+        return pd.DataFrame(
+            rows, columns=["metric", "type", "labels", "value"])
+
+    def write_parquet(self, path: str) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.Table.from_pandas(self.to_frame()), path)
+
+    def prometheus_text(self) -> str:
+        """Standard text exposition format (the scrape-body equivalent of
+        metrics.go:64-67's Handler)."""
+        helps = {**{c.name: (c.help, "counter")
+                    for c in self.counters.values()},
+                 **{g.name: (g.help, "gauge") for g in self.gauges.values()},
+                 **{h.name: (h.help, "histogram")
+                    for h in self.histograms.values()}}
+        by_family: dict[str, list[str]] = {}
+        for m, _t, lbl, v in self._samples():
+            family = m
+            for suffix in ("_bucket", "_sum", "_count"):
+                if m.endswith(suffix) and m[: -len(suffix)] in helps:
+                    family = m[: -len(suffix)]
+            if lbl:
+                body = ",".join(
+                    f'{k}="{val}"' for k, val in lbl.items())
+                line = f"{m}{{{body}}} {v}"
+            else:
+                line = f"{m} {v}"
+            by_family.setdefault(family, []).append(line)
+        out = []
+        for family in sorted(by_family):
+            help_, type_ = helps.get(family, ("", "untyped"))
+            out.append(f"# HELP {family} {help_}")
+            out.append(f"# TYPE {family} {type_}")
+            out.extend(by_family[family])
+        return "\n".join(out) + "\n"

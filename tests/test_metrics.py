@@ -1,0 +1,114 @@
+"""A7 metrics registry + call-site tracker vs the reference semantics
+(pkg/metrics/metrics.go:41-262, pkg/metrics/callsite.go:9-171)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from distill_ray.state.metrics import (
+    CallSiteTracker,
+    Counter,
+    Histogram,
+    MetricsRegistry,
+)
+
+
+def test_counter_monotonic_and_labels():
+    c = Counter("x_total", labelnames=("ep",))
+    c.inc(1, "a")
+    c.inc(2.5, "a")
+    c.inc(1, "b")
+    assert c.value("a") == 3.5 and c.value("b") == 1.0
+    with pytest.raises(ValueError):
+        c.inc(-1, "a")
+    with pytest.raises(ValueError):
+        c.inc(1)  # missing label
+
+
+def test_histogram_cumulative_buckets():
+    h = Histogram("lat", buckets=(0.1, 1.0, 5.0))
+    h.observe(0.05)
+    h.observe(0.5)
+    h.observe(10.0)
+    s = h.samples[()]
+    assert s["bucket_counts"] == [1, 2, 2]  # cumulative per-le
+    assert s["count"] == 3 and s["sum"] == pytest.approx(10.55)
+
+
+def test_record_dedup_and_request():
+    m = MetricsRegistry()
+    m.record_dedup("/v1/dedupe", input_count=10, output_count=6,
+                   cluster_count=6)
+    m.record_request("/v1/dedupe", 200, 0.02)
+    assert m.counters["distill_chunks_processed_total"].value("input") == 10
+    assert m.counters["distill_chunks_processed_total"].value("output") == 6
+    assert m.counters["distill_requests_total"].value("/v1/dedupe", "200") == 1
+    # reduction 0.4 lands in the cumulative buckets 0.4..1.0
+    rr = m.histograms["distill_reduction_ratio"].samples[("/v1/dedupe",)]
+    assert rr["count"] == 1 and rr["sum"] == pytest.approx(0.4)
+
+
+def test_record_cache_usage_derived_gauges():
+    m = MetricsRegistry()
+    m.record_cache_usage(session_id="s1", input_tokens=100,
+                         cache_creation_input_tokens=400,
+                         cache_read_input_tokens=500)
+    assert m.counters["distill_cache_read_tokens_total"].value("s1") == 500
+    assert m.gauges["distill_cache_hit_rate"].value() == pytest.approx(0.5)
+    assert m.gauges["distill_cache_write_efficiency"].value() == \
+        pytest.approx(1.25)
+
+
+def test_record_cache_boundary():
+    m = MetricsRegistry()
+    m.record_cache_boundary("", 2048, advanced=True, retreated=False)
+    assert m.gauges["distill_cache_boundary_position"].value("default") == 2048
+    assert m.counters["distill_cache_boundary_advances_total"].value("default") == 1
+    assert m.counters["distill_cache_boundary_retreats_total"].value("default") == 0
+
+
+def test_callsite_tracker_rates_and_order():
+    clock = iter(range(100))
+    t = CallSiteTracker(now=lambda: next(clock))
+    t.record("good.go:1", cache_read_input_tokens=900,
+             cache_creation_input_tokens=100)
+    t.record("bad.go:2", input_tokens=100)
+    t.record("bad.go:2", cache_read_input_tokens=50, input_tokens=50)
+    good = t.stats("good.go:1")
+    assert good.hit_rate() == pytest.approx(0.9)
+    assert good.write_efficiency() == pytest.approx(9.0)
+    bad = t.stats("bad.go:2")
+    assert bad.total_requests == 2 and bad.cache_hit_requests == 1
+    assert bad.request_hit_rate() == pytest.approx(0.5)
+    # worst hit rate first
+    assert [r.call_site for r in t.all_stats()] == ["bad.go:2", "good.go:1"]
+    assert "bad.go:2" in t.summary()
+    t.reset("bad.go:2")
+    assert t.stats("bad.go:2") is None
+    t.reset_all()
+    assert t.summary() == "no call sites recorded"
+
+
+def test_export_frame_and_prometheus_text(tmp_path):
+    m = MetricsRegistry()
+    m.record_dedup("/v1/dedupe", 10, 6, 6)
+    df = m.to_frame()
+    assert set(df.columns) == {"metric", "type", "labels", "value"}
+    bucket_rows = df[df["metric"] == "distill_reduction_ratio_bucket"]
+    # 11 finite buckets + +Inf
+    assert len(bucket_rows) == 12
+    inf_row = bucket_rows[bucket_rows["labels"].str.contains("\\+Inf")]
+    assert inf_row["value"].iloc[0] == 1.0
+    assert json.loads(df["labels"].iloc[0]) is not None
+
+    text = m.prometheus_text()
+    assert "# TYPE distill_reduction_ratio histogram" in text
+    assert 'distill_chunks_processed_total{direction="input"} 10' in text
+
+    p = str(tmp_path / "metrics.parquet")
+    m.write_parquet(p)
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(p).num_rows == len(df)

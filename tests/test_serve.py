@@ -90,3 +90,14 @@ def test_serve_requests_jsonl_loop(tmp_path):
     assert "error" in json.loads(byid[""])
     assert json.loads(byid["r2"])["stats"]["input_count"] == 0
     assert len(os.listdir(out_dir)) >= 1  # partitioned parquet
+    assert set(t.columns) == {"request_id", "response"}  # _metrics skipped
+
+    # A7 metrics table written alongside (RecordRequest/RecordDedup folds)
+    mt = pq.read_table(os.path.join(out_dir, "_metrics.parquet")).to_pandas()
+    by_metric = mt.set_index(["metric", "labels"])["value"]
+    assert by_metric[("distill_requests_total",
+                      '{"endpoint": "/v1/dedupe", "status": "200"}')] == 2
+    assert by_metric[("distill_requests_total",
+                      '{"endpoint": "/v1/dedupe", "status": "400"}')] == 1
+    assert res["chunks_in"] == 2 and res["chunks_out"] == 1
+    assert res["errors"] == 1

@@ -96,16 +96,49 @@ class DeterministicEmbedder:
 
     Mirrors the reference's provider registry usage (pkg/embedding/
     interface.go:18-31) as a stateful map_batches class — per-actor setup in
-    __init__, per-batch work in __call__.
+    __init__, per-batch work in __call__. ``cache_entries > 0`` enables the
+    per-actor text->vector LRU memo the reference keeps per process
+    (interface.go:33-115 / C18, kernels/lru.py): batches with repeated
+    texts (boilerplate turns) skip re-embedding; the cache lives exactly
+    as long as the actor, the idiomatic Ray lifetime for M21 state.
     """
 
-    def __init__(self, dim: int = 64, text_col: str = "text", out_col: str = "embedding"):
+    def __init__(self, dim: int = 64, text_col: str = "text",
+                 out_col: str = "embedding", cache_entries: int = 0):
         self.dim = dim
         self.text_col = text_col
         self.out_col = out_col
+        self.cache = None
+        if cache_entries > 0:
+            from distill_ray.kernels.lru import LRUCache
+
+            # vectors are dim * 4 B; size the byte limit to the entry cap
+            self.cache = LRUCache(max_size=cache_entries,
+                                  max_size_bytes=0, default_ttl=0.0)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        embs = embed_texts(batch[self.text_col], self.dim)
+        texts = batch[self.text_col]
+        if self.cache is None:
+            embs = list(embed_texts(texts, self.dim))
+        else:
+            from distill_ray.kernels.lru import NotFoundError
+
+            vals = texts.astype(str).tolist()
+            embs = [None] * len(vals)
+            miss_idx, miss_texts = [], []
+            for i, t in enumerate(vals):
+                try:
+                    embs[i] = np.frombuffer(self.cache.get(t),
+                                            dtype=np.float32)
+                except NotFoundError:
+                    miss_idx.append(i)
+                    miss_texts.append(t)
+            if miss_idx:
+                fresh = embed_texts(pd.Series(miss_texts), self.dim)
+                for row, i in enumerate(miss_idx):
+                    v = fresh[row]
+                    self.cache.set(vals[i], v.tobytes())
+                    embs[i] = v
         batch = batch.copy()
-        batch[self.out_col] = list(embs)
+        batch[self.out_col] = embs
         return batch

@@ -1,0 +1,177 @@
+"""C18 — in-memory LRU KV cache with TTL and byte/entry limits.
+
+Port of /root/reference/pkg/cache/memory.go:27-267 (semantics) over
+pkg/cache/cache.go:45-124 (Config/Stats/Entry). The Go version runs a
+cleanup goroutine; a per-worker Python cache sweeps lazily on access plus
+an explicit ``cleanup()`` the caller can schedule (the repo's worker
+processes are task-driven — a background thread would fight Ray's fork
+model for nothing). Single-threaded per worker by design: Ray workers own
+their process, so the Go mutexes have no equivalent here.
+
+In the engine this backs per-actor caches (e.g. an embedder's text->vector
+memo — M21's LRU-ish cache, pkg/embedding/interface.go:33-115); the
+DISTRIBUTED shared-cache role of the reference's Redis variant
+(pkg/cache/redis.go) is played by the Ray object store (immutable plasma
+blocks), which is the idiomatic mapping.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import OrderedDict
+from dataclasses import dataclass, field
+
+
+class NotFoundError(KeyError):
+    """cache.go:14 ErrNotFound."""
+
+
+class ValueTooLargeError(ValueError):
+    """cache.go:16 ErrValueTooLarge."""
+
+
+@dataclass
+class CacheStats:
+    """cache.go:45-75 + HitRate (percentage)."""
+
+    hits: int = 0
+    misses: int = 0
+    sets: int = 0
+    deletes: int = 0
+    evictions: int = 0
+    expirations: int = 0
+    size: int = 0
+    size_bytes: int = 0
+    max_size: int = 0
+    max_size_bytes: int = 0
+
+    def hit_rate(self) -> float:
+        total = self.hits + self.misses
+        return 100.0 * self.hits / total if total else 0.0
+
+
+@dataclass
+class _Item:
+    value: bytes
+    size: int
+    created_at: float
+    expires_at: float  # 0.0 = never
+
+
+@dataclass
+class LRUCache:
+    """LRU + TTL + entry/byte limits (memory.go semantics).
+
+    - ``get`` moves the entry to most-recently-used; an expired entry
+      counts a miss AND an expiration and is removed (memory.go:52-78).
+    - ``set`` of an oversized value raises ValueTooLargeError
+      (memory.go:88-90); updating an existing key refreshes value/TTL and
+      recency WITHOUT eviction (memory.go:108-117); inserting a new key
+      evicts least-recently-used entries until both limits hold
+      (memory.go:119-122, needsEviction at :203-211).
+    - limits of 0 mean unlimited; default TTL applies when set's ttl is 0
+      (memory.go:93-98).
+    """
+
+    max_size: int = 10_000
+    max_size_bytes: int = 100 * 1024 * 1024
+    default_ttl: float = 3600.0
+    now: object = time.time
+    _items: OrderedDict = field(default_factory=OrderedDict)
+    _stats: CacheStats = field(default_factory=CacheStats)
+
+    def __post_init__(self):
+        self._stats.max_size = self.max_size
+        self._stats.max_size_bytes = self.max_size_bytes
+
+    def get(self, key: str) -> bytes:
+        it = self._items.get(key)
+        if it is None:
+            self._stats.misses += 1
+            raise NotFoundError(key)
+        if self._expired(it):
+            self._remove(key, it)
+            self._stats.misses += 1
+            self._stats.expirations += 1
+            raise NotFoundError(key)
+        self._items.move_to_end(key)
+        self._stats.hits += 1
+        return it.value
+
+    def set(self, key: str, value: bytes, ttl: float = 0.0) -> None:
+        size = len(key) + len(value)
+        if self.max_size_bytes > 0 and size > self.max_size_bytes:
+            raise ValueTooLargeError(
+                f"entry of {size} B exceeds max_size_bytes "
+                f"{self.max_size_bytes}")
+        now = self.now()
+        eff_ttl = ttl if ttl > 0 else self.default_ttl
+        item = _Item(value=bytes(value), size=size, created_at=now,
+                     expires_at=(now + eff_ttl) if eff_ttl > 0 else 0.0)
+
+        old = self._items.get(key)
+        if old is not None:
+            self._stats.size_bytes += size - old.size
+            self._items[key] = item
+            self._items.move_to_end(key)
+            self._stats.sets += 1
+            return
+
+        while self._needs_eviction(size):
+            self._evict_oldest()
+        self._items[key] = item
+        self._stats.size += 1
+        self._stats.size_bytes += size
+        self._stats.sets += 1
+
+    def delete(self, key: str) -> None:
+        it = self._items.get(key)
+        if it is None:
+            raise NotFoundError(key)
+        self._remove(key, it)
+        self._stats.deletes += 1
+
+    def has(self, key: str) -> bool:
+        it = self._items.get(key)
+        return it is not None and not self._expired(it)
+
+    def clear(self) -> None:
+        self._items.clear()
+        self._stats.size = 0
+        self._stats.size_bytes = 0
+
+    def cleanup(self) -> int:
+        """Sweep expired entries (memory.go:248-267); returns the count."""
+        dead = [k for k, it in self._items.items() if self._expired(it)]
+        for k in dead:
+            self._remove(k, self._items[k])
+            self._stats.expirations += 1
+        return len(dead)
+
+    def stats(self) -> CacheStats:
+        s = CacheStats(**vars(self._stats))
+        return s
+
+    # --- internals ---------------------------------------------------------
+    def _expired(self, it: _Item) -> bool:
+        return it.expires_at > 0.0 and self.now() > it.expires_at
+
+    def _needs_eviction(self, additional: int) -> bool:
+        if self.max_size > 0 and self._stats.size >= self.max_size:
+            return True
+        if (self.max_size_bytes > 0
+                and self._stats.size_bytes + additional > self.max_size_bytes):
+            return True
+        return False
+
+    def _evict_oldest(self) -> None:
+        if not self._items:
+            return
+        k = next(iter(self._items))
+        self._remove(k, self._items[k])
+        self._stats.evictions += 1
+
+    def _remove(self, key: str, it: _Item) -> None:
+        del self._items[key]
+        self._stats.size -= 1
+        self._stats.size_bytes -= it.size

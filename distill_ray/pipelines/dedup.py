@@ -527,13 +527,18 @@ def run_dedup(
     rows = rows.materialize()
     _mark("p8_attach")
     single_assign = rows.map_batches(singles_out, batch_format="pandas")
+    # refined materializes separately so the dup-fold lookup below scans
+    # ONLY component members (the refiner's output), not the full canonical
+    # table — singleton canons fold as cluster_id = canon_rid by the
+    # singles_out invariant, no lookup row needed. The subsequent union is
+    # a metadata-level concat of already-materialized block lists.
     refined = (
         rows.map_batches(labeled_out, batch_format="pandas")
         .repartition(P)
         .groupby("cbucket")
         .map_groups(_named(ComponentBucketRefiner(cfg), "refine_components"),
                     batch_format="pandas")
-    )
+    ).materialize()
     assignments = _ckpt_or("assignments_core", refined.union(single_assign))
     _mark("p9_refine")
 
@@ -565,19 +570,35 @@ def run_dedup(
                           _pa2.array(order))
             return h, cl
 
+        # lookup over COMPONENT canons only (the refiner's output): a canon
+        # absent from it is a singleton whose cluster_id == its own rid
+        # (singles_out invariant), so losers of singleton canons fold with
+        # no lookup row at all — the fold scan shrinks from every unique
+        # row to just component members. On a checkpoint resume `refined`'s
+        # lineage would recompute the pipeline, so fall back to the full
+        # checkpointed assignment blocks there (correct either way — the
+        # miss path simply never fires).
+        fold_src = refined if ckpt is None else assignments
         fold_ref = _build_fold.remote(
-            *assignments.select_columns(["rid", "cluster_id"]).to_arrow_refs()
+            *fold_src.select_columns(["rid", "cluster_id"]).to_arrow_refs()
         )
 
         def fold_dups(df: pd.DataFrame) -> pd.DataFrame:
             nodes, cl = ray.get(fold_ref)
             h = rid_hash64(df["canon_rid"].to_numpy())
-            pos = np.searchsorted(nodes, h)
-            if len(nodes) == 0 or pos.max(initial=-1) >= len(nodes) or (
-                    nodes[np.minimum(pos, len(nodes) - 1)] != h).any():
-                raise ValueError("missing canonical row in dup-fold lookup")
+            canon = df["canon_rid"].to_numpy()
+            if len(nodes):
+                pos = np.minimum(np.searchsorted(nodes, h), len(nodes) - 1)
+                hit = nodes[pos] == h
+            else:
+                pos = np.zeros(len(h), dtype=np.int64)
+                hit = np.zeros(len(h), dtype=bool)
             out = df[["rid", "conv_id", "turn_idx"]].copy()
-            out["cluster_id"] = _pc.take(cl, _pa2.array(pos)).to_pandas().to_numpy()
+            cluster = canon.copy()  # singleton canon: cluster == canon rid
+            if hit.any():
+                cluster[hit] = _pc.take(
+                    cl, _pa2.array(pos[hit])).to_pandas().to_numpy()
+            out["cluster_id"] = cluster
             out["is_representative"] = False
             return out
 

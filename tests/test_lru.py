@@ -1,0 +1,129 @@
+"""C18 LRU KV cache vs reference semantics (pkg/cache/memory.go:27-267)."""
+
+from __future__ import annotations
+
+import pytest
+
+from distill_ray.kernels.lru import (
+    LRUCache,
+    NotFoundError,
+    ValueTooLargeError,
+)
+
+
+class Clock:
+    def __init__(self):
+        self.t = 1000.0
+
+    def __call__(self):
+        return self.t
+
+
+def test_get_set_hit_miss_stats():
+    c = LRUCache(now=Clock())
+    with pytest.raises(NotFoundError):
+        c.get("k")
+    c.set("k", b"v")
+    assert c.get("k") == b"v"
+    s = c.stats()
+    assert (s.hits, s.misses, s.sets, s.size) == (1, 1, 1, 1)
+    assert s.size_bytes == len("k") + len(b"v")
+    assert s.hit_rate() == pytest.approx(50.0)
+
+
+def test_ttl_expiry_counts_miss_and_expiration():
+    clk = Clock()
+    c = LRUCache(now=clk, default_ttl=10.0)
+    c.set("k", b"v")
+    assert c.has("k")
+    clk.t += 11
+    assert not c.has("k")
+    with pytest.raises(NotFoundError):
+        c.get("k")
+    s = c.stats()
+    assert s.expirations == 1 and s.misses == 1 and s.size == 0
+
+
+def test_explicit_ttl_beats_default_and_zero_default_means_forever():
+    clk = Clock()
+    c = LRUCache(now=clk, default_ttl=10.0)
+    c.set("long", b"v", ttl=100.0)
+    clk.t += 50
+    assert c.has("long")
+    c2 = LRUCache(now=clk, default_ttl=0.0)
+    c2.set("k", b"v")
+    clk.t += 1e9
+    assert c2.has("k")
+
+
+def test_lru_eviction_on_entry_limit():
+    c = LRUCache(max_size=2, now=Clock())
+    c.set("a", b"1")
+    c.set("b", b"2")
+    c.get("a")          # a becomes most-recent
+    c.set("c", b"3")    # evicts b (least-recently-used)
+    assert c.has("a") and c.has("c") and not c.has("b")
+    assert c.stats().evictions == 1
+
+
+def test_byte_limit_eviction_and_too_large():
+    c = LRUCache(max_size=0, max_size_bytes=10, now=Clock())
+    with pytest.raises(ValueTooLargeError):
+        c.set("k", b"x" * 20)
+    c.set("a", b"1234")  # 5 B
+    c.set("b", b"1234")  # 5 B -> full
+    c.set("c", b"1234")  # evicts a
+    assert not c.has("a") and c.has("b") and c.has("c")
+    assert c.stats().size_bytes == 10
+
+
+def test_update_existing_refreshes_without_eviction():
+    c = LRUCache(max_size=2, now=Clock())
+    c.set("a", b"1")
+    c.set("b", b"2")
+    c.set("a", b"333")  # update, not insert: no eviction
+    assert c.has("b")
+    assert c.get("a") == b"333"
+    assert c.stats().evictions == 0
+    assert c.stats().size == 2
+
+
+def test_delete_clear_cleanup():
+    clk = Clock()
+    c = LRUCache(now=clk, default_ttl=10.0)
+    c.set("a", b"1")
+    c.set("b", b"2", ttl=100.0)
+    c.delete("a")
+    with pytest.raises(NotFoundError):
+        c.delete("a")
+    clk.t += 50
+    c.set("c", b"3")
+    clk.t += 11  # c expired (default 10), b still alive (100 from t=1000)
+    assert c.cleanup() == 1
+    assert c.has("b") and not c.has("c")
+    c.clear()
+    s = c.stats()
+    assert s.size == 0 and s.size_bytes == 0
+
+
+def test_embedder_cache_parity():
+    """DeterministicEmbedder with the LRU memo returns bit-identical
+    vectors to the uncached path and actually hits on repeats."""
+    import numpy as np
+    import pandas as pd
+
+    from distill_ray.kernels.embed import DeterministicEmbedder
+
+    batch = pd.DataFrame({"text": ["hello world", "ok", "hello world",
+                                   "different text", "ok"]})
+    plain = DeterministicEmbedder()( batch)
+    cached = DeterministicEmbedder(cache_entries=64)
+    out1 = cached(batch)
+    out2 = cached(batch)  # all hits
+    for a, b in zip(plain["embedding"], out1["embedding"]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(out1["embedding"], out2["embedding"]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    s = cached.cache.stats()
+    assert s.hits == 5  # all of batch2 served from the memo
+    assert s.size == 3  # 3 distinct texts cached

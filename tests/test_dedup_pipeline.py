@@ -325,3 +325,92 @@ def test_build_broadcast_artifacts_parity(ray_session):
     np.testing.assert_array_equal(s1, s2[keep])
     np.testing.assert_array_equal(m1, m2[keep])
     assert len(n1) == len(rh_live)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pipeline_properties_random_corpora():
+    """Hypothesis-style structural invariants on random mini-corpora (a
+    battery of seeds, not just the planted fixture):
+
+    - PRECISION is exact by construction: every pipeline edge passed the
+      exact cosine verify, so pipeline dup-pairs ⊆ oracle dup-pairs;
+    - exact duplicates (identical normalized text) ALWAYS share a cluster
+      (identical bands in every LSH band -> candidate -> cosine 0);
+    - every row is assigned exactly once; every cluster has exactly one
+      representative, and it is the cluster id's own row.
+    """
+    import ray.data as rd
+
+    from distill_ray.pipelines.dedup import run_dedup
+    from distill_ray.stages.dedup_stages import prep_batch
+
+    for seed in (3, 17, 91):
+        df = generate_transcripts(n_convs=60, turns_per_conv=6, seed=seed,
+                                  shuffled=True)
+        ours = run_dedup(rd.from_pandas(df)).assignments.to_pandas()
+        truth = oracle_dedup_graph(df)
+
+        assert len(ours) == len(df) and ours["rid"].is_unique
+        our_pairs, truth_pairs = _pairs(ours), _pairs(truth)
+        assert our_pairs <= truth_pairs, (
+            f"seed {seed}: pipeline emitted a non-true dup pair")
+
+        # exact-dup co-clustering
+        prep = prep_batch(df)
+        cl = dict(zip(ours["rid"], ours["cluster_id"]))
+        by_text: dict[str, list] = {}
+        for rid, txt in zip(prep["rid"], prep["norm_text"]):
+            by_text.setdefault(txt, []).append(rid)
+        for txt, rids in by_text.items():
+            if len(rids) > 1 and txt.strip():
+                assert len({cl[r] for r in rids}) == 1, (
+                    f"seed {seed}: exact dups split across clusters")
+
+        # one representative per cluster; representative rid == cluster id
+        reps = ours[ours["is_representative"]]
+        assert reps["cluster_id"].is_unique
+        assert set(reps["cluster_id"]) == set(ours["cluster_id"].unique())
+        assert (reps["rid"] == reps["cluster_id"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pipeline_hot_key_skew():
+    """Pathological skew: thousands of identical short rows ('ok') plus a
+    hot near-dup family bigger than band_group_cap. Exact dedup must
+    collapse the identical rows before banding; the salted hot-band path
+    (chain links) must still transitively cluster the family."""
+    import ray.data as rd
+
+    from distill_ray.pipelines.dedup import run_dedup
+
+    rng = np.random.default_rng(8)
+    rows = []
+    # 3000 identical short rows across conversations
+    for i in range(3000):
+        rows.append((f"hot{i:05d}", 0, "ok"))
+    # a 600-member near-dup family (> band_group_cap=512): same 24-word
+    # base with one word swapped per member
+    base = [f"tok{j}" for j in range(24)]
+    for i in range(600):
+        w = list(base)
+        w[int(rng.integers(0, 24))] = "swapped"
+        rows.append((f"fam{i:05d}", 0, " ".join(w)))
+    # background uniques
+    for i in range(1000):
+        rows.append((f"uni{i:05d}", 0,
+                     " ".join(f"w{rng.integers(0, 50000)}" for _ in range(12))))
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+    df["turn_idx"] = df["turn_idx"].astype(np.int32)
+    df = df.sample(frac=1.0, random_state=1).reset_index(drop=True)
+
+    out = run_dedup(rd.from_pandas(df)).assignments.to_pandas()
+    assert len(out) == len(df) and out["rid"].is_unique
+
+    cl = dict(zip(out["rid"], out["cluster_id"]))
+    hot_clusters = {cl[f"hot{i:05d}:00000000"] for i in range(3000)}
+    assert len(hot_clusters) == 1, "identical rows must form ONE cluster"
+    fam_clusters = {cl[f"fam{i:05d}:00000000"] for i in range(600)}
+    # the family is pairwise near-dup (cosine well under 0.15), so the
+    # salted chain links must keep it a single transitive cluster
+    assert len(fam_clusters) == 1, (
+        f"hot family split into {len(fam_clusters)} clusters")

@@ -192,7 +192,9 @@ def prune_series(s):
     rows."""
     import pandas as pd  # local import: kernels stay importable without pandas
 
-    s = s.astype(str)
+    # null text normalizes to "" (a raw astype(str) would mint the literal
+    # string "None", silently exact-dedup-grouping all null rows together)
+    s = s.fillna("").astype(str)
     has_filler = s.str.contains(_FILLER_ANY_RE, regex=True)
     if has_filler.any():
         sub = s[has_filler]

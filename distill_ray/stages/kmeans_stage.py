@@ -79,12 +79,19 @@ def make_assign_partial(cref):
         m = _decode(df["emb"].to_numpy())
         dist = _distances_to_centroids(m, c)
         a = np.argmin(dist, axis=1)  # first-min == reference strict `<` scan
-        present = np.unique(a)
+        # per-cluster partials via one sort + reduceat (no per-cluster
+        # boolean-mask loop: that was O(k * batch) with k ~ sqrt(N/2))
         m64 = m.astype(np.float64)
+        order = np.argsort(a, kind="mergesort")
+        a_sorted = a[order]
+        starts = np.flatnonzero(np.r_[True, a_sorted[1:] != a_sorted[:-1]])
+        present = a_sorted[starts]
+        counts = np.diff(np.r_[starts, len(a_sorted)])
+        sums = np.add.reduceat(m64[order], starts, axis=0)
         rows = {
             "cluster": present.astype(np.int64),
-            "count": np.array([(a == c).sum() for c in present], dtype=np.int64),
-            "sum": [m64[a == c].sum(axis=0).tobytes() for c in present],
+            "count": counts.astype(np.int64),
+            "sum": [row.tobytes() for row in sums],
         }
         return pd.DataFrame(rows)
 

@@ -414,3 +414,31 @@ def test_pipeline_hot_key_skew():
     # salted chain links must keep it a single transitive cluster
     assert len(fam_clusters) == 1, (
         f"hot family split into {len(fam_clusters)} clusters")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pipeline_null_empty_unicode_text():
+    """Null text normalizes to "" (never the literal "None"); empty/
+    whitespace rows become zero-token singletons; unicode survives."""
+    import ray.data as rd
+
+    from distill_ray.pipelines.dedup import run_dedup
+    from distill_ray.stages.dedup_stages import prep_batch
+
+    df = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(6)],
+            "turn_idx": np.zeros(6, dtype=np.int32),
+            "text": [None, "", "   ", "héllo wörld déjà", "héllo wörld déjà",
+                     "None"],
+        }
+    )
+    prep = prep_batch(df)
+    assert prep.loc[0, "norm_text"] == ""
+    out = run_dedup(rd.from_pandas(df)).assignments.to_pandas()
+    assert len(out) == 6 and out["rid"].is_unique
+    cl = dict(zip(out["rid"], out["cluster_id"]))
+    # the two unicode dups co-cluster; the null row must NOT cluster with
+    # the literal "None" row
+    assert cl["c3:00000000"] == cl["c4:00000000"]
+    assert cl["c0:00000000"] != cl["c5:00000000"]

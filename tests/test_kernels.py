@@ -288,3 +288,27 @@ def test_cosine_distances_to_matches_scalar():
                                    np.ones(8, np.float32))) == 0
     assert (cosine_distances_to(np.empty((2, 0), np.float32),
                                 np.ones(8, np.float32)) == 2.0).all()
+
+
+def test_prune_re2_matches_python_re_on_ascii():
+    """The RE2 (pyarrow) prune chain — the faithful port of Go regexp and
+    what the DuckDB oracle evaluates — must agree byte-for-byte with the
+    Python-re twin on ASCII text, and scalar prune_text must equal
+    prune_series elementwise by construction."""
+    import pandas as pd
+
+    from distill_ray.kernels.textproc import (
+        _prune_text_pyre, prune_series, prune_text)
+    from distill_ray.sources.transcripts import generate_transcripts
+
+    df = generate_transcripts(n_convs=80, turns_per_conv=6, seed=23)
+    texts = df["text"].tolist() + [
+        "", "   ", "Very  much..", "It is important to note that,  x",
+        "a   b\tc", "tab\there\n\n\n\nnl", "wait , no ; ok !",
+        "basically REALLY quite done.", "of course... Obviously!",
+    ]
+    s = pd.Series(texts)
+    vec = prune_series(s)
+    for t, v in zip(texts, vec):
+        assert prune_text(t) == v
+        assert _prune_text_pyre(t) == v  # ASCII: engines agree

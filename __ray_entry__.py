@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compress_extractive_docs": qo.q_compress_extractive_docs,
         "prune_docs": qo.q_prune_docs,
         "multimodal_decode": qo.q_multimodal_decode,
+        "video_frame_sample": qo.q_video_frame_sample,
         "verbatim_spans": qo.q_verbatim_spans,
         "verbatim_spans_docs": qo.q_verbatim_spans_docs,
         "cluster_transcripts": qo.q_cluster_transcripts,
@@ -187,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_events": qa.ROLLING_EVENTS_SQL,
         "running_totals_events": qa.RUNNING_TOTALS_SQL,
         "multimodal_decode": qo.MULTIMODAL_DECODE_SQL,
+        "video_frame_sample": qo.VIDEO_FRAME_SAMPLE_SQL,
         "prune_docs": qo.PRUNE_DOCS_SQL,
         "ngram_jaccard_topk": qo.NGRAM_JACCARD_TOPK_SQL,
         "langid_docs": qo.LANGID_SQL,

@@ -1785,6 +1785,108 @@ def q_multimodal_decode(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+class FrameSampler:
+    """Actor-pool frame-sample stage for an opaque video binary column:
+    per-actor setup holds the sampling stride; __call__ parses the
+    container (header: magic 'DRV1', width/height/fps/n_frames int32 LE;
+    body: n_frames raw 8-bit grayscale frames of w*h bytes), samples every
+    stride-th frame and computes its mean intensity from the actual pixel
+    buffer. The container is this repo's deterministic stand-in codec
+    (no image/video libs in the sandbox — the brief's sanctioned pattern:
+    REAL Ray-side plumbing + parse, synthetic payload), mirroring how a
+    PyAV/ffmpeg decode stage would sit in the pipeline: binary in, typed
+    metadata + per-frame features out, small batches for large payloads."""
+
+    MAGIC = b"DRV1"
+
+    def __init__(self, stride: int = 4):
+        self.stride = stride
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        import struct
+
+        rows = {"doc_id": [], "n_frames": [], "n_sampled": [],
+                "mean_sampled": [], "duration_us": [], "valid": []}
+        for d, payload in zip(df["doc_id"].astype(int), df["video"]):
+            rows["doc_id"].append(d)
+            buf = bytes(payload)
+            if buf[:4] != self.MAGIC or len(buf) < 20:
+                rows["n_frames"].append(0)
+                rows["n_sampled"].append(0)
+                rows["mean_sampled"].append(0.0)
+                rows["duration_us"].append(0)
+                rows["valid"].append(False)
+                continue
+            w, h, fps, n = struct.unpack("<4i", buf[4:20])
+            fsz = w * h
+            frames = np.frombuffer(buf, dtype=np.uint8,
+                                   offset=20).reshape(n, fsz)
+            idx = np.arange(0, n, self.stride)
+            means = frames[idx].mean(axis=1, dtype=np.float64)
+            rows["n_frames"].append(n)
+            rows["n_sampled"].append(len(idx))
+            rows["mean_sampled"].append(round(float(means.mean()), 6))
+            rows["duration_us"].append(n * 1_000_000 // fps)
+            rows["valid"].append(True)
+        out = pd.DataFrame(rows)
+        for c in ("n_frames", "n_sampled", "duration_us"):
+            out[c] = out[c].astype("int64")
+        return out
+
+
+def q_video_frame_sample(sf_dir: str) -> pd.DataFrame:
+    """Multimodal video column + frame-sample stage: every doc carries a
+    synthesized DRV1 container (n_frames = doc_id%24+8, w = doc_id%16+4,
+    h = doc_id%12+4, fps cycling 12/24/30; frame f uniformly filled with
+    byte (doc_id*7 + f*13) % 256), decoded + stride-4-sampled by the
+    FrameSampler actor pool. SQL-checked: the oracle recomputes frame
+    count, sampled count, duration and the sampled-frame mean intensity
+    in closed form from doc_id — a synthesis, header-parse or sampling
+    defect breaks the round trip."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        import struct
+
+        payloads = []
+        for d in df["doc_id"].astype(int):
+            n = d % 24 + 8
+            w, h = d % 16 + 4, d % 12 + 4
+            fps = (12, 24, 30)[d % 3]
+            head = FrameSampler.MAGIC + struct.pack("<4i", w, h, fps, n)
+            vals = (np.arange(n, dtype=np.int64) * 13 + d * 7) % 256
+            body = np.repeat(vals.astype(np.uint8), w * h).tobytes()
+            payloads.append(head + body)
+        return pd.DataFrame({"doc_id": df["doc_id"], "video": payloads})
+
+    out = (
+        ds.map_batches(synth, batch_format="pandas", batch_size=256)
+        .map_batches(FrameSampler, batch_format="pandas", batch_size=128,
+                     concurrency=(1, 4))
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+VIDEO_FRAME_SAMPLE_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         doc_id % 24 + 8 AS n_frames,
+         CASE doc_id % 3 WHEN 0 THEN 12 WHEN 1 THEN 24 ELSE 30 END AS fps,
+         list_transform(range(0, doc_id % 24 + 8, 4),
+                        x -> CAST((doc_id * 7 + x * 13) % 256 AS DOUBLE)
+         ) AS sampled
+  FROM documents)
+SELECT doc_id,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(len(sampled) AS BIGINT) AS n_sampled,
+       round(list_sum(sampled) / len(sampled), 6) AS mean_sampled,
+       CAST(n_frames * 1000000 // fps AS BIGINT) AS duration_us,
+       TRUE AS valid
+FROM f
+"""
+
+
 MULTIMODAL_DECODE_SQL = """
 SELECT doc_id,
   CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,

@@ -163,10 +163,15 @@ def q_near_dup_pairs_exact_docs(sf_dir: str) -> pd.DataFrame:
             keep = (ids_a[ii] < ids_b[jj]) if int(i) == int(j) \
                 else (ids_a[ii] != ids_b[jj])
             ii, jj = ii[keep], jj[keep]
+            # dist ships UNROUNDED: both sides produce bit-identical
+            # float64 (integer dots/norms + correctly-rounded sqrt/div),
+            # and the gate rounds both frames with the same pandas round —
+            # a query-side round pair (np half-even vs DuckDB half-away)
+            # flips exact-half dyadics like 17/128 = 0.1328125
             outs.append(pd.DataFrame(
                 {"a": np.minimum(ids_a[ii], ids_b[jj]),
                  "b": np.maximum(ids_a[ii], ids_b[jj]),
-                 "dist": np.round(dist[ii, jj], 6)}))
+                 "dist": dist[ii, jj]}))
         if not outs:
             return pd.DataFrame({"a": pd.Series(dtype="int64"),
                                  "b": pd.Series(dtype="int64"),
@@ -225,7 +230,10 @@ dots AS (SELECT x.doc_id AS a, y.doc_id AS b, SUM(x.v * y.v) AS dot
 dd AS (SELECT a, b, 1 - (dot / (sqrt(na.ss) * sqrt(nb.ss))) AS dist
        FROM dots JOIN nrm na ON na.doc_id = dots.a
                  JOIN nrm nb ON nb.doc_id = dots.b)
-SELECT a, b, round(dist, 6) AS dist FROM dd WHERE dist <= 0.15 ORDER BY a, b
+-- dist UNROUNDED on both sides (see q_near_dup_pairs_exact_docs: the
+-- gate applies one symmetric rounding; a per-side round pair flips
+-- exact-half dyadic values)
+SELECT a, b, dist FROM dd WHERE dist <= 0.15 ORDER BY a, b
 """
 
 

@@ -312,3 +312,45 @@ def test_prune_re2_matches_python_re_on_ascii():
     for t, v in zip(texts, vec):
         assert prune_text(t) == v
         assert _prune_text_pyre(t) == v  # ASCII: engines agree
+
+
+def test_tokenize_arrow_matches_pandas_explode():
+    """The Arrow tokenize (split/trim/lower as C++ kernels) must produce
+    the exact hash stream and doc lengths of the pandas explode path on
+    generator + edge texts (incl. unicode whitespace; Turkish İ is the
+    documented divergence where Arrow matches DuckDB, so it is excluded)."""
+    import numpy as np
+    import pandas as pd
+
+    from distill_ray.kernels.embed import tokenize_series
+    from distill_ray.kernels.hashing import stable_hash64
+    from distill_ray.kernels.textproc import _TRIM_CHARS
+    from distill_ray.sources.transcripts import generate_transcripts
+
+    def pandas_twin(texts, token_hash="sip"):
+        s = texts.fillna("").astype(str).reset_index(drop=True)
+        exploded = s.str.split().explode()
+        exploded = exploded[exploded.notna()]
+        exploded = exploded.str.strip(_TRIM_CHARS).str.lower()
+        exploded = exploded[exploded.str.len() > 0]
+        counts = exploded.groupby(level=0).size()
+        dl = np.zeros(len(s), dtype=np.int64)
+        if len(counts):
+            dl[counts.index.to_numpy()] = counts.to_numpy()
+        th = (stable_hash64(exploded.to_numpy()) if len(exploded)
+              else np.empty(0, dtype=np.uint64))
+        return th, dl
+
+    df = generate_transcripts(n_convs=60, turns_per_conv=6, seed=9)
+    texts = pd.Series(df["text"].tolist() + [
+        "", "   ", None, "a\xa0b", "x y", "p　q",
+        "''Hello!! {[(ok)]} DONE.", "héllo WÖRLD déjà-vu",
+    ])
+    th_a, dl_a = tokenize_series(texts)
+    th_p, dl_p = pandas_twin(texts)
+    assert np.array_equal(dl_a, dl_p)
+    assert np.array_equal(th_a, th_p)
+    # fnv family too
+    th_af, dl_af = tokenize_series(texts, token_hash="fnv")
+    assert np.array_equal(dl_af, dl_p)
+    assert len(th_af) == len(th_p)

@@ -158,12 +158,28 @@ def minhash_signatures(
     sh = np.asarray(shingles, dtype=np.uint64)
     hv = _buf("mh_hv", len(sh))
     tmp = _buf("mh_tmp", len(sh))
+    # duplicate-heavy streams (boilerplate turns; Heaps-law vocab keeps
+    # distinct shingles ~ sqrt-ish of instances) hash each DISTINCT
+    # shingle once per seed and gather — identical output (min commutes
+    # with the gather), fewer mix64 passes; the remaining cost is the
+    # memory-bound take + reduceat either way, so the gate only flips the
+    # variant when the dedup is substantial
+    u, inv = np.unique(sh, return_inverse=True)
+    use_unique = len(u) * 2 < len(sh)
     with np.errstate(over="ignore"):
-        for i, seed in enumerate(seeds):
-            np.bitwise_xor(sh, seed, out=hv)
-            _mix64_inplace(hv, tmp)
-            mins = np.minimum.reduceat(hv, ne_offsets)
-            sig[nonempty, i] = mins
+        if use_unique:
+            hvu = _buf("mh_hvu", len(u))
+            tmpu = _buf("mh_tmpu", len(u))
+            for i, seed in enumerate(seeds):
+                np.bitwise_xor(u, seed, out=hvu)
+                _mix64_inplace(hvu, tmpu)
+                np.take(hvu, inv, out=hv)
+                sig[nonempty, i] = np.minimum.reduceat(hv, ne_offsets)
+        else:
+            for i, seed in enumerate(seeds):
+                np.bitwise_xor(sh, seed, out=hv)
+                _mix64_inplace(hv, tmp)
+                sig[nonempty, i] = np.minimum.reduceat(hv, ne_offsets)
     return sig
 
 

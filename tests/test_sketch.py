@@ -149,3 +149,40 @@ def test_simhash_fingerprint_sql_oracles_edge_cases(tmp_path, ray_session):
         exp = con.execute(sql + " ORDER BY doc_id").df()
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     con.close()
+
+
+def test_minhash_unique_path_parity():
+    """The distinct-shingle variant (gated on heavy duplication) must be
+    bit-identical to the direct per-instance hashing on BOTH sides of the
+    gate."""
+    import numpy as np
+
+    from distill_ray.kernels.sketch import minhash_signatures, minhash_seeds
+
+    rng = np.random.default_rng(4)
+    seeds = minhash_seeds(32)
+    # duplicate-heavy stream (gate ON): 20 distinct values, 5000 instances
+    heavy = rng.integers(0, 20, size=5000).astype(np.uint64)
+    spd_h = np.full(100, 50, dtype=np.int64)
+    # near-unique stream (gate OFF)
+    light = rng.integers(0, 2**63, size=300, dtype=np.int64).astype(np.uint64)
+    spd_l = np.full(30, 10, dtype=np.int64)
+
+    def direct(sh, spd):
+        from distill_ray.kernels.sketch import _mix64_inplace
+
+        n, num = len(spd), len(seeds)
+        sig = np.full((n, num), np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
+        off = np.concatenate(([0], np.cumsum(spd)[:-1]))
+        with np.errstate(over="ignore"):
+            for i, s in enumerate(seeds):
+                hv = np.bitwise_xor(sh, s)
+                tmp = np.empty_like(hv)
+                _mix64_inplace(hv, tmp)
+                sig[:, i] = np.minimum.reduceat(hv, off)
+        return sig
+
+    for sh, spd in ((heavy, spd_h), (light, spd_l)):
+        got = minhash_signatures(sh, spd, seeds)
+        want = direct(sh, spd)
+        assert np.array_equal(got, want)

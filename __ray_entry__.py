@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prune_docs": qo.q_prune_docs,
         "multimodal_decode": qo.q_multimodal_decode,
         "video_frame_sample": qo.q_video_frame_sample,
+        "audio_features": qo.q_audio_features,
         "verbatim_spans": qo.q_verbatim_spans,
         "verbatim_spans_docs": qo.q_verbatim_spans_docs,
         "cluster_transcripts": qo.q_cluster_transcripts,
@@ -189,6 +190,7 @@ def oracle_sql() -> dict[str, str]:
         "running_totals_events": qa.RUNNING_TOTALS_SQL,
         "multimodal_decode": qo.MULTIMODAL_DECODE_SQL,
         "video_frame_sample": qo.VIDEO_FRAME_SAMPLE_SQL,
+        "audio_features": qo.AUDIO_FEATURES_SQL,
         "prune_docs": qo.PRUNE_DOCS_SQL,
         "ngram_jaccard_topk": qo.NGRAM_JACCARD_TOPK_SQL,
         "langid_docs": qo.LANGID_SQL,

@@ -1793,6 +1793,117 @@ def q_multimodal_decode(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+class AudioFeatures:
+    """Actor-pool audio feature-extract stage: parses the RIFF/WAVE
+    container (real fmt/data chunk walk, like MediaDecoder) and computes
+    windowed features from the actual PCM buffer — window count at 100
+    samples/window, peak absolute amplitude, and first-window RMS. The
+    audio-pipeline shape: binary in, typed features out, small batches."""
+
+    WINDOW = 100
+
+    def __init__(self):
+        import struct
+
+        self.struct = struct
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        struct = self.struct
+        rows = {"doc_id": [], "n_samples": [], "n_windows": [],
+                "peak_abs": [], "rms_first": [], "valid": []}
+        for d, payload in zip(df["doc_id"].astype(int), df["audio"]):
+            buf = bytes(payload)
+            rows["doc_id"].append(d)
+            ok = buf[:4] == b"RIFF" and buf[8:12] == b"WAVE"
+            samples = None
+            if ok:
+                pos = 12
+                while pos + 8 <= len(buf):
+                    cid, sz = struct.unpack("<4sI", buf[pos:pos + 8])
+                    if cid == b"data":
+                        samples = np.frombuffer(
+                            buf, dtype="<i2", count=sz // 2, offset=pos + 8)
+                        break
+                    pos += 8 + sz
+            if samples is None or len(samples) < self.WINDOW:
+                rows["n_samples"].append(0)
+                rows["n_windows"].append(0)
+                rows["peak_abs"].append(0)
+                rows["rms_first"].append(0.0)
+                rows["valid"].append(False)
+                continue
+            s64 = samples.astype(np.float64)
+            w0 = s64[: self.WINDOW]
+            rows["n_samples"].append(len(samples))
+            rows["n_windows"].append(len(samples) // self.WINDOW)
+            rows["peak_abs"].append(int(np.abs(samples).max()))
+            # rms UNROUNDED: integer squares are exact in float64 and
+            # sqrt/div are correctly rounded, so both sides are
+            # bit-identical; the gate applies one symmetric rounding
+            rows["rms_first"].append(
+                float(np.sqrt(np.dot(w0, w0) / self.WINDOW)))
+            rows["valid"].append(True)
+        out = pd.DataFrame(rows)
+        for c in ("n_samples", "n_windows", "peak_abs"):
+            out[c] = out[c].astype("int64")
+        return out
+
+
+def q_audio_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal audio column + feature-extract stage: every doc carries
+    a valid 16-bit mono WAV whose samples are the closed form
+    s_t = ((doc_id*3 + t) % 1000) - 500 (n_samples = doc_id%400+100, rate
+    cycling 8k/16k/44.1k), decoded + windowed by the AudioFeatures actor
+    pool. SQL-checked: the oracle recomputes sample count, window count,
+    peak amplitude and first-window RMS in closed form from doc_id."""
+    import struct as _struct
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        payloads = []
+        for d in df["doc_id"].astype(int):
+            n = d % 400 + 100
+            rate = (8000, 16000, 44100)[d % 3]
+            t = np.arange(n, dtype=np.int64)
+            data = (((d * 3 + t) % 1000) - 500).astype("<i2").tobytes()
+            payloads.append(
+                b"RIFF" + _struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                         rate * 2, 2, 16)
+                + b"data" + _struct.pack("<I", len(data)) + data)
+        return pd.DataFrame({"doc_id": df["doc_id"], "audio": payloads})
+
+    out = (
+        ds.map_batches(synth, batch_format="pandas", batch_size=256)
+        .map_batches(AudioFeatures, batch_format="pandas", batch_size=128,
+                     concurrency=(1, 4))
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+AUDIO_FEATURES_SQL = """
+WITH p AS (
+  SELECT doc_id, doc_id % 400 + 100 AS n_samples FROM documents),
+w AS (
+  SELECT doc_id, n_samples,
+         list_transform(range(0, 100),
+                        t -> CAST((doc_id * 3 + t) % 1000 - 500 AS DOUBLE)
+         ) AS w0,
+         list_transform(range(0, n_samples),
+                        t -> abs((doc_id * 3 + t) % 1000 - 500)) AS absl
+  FROM p)
+SELECT doc_id,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(n_samples // 100 AS BIGINT) AS n_windows,
+       CAST(list_max(absl) AS BIGINT) AS peak_abs,
+       sqrt(list_sum(list_transform(w0, x -> x * x)) / 100) AS rms_first,
+       TRUE AS valid
+FROM w
+"""
+
+
 class FrameSampler:
     """Actor-pool frame-sample stage for an opaque video binary column:
     per-actor setup holds the sampling stride; __call__ parses the

@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ttl_tracker": qa.q_ttl_tracker,
         "compress_placeholder_docs": qa.q_compress_placeholder_docs,
         "serve_dedupe_requests": qa.q_serve_dedupe_requests,
+        "hll_distinct_tokens": qo.q_hll_distinct_tokens,
     }
 
 

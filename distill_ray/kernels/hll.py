@@ -1,0 +1,91 @@
+"""HyperLogLog distinct-count sketch — the bounded-memory answer to
+"how many distinct tokens/shingles/ids does this 100-TB table hold".
+
+Beyond the reference's surface (it has no cardinality estimation), but a
+first-class training-data-pipeline operator: exact distinct counting is a
+corpus-scale shuffle (`groupby` over every distinct value), while HLL is
+one map pass producing a fixed 2^p-byte register array per block and an
+elementwise-max merge — the canonical Ray Data shape: map_batches partials
++ an output-bounded driver fold. Standard estimator (Flajolet et al. 2007):
+alpha_m * m^2 / sum(2^-reg) with linear-counting small-range correction.
+
+Deterministic given the 64-bit input hashes; register arrays merge
+associatively and commutatively (elementwise max), so block order and
+partitioning never change the estimate — asserted in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def hll_init(p: int = 12) -> np.ndarray:
+    """Empty register array: 2^p uint8 registers (p in [4, 18])."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    return np.zeros(1 << p, dtype=np.uint8)
+
+
+def _p_of(registers: np.ndarray) -> int:
+    m = len(registers)
+    p = int(m).bit_length() - 1
+    if 1 << p != m:
+        raise ValueError(f"register count {m} is not a power of two")
+    return p
+
+
+def hll_add_hashes(registers: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Fold a batch of uint64 hashes into the registers (in place, also
+    returned). Register index = top p bits; value = leading-zero count of
+    the remaining 64-p bits + 1 (the classic rho), capped at 64-p+1."""
+    p = _p_of(registers)
+    h = np.asarray(hashes, dtype=np.uint64)
+    if len(h) == 0:
+        return registers
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)  # remaining bits, left-aligned
+    # rho = leading zeros of `rest` + 1; rest == 0 -> max rank
+    nbits = 64 - p
+    rank = np.full(len(h), nbits + 1, dtype=np.uint8)
+    nz = rest != 0
+    if nz.any():
+        # leading zeros via float64 exponent would lose precision past
+        # 2^53; use a branchless bit-length loop (6 steps for 64-bit)
+        x = rest[nz]
+        lz = np.zeros(len(x), dtype=np.uint8)
+        for shift in (np.uint64(32), np.uint64(16), np.uint64(8),
+                      np.uint64(4), np.uint64(2), np.uint64(1)):
+            mask = x < (np.uint64(1) << (np.uint64(64) - shift))
+            lz[mask] += np.uint8(shift)
+            x = np.where(mask, x << shift, x)
+        rank[nz] = np.minimum(lz + 1, nbits + 1).astype(np.uint8)
+    np.maximum.at(registers, idx, rank)
+    return registers
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Elementwise-max merge (associative + commutative)."""
+    if len(a) != len(b):
+        raise ValueError("register width mismatch")
+    return np.maximum(a, b)
+
+
+def hll_estimate(registers: np.ndarray) -> float:
+    """Bias-corrected cardinality estimate with the small-range
+    linear-counting correction (HLL's standard form)."""
+    m = len(registers)
+    _p_of(registers)
+    if m >= 128:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    elif m == 64:
+        alpha = 0.709
+    elif m == 32:
+        alpha = 0.697
+    else:
+        alpha = 0.673
+    est = alpha * m * m / np.sum(np.ldexp(1.0, -registers.astype(np.int64)))
+    if est <= 2.5 * m:
+        zeros = int((registers == 0).sum())
+        if zeros:
+            return float(m * np.log(m / zeros))
+    return float(est)

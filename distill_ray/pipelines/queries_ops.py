@@ -2207,3 +2207,40 @@ SELECT doc_id, len(ws)::BIGINT AS n_words,
              6) AS dup_word_ratio
 FROM w
 """
+
+
+def q_hll_distinct_tokens(sf_dir: str) -> pd.DataFrame:
+    """Per-language distinct-token cardinality via HyperLogLog (p=12,
+    4096 registers) — the bounded-memory alternative to an exact distinct
+    (which is a corpus-scale shuffle): one map pass emits a fixed 4 KB
+    register array per (block, lang); the driver folds them with
+    elementwise max (associative, order-independent) and estimates.
+    Rows-only by contract (an estimator, not an exact relational op);
+    tests/test_hll.py pins determinism, merge-order invariance and a
+    <= 3% relative-error bound vs the exact distinct on this table."""
+    from distill_ray.kernels.embed import tokenize_series
+    from distill_ray.kernels.hll import (
+        hll_add_hashes, hll_estimate, hll_init, hll_merge)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+    P = 12
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out_lang, out_reg = [], []
+        for lang, g in df.groupby("lang", sort=False):
+            th, _ = tokenize_series(g["text"].reset_index(drop=True))
+            out_lang.append(lang)
+            out_reg.append(hll_add_hashes(hll_init(P), th).tobytes())
+        return pd.DataFrame({"lang": pd.Series(out_lang, dtype=object),
+                             "reg": pd.Series(out_reg, dtype=object)})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    regs: dict = {}
+    for lang, rb in zip(parts["lang"], parts["reg"]):
+        r = np.frombuffer(rb, dtype=np.uint8)
+        regs[lang] = hll_merge(regs[lang], r) if lang in regs else r.copy()
+    return pd.DataFrame(
+        [{"lang": lang, "est_distinct": int(round(hll_estimate(r)))}
+         for lang, r in sorted(regs.items())]
+    )

@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compress_placeholder_docs": qa.q_compress_placeholder_docs,
         "serve_dedupe_requests": qa.q_serve_dedupe_requests,
         "hll_distinct_tokens": qo.q_hll_distinct_tokens,
+        "heavy_tokens": qo.q_heavy_tokens,
     }
 
 

@@ -1,0 +1,92 @@
+"""Misra-Gries heavy-hitters sketch with the proven mergeable-summaries
+merge (Agarwal et al., PODS'12) — the bounded-memory frequency estimator
+for corpus-scale streams.
+
+Guarantee: with capacity k, every item's estimate satisfies
+    true_count - N/(k+1)  <=  est(item)  <=  true_count
+(absent items have est 0, covered by the same lower bound), and the
+guarantee SURVIVES merging partial summaries in any order/shape — merge =
+sum counters, subtract the (k+1)-th largest combined count from all, drop
+non-positives. That makes it the map_batches partial + driver/tree fold
+shape: each block summarizes its exact counts into k counters (a few KB),
+folds are associative in the guarantee (not in the exact counter values —
+tests assert the bound, not bitwise equality across fold orders).
+
+The exact `top_ngrams` query is this operator's unbounded-memory twin:
+use the exact one while distinct counts fit an exchange, this one when
+they do not (the 100-TB regime).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class MGSummary:
+    """Capacity-k Misra-Gries counter set over uint64 item keys."""
+
+    def __init__(self, k: int):
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.k = k
+        self.counts: dict[int, int] = {}
+        self.n = 0  # total stream weight folded in
+
+    def offer_counted(self, items: np.ndarray, weights: np.ndarray) -> "MGSummary":
+        """Fold pre-aggregated (item, weight) pairs (e.g. one block's
+        exact np.unique counts). Classic MG decrement step, vectorized by
+        doing the dictionary merge first and one prune after."""
+        c = self.counts
+        for it, w in zip(items.tolist(), weights.tolist()):
+            c[it] = c.get(it, 0) + int(w)
+        self.n += int(weights.sum())
+        self._prune()
+        return self
+
+    def merge(self, other: "MGSummary") -> "MGSummary":
+        """Mergeable-summaries merge: add counters, subtract the
+        (k+1)-largest, drop non-positive."""
+        if other.k != self.k:
+            raise ValueError("capacity mismatch")
+        c = self.counts
+        for it, w in other.counts.items():
+            c[it] = c.get(it, 0) + w
+        self.n += other.n
+        self._prune()
+        return self
+
+    def _prune(self) -> None:
+        c = self.counts
+        if len(c) <= self.k:
+            return
+        vals = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+        # (k+1)-th largest value = the amount to subtract everywhere
+        kth = np.partition(vals, len(vals) - (self.k + 1))[len(vals) - (self.k + 1)]
+        self.counts = {it: w - int(kth) for it, w in c.items() if w > kth}
+
+    def estimate(self, item: int) -> int:
+        return self.counts.get(int(item), 0)
+
+    def top(self, m: int) -> list[tuple[int, int]]:
+        """Top-m (item, estimate) by estimate desc, item asc tie-break."""
+        return sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))[:m]
+
+    def error_bound(self) -> float:
+        """Max undercount: N/(k+1)."""
+        return self.n / (self.k + 1)
+
+    def to_arrays(self) -> tuple[np.ndarray, np.ndarray, int]:
+        items = np.fromiter(self.counts.keys(), dtype=np.uint64,
+                            count=len(self.counts))
+        vals = np.fromiter(self.counts.values(), dtype=np.int64,
+                           count=len(self.counts))
+        return items, vals, self.n
+
+    @classmethod
+    def from_arrays(cls, k: int, items: np.ndarray, vals: np.ndarray,
+                    n: int) -> "MGSummary":
+        s = cls(k)
+        s.counts = dict(zip(items.astype(np.uint64).tolist(),
+                            vals.astype(np.int64).tolist()))
+        s.n = int(n)
+        return s

@@ -2244,3 +2244,42 @@ def q_hll_distinct_tokens(sf_dir: str) -> pd.DataFrame:
         [{"lang": lang, "est_distinct": int(round(hll_estimate(r)))}
          for lang, r in sorted(regs.items())]
     )
+
+
+def q_heavy_tokens(sf_dir: str) -> pd.DataFrame:
+    """Top-20 most frequent tokens via the mergeable Misra-Gries sketch
+    (capacity 2048): each block folds its exact token counts into a
+    k-counter summary (a few KB), the driver merges the partials — the
+    bounded-memory twin of the exact `top_ngrams` exchange for tables
+    whose distinct-token count no longer fits a shuffle. Emits the hash64
+    of each token (ids stay numeric at scale) with its estimate.
+    Rows-only by contract (an estimator); tests/test_heavyhitters.py pins
+    the MG guarantee, merge-shape invariance of the bound, and exact
+    top-20 recovery on this table (margins here exceed N/(k+1))."""
+    from distill_ray.kernels.embed import tokenize_series
+    from distill_ray.kernels.heavyhitters import MGSummary
+
+    K = 2048
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        th, _ = tokenize_series(df["text"].reset_index(drop=True))
+        u, c = np.unique(th, return_counts=True)
+        s = MGSummary(K).offer_counted(u, c)
+        items, vals, n = s.to_arrays()
+        return pd.DataFrame({"items": [items.tobytes()],
+                             "vals": [vals.tobytes()],
+                             "n": np.int64(n)})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    merged = MGSummary(K)
+    for ib, vb, n in zip(parts["items"], parts["vals"], parts["n"]):
+        merged.merge(MGSummary.from_arrays(
+            K, np.frombuffer(ib, dtype=np.uint64),
+            np.frombuffer(vb, dtype=np.int64), int(n)))
+    top = merged.top(20)
+    return pd.DataFrame(
+        {"token_hash": pd.Series([int(np.uint64(t).view(np.int64))
+                                  for t, _ in top], dtype="int64"),
+         "est_count": pd.Series([c for _, c in top], dtype="int64")}
+    )

@@ -1,0 +1,99 @@
+"""Misra-Gries mergeable heavy-hitters: the estimate bound, its survival
+under arbitrary merge shapes, and exact top-k recovery on testdata."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from distill_ray.kernels.heavyhitters import MGSummary
+
+
+def _zipf_stream(n, vocab, seed):
+    rng = np.random.default_rng(seed)
+    items = (rng.zipf(1.3, size=n) % vocab).astype(np.uint64)
+    return items
+
+
+def _exact(items):
+    u, c = np.unique(items, return_counts=True)
+    return dict(zip(u.tolist(), c.tolist()))
+
+
+def test_mg_bound_single_pass():
+    items = _zipf_stream(200_000, 5_000, 1)
+    u, c = np.unique(items, return_counts=True)
+    s = MGSummary(256).offer_counted(u, c)
+    exact = _exact(items)
+    bound = s.error_bound()
+    assert bound == len(items) / 257
+    for it, true in exact.items():
+        est = s.estimate(it)
+        assert est <= true
+        assert est >= true - bound
+
+
+def test_mg_bound_survives_any_merge_shape():
+    items = _zipf_stream(120_000, 3_000, 2)
+    exact = _exact(items)
+    for parts, seed in ((3, 0), (8, 1), (17, 2)):
+        chunks = np.array_split(items, parts)
+        order = np.random.default_rng(seed).permutation(parts)
+        summaries = []
+        for i in order:
+            u, c = np.unique(chunks[i], return_counts=True)
+            summaries.append(MGSummary(256).offer_counted(u, c))
+        merged = summaries[0]
+        for s in summaries[1:]:
+            merged = merged.merge(s)
+        assert merged.n == len(items)
+        bound = merged.error_bound()
+        for it, true in exact.items():
+            est = merged.estimate(it)
+            assert est <= true and est >= true - bound, (it, est, true)
+
+
+def test_heavy_items_always_tracked():
+    """Any item with true count > N/(k+1) must be present (est > 0)."""
+    items = _zipf_stream(100_000, 2_000, 3)
+    u, c = np.unique(items, return_counts=True)
+    s = MGSummary(128).offer_counted(u, c)
+    bound = s.error_bound()
+    for it, true in _exact(items).items():
+        if true > bound:
+            assert s.estimate(it) > 0
+
+
+def test_validation_and_small():
+    with pytest.raises(ValueError):
+        MGSummary(0)
+    with pytest.raises(ValueError):
+        MGSummary(4).merge(MGSummary(5))
+    s = MGSummary(4).offer_counted(np.array([1, 2], np.uint64),
+                                   np.array([5, 3], np.int64))
+    assert s.top(10) == [(1, 5), (2, 3)]
+    assert s.estimate(99) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_query_recovers_exact_top20():
+    import pyarrow.parquet as pq
+
+    from distill_ray.kernels.embed import tokenize_series
+    from distill_ray.pipelines.queries_ops import q_heavy_tokens
+
+    sf = "/root/testdata/sf0.01"
+    got = q_heavy_tokens(sf)
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    th, _ = tokenize_series(docs["text"])
+    u, c = np.unique(th, return_counts=True)
+    order = np.lexsort((u, -c))
+    want = [int(np.uint64(u[i]).view(np.int64)) for i in order[:20]]
+    assert got["token_hash"].tolist() == want
+    # estimates within the documented bound of the true counts
+    bound = len(th) / 2049
+    true = dict(zip(u.tolist(), c.tolist()))
+    for t, est in zip(got["token_hash"], got["est_count"]):
+        tr = true[int(np.int64(t).view(np.uint64))]
+        assert est <= tr and est >= tr - bound

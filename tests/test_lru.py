@@ -116,7 +116,7 @@ def test_embedder_cache_parity():
 
     batch = pd.DataFrame({"text": ["hello world", "ok", "hello world",
                                    "different text", "ok"]})
-    plain = DeterministicEmbedder()( batch)
+    plain = DeterministicEmbedder()(batch)
     cached = DeterministicEmbedder(cache_entries=64)
     out1 = cached(batch)
     out2 = cached(batch)  # all hits

@@ -894,7 +894,12 @@ def q_serve_dedupe_requests(sf_dir: str) -> pd.DataFrame:
     missing-embedding path), processed through the batch serve loop, with
     per-request reference-shaped stats as the result table. Rows-only by
     contract (agglomerative clustering is not SQL-expressible); the
-    kernel-level semantics are pinned by tests/test_serve.py."""
+    kernel-level semantics are pinned by tests/test_serve.py.
+
+    The driver-side docs read here COMPOSES REQUEST PAYLOADS — the
+    service boundary's input artifact (a client owns its request body) —
+    not a data-plane table; the service itself streams the JSONL through
+    map_batches regardless of request count."""
     import json
     import tempfile
 

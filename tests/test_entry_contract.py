@@ -1,0 +1,51 @@
+"""Driver-contract invariants for __ray_entry__.
+
+The driver's correctness gate evaluates the FIRST 50 entries of queries()
+in dict insertion order.  These tests pin the contract:
+  - every oracle_sql() key has a queries() entry;
+  - every oracle-backed query precedes every rows-only query, so the
+    50-row driver window is 100% SQL-checked.
+No Ray session needed — the functions only build dicts of callables.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+from pathlib import Path
+
+_SPEC = importlib.util.spec_from_file_location(
+    "_ray_entry_under_test", Path(__file__).resolve().parent.parent / "__ray_entry__.py"
+)
+_entry = importlib.util.module_from_spec(_SPEC)
+sys.modules.setdefault("_ray_entry_under_test", _entry)
+_SPEC.loader.exec_module(_entry)
+
+
+def test_every_oracle_key_has_a_query():
+    qs = _entry.queries()
+    missing = set(_entry.oracle_sql()) - set(qs)
+    assert not missing, f"oracle_sql keys without queries() entries: {missing}"
+
+
+def test_oracle_backed_queries_come_first():
+    keys = list(_entry.queries())
+    oracle = set(_entry.oracle_sql())
+    seen_rows_only = None
+    for k in keys:
+        if k not in oracle:
+            seen_rows_only = k
+        elif seen_rows_only is not None:
+            raise AssertionError(
+                f"oracle-backed query {k!r} appears after rows-only "
+                f"{seen_rows_only!r}; keep SQL-checked queries first so the "
+                "driver's 50-row window is fully oracle-backed"
+            )
+
+
+def test_driver_window_is_fully_oracle_backed():
+    keys = list(_entry.queries())
+    oracle = set(_entry.oracle_sql())
+    window = keys[:50]
+    not_backed = [k for k in window if k not in oracle]
+    assert not not_backed, f"rows-only queries inside the 50-row window: {not_backed}"

@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "serve_dedupe_requests": qa.q_serve_dedupe_requests,
         "hll_distinct_tokens": qo.q_hll_distinct_tokens,
         "heavy_tokens": qo.q_heavy_tokens,
+        "value_quantiles_tdigest": q.q_value_quantiles_tdigest,
     }
 
 

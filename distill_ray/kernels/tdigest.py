@@ -1,0 +1,145 @@
+"""t-digest quantile sketch — the bounded-memory answer to "what is the
+p95 of a genuinely CONTINUOUS column over 100 TB".
+
+Companion to kernels/hll.py (distinct counts) and kernels/heavyhitters.py
+(top items): exact quantiles on a continuous key need either a full sort
+or a corpus-scale (key, count) histogram exchange, while a t-digest is one
+map pass producing <= ~delta/2+2 centroids per block and an associative
+merge — the canonical Ray Data shape: map_batches partials + a
+digest-size-bounded fold (driver or map_groups). Scale function is the
+standard k1 of Dunning & Ertl, "Computing extremely accurate quantiles
+using t-digests" (arXiv:1902.04023): k(q) = delta/(2*pi) * asin(2q - 1),
+which concentrates centroid resolution at the tails.
+
+Determinism: centroids are assigned by flooring k at each point's
+mid-rank — a pure function of the sorted input — so block content (not
+order within the pipeline) fully determines each partial, and merges of
+the same centroid multiset produce identical digests regardless of
+pairing. No randomness anywhere.
+
+Accuracy contract (asserted in tests/test_tdigest.py): rank error of the
+estimated quantile <= ~1/delta at mid quantiles and better at the tails;
+min/max are tracked exactly so q=0 and q=1 are exact.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class TDigest:
+    """Immutable digest: sorted centroid means + weights, exact min/max."""
+
+    means: np.ndarray  # float64, sorted ascending
+    weights: np.ndarray  # float64, > 0, same length
+    vmin: float
+    vmax: float
+    delta: float = 200.0
+
+    @property
+    def total_weight(self) -> float:
+        return float(self.weights.sum()) if len(self.weights) else 0.0
+
+
+def _k_scale(q: np.ndarray, delta: float) -> np.ndarray:
+    return delta / (2.0 * np.pi) * np.arcsin(np.clip(2.0 * q - 1.0, -1.0, 1.0))
+
+
+def _compress(means: np.ndarray, weights: np.ndarray, delta: float
+              ) -> tuple[np.ndarray, np.ndarray]:
+    """Merge sorted (means, weights) into <= ~delta/2+2 centroids: each
+    point/centroid lands in the k1-bucket of its mid-rank; reduceat folds
+    each bucket into a weighted-mean centroid. Fully vectorized."""
+    if len(means) == 0:
+        return means.astype(np.float64), weights.astype(np.float64)
+    w = weights.astype(np.float64)
+    total = w.sum()
+    cum = np.cumsum(w)
+    q_mid = (cum - w / 2.0) / total
+    bucket = np.floor(_k_scale(q_mid, delta)).astype(np.int64)
+    # reduceat over runs of equal bucket id (means are sorted, so buckets
+    # are non-decreasing and runs are contiguous)
+    starts = np.flatnonzero(np.diff(bucket, prepend=bucket[0] - 1))
+    wm = np.add.reduceat(w * means, starts)
+    ws = np.add.reduceat(w, starts)
+    return wm / ws, ws
+
+
+def tdigest_from_values(values: np.ndarray, delta: float = 200.0) -> TDigest:
+    """Build a digest from a batch of raw values (one map_batches call)."""
+    v = np.asarray(values, dtype=np.float64)
+    v = v[~np.isnan(v)]
+    if len(v) == 0:
+        return TDigest(np.empty(0), np.empty(0), np.inf, -np.inf, delta)
+    v = np.sort(v)
+    means, weights = _compress(v, np.ones(len(v)), delta)
+    return TDigest(means, weights, float(v[0]), float(v[-1]), delta)
+
+
+def tdigest_merge(*digests: TDigest) -> TDigest:
+    """Associative merge: concatenate centroids, sort by mean, recompress.
+    State stays <= ~delta/2+2 centroids no matter how many inputs."""
+    ds = [d for d in digests if len(d.means)]
+    if not ds:
+        delta = digests[0].delta if digests else 200.0
+        return TDigest(np.empty(0), np.empty(0), np.inf, -np.inf, delta)
+    delta = ds[0].delta
+    means = np.concatenate([d.means for d in ds])
+    weights = np.concatenate([d.weights for d in ds])
+    order = np.argsort(means, kind="stable")
+    m, w = _compress(means[order], weights[order], delta)
+    return TDigest(m, w, min(d.vmin for d in ds), max(d.vmax for d in ds), delta)
+
+
+def tdigest_quantile(d: TDigest, q: float) -> float:
+    """Estimate the q-quantile: linear interpolation between centroid
+    mid-ranks, exact at the tracked min/max endpoints."""
+    if len(d.means) == 0:
+        return float("nan")
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    w = d.weights
+    total = w.sum()
+    if len(d.means) == 1 or total <= 1:
+        return float(np.clip(d.means[0], d.vmin, d.vmax))
+    target = q * total
+    cum = np.cumsum(w)
+    mid = cum - w / 2.0  # mid-rank of each centroid
+    if target <= mid[0]:
+        # interpolate from exact min to the first centroid
+        frac = target / mid[0] if mid[0] > 0 else 1.0
+        return float(d.vmin + (d.means[0] - d.vmin) * frac)
+    if target >= mid[-1]:
+        span = total - mid[-1]
+        frac = (target - mid[-1]) / span if span > 0 else 0.0
+        return float(d.means[-1] + (d.vmax - d.means[-1]) * frac)
+    hi = int(np.searchsorted(mid, target, side="right"))
+    lo = hi - 1
+    span = mid[hi] - mid[lo]
+    frac = (target - mid[lo]) / span if span > 0 else 0.0
+    return float(d.means[lo] + (d.means[hi] - d.means[lo]) * frac)
+
+
+def tdigest_to_arrays(d: TDigest) -> dict:
+    """Row-able representation for shipping digests through a Dataset
+    (list columns + scalar min/max/delta)."""
+    return {
+        "td_means": d.means.astype(np.float64),
+        "td_weights": d.weights.astype(np.float64),
+        "td_min": d.vmin,
+        "td_max": d.vmax,
+        "td_delta": d.delta,
+    }
+
+
+def tdigest_from_arrays(means, weights, vmin, vmax, delta) -> TDigest:
+    return TDigest(
+        np.asarray(means, dtype=np.float64),
+        np.asarray(weights, dtype=np.float64),
+        float(vmin),
+        float(vmax),
+        float(delta),
+    )

@@ -1,0 +1,131 @@
+"""t-digest kernel: determinism, merge associativity, centroid bound,
+rank-accuracy vs exact quantiles, and the distributed query's parity with
+a driver-side digest over the same table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from distill_ray.kernels.tdigest import (
+    TDigest,
+    tdigest_from_arrays,
+    tdigest_from_values,
+    tdigest_merge,
+    tdigest_quantile,
+    tdigest_to_arrays,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def rank_error(values: np.ndarray, est: float, q: float) -> float:
+    """|empirical rank of est - q| — the t-digest accuracy metric."""
+    n = len(values)
+    lo = np.searchsorted(np.sort(values), est, side="left") / n
+    hi = np.searchsorted(np.sort(values), est, side="right") / n
+    if lo <= q <= hi:
+        return 0.0
+    return min(abs(lo - q), abs(hi - q))
+
+
+def test_empty_and_single():
+    d = tdigest_from_values(np.empty(0))
+    assert np.isnan(tdigest_quantile(d, 0.5))
+    d = tdigest_from_values(np.array([7.0]))
+    assert tdigest_quantile(d, 0.0) == 7.0
+    assert tdigest_quantile(d, 0.5) == 7.0
+    assert tdigest_quantile(d, 1.0) == 7.0
+
+
+def test_nan_dropped_and_q_validation():
+    d = tdigest_from_values(np.array([1.0, np.nan, 3.0]))
+    assert d.total_weight == 2
+    with pytest.raises(ValueError):
+        tdigest_quantile(d, 1.5)
+
+
+def test_centroid_bound_and_determinism():
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=100_000)
+    d1 = tdigest_from_values(v, delta=200.0)
+    d2 = tdigest_from_values(v.copy(), delta=200.0)
+    assert len(d1.means) <= 102  # ~delta/2 + 2
+    np.testing.assert_array_equal(d1.means, d2.means)
+    np.testing.assert_array_equal(d1.weights, d2.weights)
+    assert d1.vmin == v.min() and d1.vmax == v.max()
+
+
+def test_min_max_exact():
+    rng = np.random.default_rng(1)
+    v = rng.exponential(size=10_000)
+    d = tdigest_from_values(v)
+    assert tdigest_quantile(d, 0.0) == pytest.approx(v.min())
+    assert tdigest_quantile(d, 1.0) == pytest.approx(v.max())
+
+
+@pytest.mark.parametrize("dist", ["normal", "exponential", "uniform", "lognormal"])
+def test_rank_accuracy(dist):
+    rng = np.random.default_rng(42)
+    v = getattr(rng, dist)(size=200_000)
+    # merged from 20 block-partials, as the pipeline builds it
+    parts = [tdigest_from_values(c) for c in np.array_split(v, 20)]
+    d = tdigest_merge(*parts)
+    assert d.total_weight == pytest.approx(len(v))
+    for q in (0.01, 0.25, 0.5, 0.75, 0.95, 0.99):
+        est = tdigest_quantile(d, q)
+        assert rank_error(v, est, q) <= 0.01, (dist, q)
+
+
+def test_merge_associative_and_order_invariant():
+    rng = np.random.default_rng(7)
+    v = rng.normal(size=30_000)
+    a, b, c = (tdigest_from_values(x) for x in np.array_split(v, 3))
+    left = tdigest_merge(tdigest_merge(a, b), c)
+    right = tdigest_merge(a, tdigest_merge(b, c))
+    shuffled = tdigest_merge(c, a, b)
+    for q in (0.1, 0.5, 0.9):
+        lq, rq, sq = (tdigest_quantile(d, q) for d in (left, right, shuffled))
+        # merge pairing may perturb centroids slightly; rank error of each
+        # result stays within the digest bound
+        for est in (lq, rq, sq):
+            assert rank_error(v, est, q) <= 0.01
+    assert left.total_weight == right.total_weight == shuffled.total_weight
+
+
+def test_merge_empty_identity():
+    d = tdigest_from_values(np.arange(100, dtype=np.float64))
+    e = tdigest_from_values(np.empty(0))
+    m = tdigest_merge(d, e)
+    np.testing.assert_array_equal(m.means, d.means)
+    assert m.vmin == d.vmin and m.vmax == d.vmax
+    m2 = tdigest_merge(e, e)
+    assert len(m2.means) == 0
+
+
+def test_roundtrip_arrays():
+    d = tdigest_from_values(np.random.default_rng(3).normal(size=5000))
+    r = tdigest_to_arrays(d)
+    d2 = tdigest_from_arrays(r["td_means"], r["td_weights"], r["td_min"],
+                             r["td_max"], r["td_delta"])
+    np.testing.assert_array_equal(d.means, d2.means)
+    assert isinstance(d2, TDigest)
+
+
+def test_query_matches_driver_side_digest(ray_session):
+    """The distributed map_batches+map_groups query lands within the digest
+    rank bound of the EXACT per-type quantiles on real testdata."""
+    import pandas as pd
+
+    from distill_ray.pipelines.queries import q_value_quantiles_tdigest
+
+    out = q_value_quantiles_tdigest(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    assert list(out.columns) == ["event_type", "p25", "p50", "p95", "p99", "n"]
+    assert sorted(out["event_type"]) == sorted(ev["event_type"].unique())
+    for _, row in out.iterrows():
+        v = ev.loc[ev["event_type"] == row["event_type"], "value"].to_numpy()
+        assert row["n"] == len(v)
+        for q, col in [(0.25, "p25"), (0.5, "p50"), (0.95, "p95"), (0.99, "p99")]:
+            assert rank_error(v, row[col], q) <= 0.01, (row["event_type"], col)

@@ -8,10 +8,17 @@
     python -m distill_ray incremental --input day1.parquet --output /tmp/b \
         --state-dir /tmp/s0 --next-state-dir /tmp/s1
     python -m distill_ray serve --input requests.jsonl --output /tmp/resp
+    python -m distill_ray dedup --input t.parquet --output /tmp/out \
+        --job-dir /tmp/jobs          # record the X1 job lifecycle
+    python -m distill_ray status --job-dir /tmp/jobs [--job-id job-000000]
 
 Owns its Ray session (guarded init; the driver/test paths never come
-through here). Outputs are partitioned parquet directories plus checkpoint
-manifests when --checkpoint-dir is given.
+through here; `status` is a pure manifest read with no session at all).
+Outputs are partitioned parquet directories plus checkpoint manifests when
+--checkpoint-dir is given. With --job-dir, the run records its
+submit -> running -> per-stage progress -> completed/failed lifecycle in
+the durable state/jobs.py manifest — the `ray job submit` analog of the
+reference's async batch queue (pkg/batch/batch.go:55-258).
 """
 
 from __future__ import annotations
@@ -24,9 +31,14 @@ import sys
 def main(argv=None):
     p = argparse.ArgumentParser(prog="distill_ray")
     p.add_argument("verb", choices=["dedup", "spans", "summarize", "pipeline",
-                                    "incremental", "serve"])
-    p.add_argument("--input", required=True, help="input transcripts parquet")
-    p.add_argument("--output", required=True, help="output directory")
+                                    "incremental", "serve", "status"])
+    p.add_argument("--input", default="", help="input transcripts parquet")
+    p.add_argument("--output", default="", help="output directory")
+    p.add_argument("--job-dir", default="",
+                   help="record job lifecycle (submit/progress/result) in "
+                        "this durable job-state manifest; `status` reads it")
+    p.add_argument("--job-id", default="",
+                   help="status: show one job; processing verbs: explicit id")
     p.add_argument("--checkpoint-dir", default="", help="resume checkpoints here")
     p.add_argument("--state-dir", default="",
                    help="dedup: also persist signature state here; "
@@ -38,6 +50,33 @@ def main(argv=None):
     p.add_argument("--span-k", type=int, default=50)
     p.add_argument("--now", default="2026-01-01", help="summarizer clock (date)")
     args = p.parse_args(argv)
+
+    if args.verb == "status":
+        # pure manifest read — no Ray session
+        from dataclasses import asdict
+
+        from distill_ray.state.jobs import JobStore
+
+        if not args.job_dir:
+            p.error("status requires --job-dir")
+        store = JobStore(args.job_dir)
+        if args.job_id:
+            print(json.dumps(asdict(store.get_or_expired(args.job_id)),
+                             sort_keys=True))
+        else:
+            print(json.dumps([asdict(r) for r in store.list()], sort_keys=True))
+        return
+    if not args.input or not args.output:
+        p.error(f"{args.verb} requires --input and --output")
+
+    job = None
+    if args.job_dir:
+        from distill_ray.state.jobs import JobStore
+
+        store = JobStore(args.job_dir)
+        job = store.submit(args.verb,
+                           {"input": args.input, "output": args.output},
+                           job_id=args.job_id or None)
 
     import ray
 
@@ -51,14 +90,15 @@ def main(argv=None):
 
     DataContext.get_current().enable_progress_bars = False
 
-    import pandas as pd
-
     import ray.data as rd
 
-    from distill_ray.config import DedupConfig, SummarizeConfig
+    from distill_ray.config import DedupConfig
 
     cfg = DedupConfig(threshold=args.threshold)
     stats: dict = {}
+
+    if job is not None:
+        store.start(job.job_id)
 
     if args.verb == "serve":
         # request-shaped surface: JSONL requests in, parquet responses out
@@ -66,14 +106,51 @@ def main(argv=None):
         # pipelines/serve.py)
         from distill_ray.pipelines.serve import serve_requests
 
-        stats = serve_requests(args.input, args.output)
+        try:
+            stats = serve_requests(args.input, args.output)
+        except Exception as ex:
+            if job is not None:
+                store.fail(job.job_id, f"{type(ex).__name__}: {ex}")
+            raise
+        if job is not None:
+            store.complete(job.job_id, args.output, dict(stats))
         print(json.dumps({"verb": "serve", "output": args.output,
                           "stats": stats}, default=str))
         ray.shutdown()
         return
 
     ds = rd.read_parquet(args.input)
+    if job is not None:
+        # parquet row count is metadata-only; records the stage total so
+        # pollers see rows_done/rows_total move through the lifecycle
+        store.progress(job.job_id, args.verb, 0, ds.count())
 
+    try:
+        stats = _run_verb(args, p, cfg, ds)
+    except Exception as ex:
+        if job is not None:
+            store.fail(job.job_id, f"{type(ex).__name__}: {ex}")
+        raise
+    if job is not None:
+        total = store.get(job.job_id).stages[args.verb]["rows_total"]
+        store.progress(job.job_id, args.verb, total, total)
+        store.complete(job.job_id, args.output,
+                       {k: str(v) for k, v in stats.items() if k != "timings"})
+
+    print(json.dumps({"verb": args.verb, "output": args.output,
+                      "stats": {k: v for k, v in stats.items() if k != "timings"}},
+                     default=str))
+    ray.shutdown()
+
+
+def _run_verb(args, p, cfg, ds) -> dict:
+    import pandas as pd
+
+    import ray.data as rd
+
+    from distill_ray.config import SummarizeConfig
+
+    stats: dict = {}
     if args.verb == "dedup":
         from distill_ray.pipelines.dedup import run_dedup
         from distill_ray.state.manifest import CheckpointManager
@@ -132,11 +209,7 @@ def main(argv=None):
 
         out, stats = run_pipeline_chain(ds, cfg)
         out.write_parquet(args.output)
-
-    print(json.dumps({"verb": args.verb, "output": args.output,
-                      "stats": {k: v for k, v in stats.items() if k != "timings"}},
-                     default=str))
-    ray.shutdown()
+    return stats
 
 
 if __name__ == "__main__":

@@ -151,3 +151,55 @@ class DeterministicEmbedder:
         batch = batch.copy()
         batch[self.out_col] = embs
         return batch
+
+
+# --- X3 provider registry (pkg/embedding/registry.go) ------------------------
+#
+# The reference keeps a ProviderType -> factory map; NewProvider consults the
+# custom registry first (so callers can override built-ins), errors on unknown
+# types with the supported list, and wraps the provider in an LRU cache when
+# cache_size says so (registry.go:49-117). Same contract here, with the
+# network backends (openai/ollama/cohere) out of scope by sandbox design —
+# a user registers their own factory for those; `deterministic` is the
+# built-in. Factories return map_batches-callable classes (actor-pool UDFs),
+# so `make_embedder(...)` plugs straight into
+# ds.map_batches(make_embedder(cfg), concurrency=N).
+
+_EMBEDDER_FACTORIES: dict = {}
+
+
+def register_embedder(name: str, factory) -> None:
+    """registry.go RegisterFactory — call at import time to plug a backend.
+    `factory(**cfg)` must return a callable batch UDF (actor-pool class
+    instance). Re-registering a name overrides it (custom beats built-in,
+    as in the reference)."""
+    if not name:
+        raise ValueError("embedder name is required")
+    _EMBEDDER_FACTORIES[str(name).lower()] = factory
+
+
+def supported_embedders() -> list[str]:
+    """registry.go SupportedProviders."""
+    return sorted(_EMBEDDER_FACTORIES)
+
+
+def make_embedder(name: str = "deterministic", *, cache_entries: int = 0,
+                  **cfg):
+    """registry.go NewProvider: look up the factory, construct the UDF.
+    `cache_entries` > 0 enables the per-actor LRU memo (the CachedProvider
+    wrapping role, registry.go:104-112)."""
+    if not name:
+        raise ValueError("embedding provider type is required")
+    factory = _EMBEDDER_FACTORIES.get(str(name).lower())
+    if factory is None:
+        raise ValueError(
+            f"unknown embedding provider {name!r}; supported: "
+            + ", ".join(supported_embedders())
+        )
+    return factory(cache_entries=cache_entries, **cfg)
+
+
+register_embedder(
+    "deterministic",
+    lambda **cfg: DeterministicEmbedder(**cfg),
+)

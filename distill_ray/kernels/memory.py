@@ -124,34 +124,86 @@ def memory_store(
     return res
 
 
+# X6 lifecycle events (cache_events.go:5-49): typed transitions the decay
+# sweep emits to registered handlers so cache-boundary managers stay in
+# sync with the store. occurred_at carries the sweep clock (now_h), not a
+# wall clock, so event streams are deterministic and replayable.
+EVENT_COMPRESSED = "compressed"
+EVENT_EVICTED = "evicted"
+EVENT_STABILIZED = "stabilized"
+EVENT_EXPIRED = "expired"
+
+
+@dataclass(frozen=True)
+class MemoryEvent:
+    """cache_events.go:30-44 — one lifecycle transition."""
+
+    type: str
+    entry_id: str
+    tokens_before: int = 0
+    tokens_after: int = 0
+    compression_level: int = 0  # new decay level; only set for compressed
+    occurred_at: float = 0.0  # sweep clock (now_h)
+
+
 def memory_decay(
     entries: list[MemoryEntry],
     now_h: float,
     summary_age_h: float = 24.0,
     keywords_age_h: float = 168.0,
     evict_age_h: float = 720.0,
+    handlers: list | None = None,
 ) -> tuple[list[MemoryEntry], dict]:
     """C13 one decay sweep as a batch transform (the compaction-job kernel):
     evict keyword-level idle > evict_age; summary -> keywords after
     keywords_age; full -> summary after summary_age. The reference applies
     eviction first, then keywords, then summary (decay.go:62-96) so one
-    sweep moves an entry at most one level."""
+    sweep moves an entry at most one level.
+
+    `handlers` are X6 lifecycle callbacks (cache_events.go:46-49 /
+    sqlite.go:726-735 OnLifecycleEvent): each transition fires a
+    MemoryEvent to every handler in registration order, with token counts
+    before/after (estimate_tokens, the reference's estimator) and the new
+    decay level for compressions. Handlers must be cheap/non-blocking —
+    they run inside the batch transform."""
+    from distill_ray.kernels.textproc import estimate_tokens
+
+    handlers = handlers or []
+
+    def emit(ev: MemoryEvent) -> None:
+        for h in handlers:
+            h(ev)
+
     events = {"evicted": 0, "to_keywords": 0, "to_summary": 0}
     kept: list[MemoryEntry] = []
     for e in entries:
         idle = now_h - e.last_referenced_h
         if e.decay_level >= DECAY_KEYWORDS and idle > evict_age_h:
             events["evicted"] += 1
+            if handlers:
+                emit(MemoryEvent(EVENT_EVICTED, e.id,
+                                 tokens_before=estimate_tokens(e.text),
+                                 occurred_at=now_h))
             continue
         kept.append(e)
     for e in kept:
         idle = now_h - e.last_referenced_h
         if e.decay_level == DECAY_SUMMARY and idle > keywords_age_h:
+            before = estimate_tokens(e.text) if handlers else 0
             e.text = memory_keywords(e.text)
             e.decay_level = DECAY_KEYWORDS
             events["to_keywords"] += 1
+            if handlers:
+                emit(MemoryEvent(EVENT_COMPRESSED, e.id, before,
+                                 estimate_tokens(e.text),
+                                 DECAY_KEYWORDS, now_h))
         elif e.decay_level == DECAY_FULL and idle > summary_age_h:
+            before = estimate_tokens(e.text) if handlers else 0
             e.text = memory_summary(e.text)
             e.decay_level = DECAY_SUMMARY
             events["to_summary"] += 1
+            if handlers:
+                emit(MemoryEvent(EVENT_COMPRESSED, e.id, before,
+                                 estimate_tokens(e.text),
+                                 DECAY_SUMMARY, now_h))
     return kept, events

@@ -16,7 +16,6 @@ import ray.data as rd
 
 from distill_ray.kernels import cache as kc
 from distill_ray.kernels import commits as kcm
-from distill_ray.kernels import graph_ops as kg
 from distill_ray.kernels import memory as km
 from distill_ray.kernels.textproc import estimate_tokens
 
@@ -204,22 +203,39 @@ FROM s
 def q_blast_radius(sf_dir: str) -> pd.DataFrame:
     """Dependency graph from real tables: customers depend on nations,
     nations depend on regions. Changed set = {region 0}; reverse BFS with
-    the reference impact halving."""
-    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
-    customer = pq.read_table(
+    the reference impact halving (graph.go:130-209).
+
+    Fully distributed: the edge table is BUILT as a Dataset (vectorized
+    string concat inside map_batches — the input tables are never
+    collected to the driver) and blast_radius_ds runs the per-level
+    frontier expansion as broadcast-frontier map passes; only discovered
+    nodes (the result set) reach the driver."""
+    from distill_ray.stages.graph_stage import blast_radius_ds
+
+    nation = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    customer = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
-    edges = [
-        (f"n:{int(r.n_nationkey)}", f"r:{int(r.n_regionkey)}")
-        for r in nation.itertuples()
-    ] + [
-        (f"c:{int(r.c_custkey)}", f"n:{int(r.c_nationkey)}")
-        for r in customer.itertuples()
-    ]
-    out = kg.blast_radius(edges, ["r:0"])
-    df = pd.DataFrame(out, columns=["node", "impact", "depth"])
+    )
+
+    def nation_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": "n:" + df["n_nationkey"].astype(str),
+             "dst": "r:" + df["n_regionkey"].astype(str)}
+        )
+
+    def customer_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": "c:" + df["c_custkey"].astype(str),
+             "dst": "n:" + df["c_nationkey"].astype(str)}
+        )
+
+    edges = nation.map_batches(
+        nation_edges, batch_format="pandas"
+    ).union(customer.map_batches(customer_edges, batch_format="pandas"))
+    df = blast_radius_ds(edges, ["r:0"])
     df["impact"] = df["impact"].round(6)
-    df["depth"] = df["depth"].astype("int64")
     return df.sort_values(["node"]).reset_index(drop=True)
 
 

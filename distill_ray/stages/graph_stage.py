@@ -1,0 +1,91 @@
+"""C19 blast radius as a distributed iterative frontier expansion.
+
+Reference semantics: /root/reference/pkg/graph/graph.go:130-209 — reverse
+BFS from a changed set over (from depends-on to) edges; impact 1.0 at
+depth 1 halved per extra depth; first (shallowest) discovery wins.
+
+Ray-Data-first shape (SURVEY.md §2 C19): the edge table stays a Dataset
+end-to-end — it is never collected to the driver. Each BFS level is ONE
+map-only pass over the edge blocks with the current frontier broadcast via
+ray.put (read once per task, not re-shipped per batch): a task emits the
+`src` endpoints of edges whose `dst` is in the frontier. Only the per-level
+DISCOVERED NODES come back to the driver, so driver state is bounded by
+the result (the affected set) — the same bound the span/dedup pipelines
+hold — while the corpus-scale side (edges) is only ever streamed.
+
+Overflow path, documented: if a frontier ever outgrows a worker heap
+(affected sets at 100-TB graph scale), replace the broadcast membership
+test with a hash-bucketed semi-join — partition edges by hash(dst) and the
+frontier by hash(node) with the joins.py bucketing idiom — and keep the
+level loop unchanged. Node ids should then be int64 hashes (the rid-hash
+keying used by stages/spans_stage.py) so the exchange stays fixed-width.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+
+
+def blast_radius_ds(
+    edges: rd.Dataset,
+    changed: list[str],
+    *,
+    max_depth: int = 0,
+    max_levels: int = 64,
+) -> pd.DataFrame:
+    """Distributed blast radius over an edge Dataset with columns
+    (src, dst) = (dependent, dependency). Returns a DataFrame
+    (node, impact, depth) sorted impact desc then node asc — identical to
+    kernels.graph_ops.blast_radius on the same edge list (parity-tested).
+
+    `max_levels` is a convergence guard for pathological cycles; the BFS
+    naturally stops when a level discovers nothing new.
+    """
+    edges = edges.materialize()  # the level loop re-scans; pin blocks once
+
+    visited: set[str] = set(changed)
+    frontier: list[str] = list(changed)
+    best: dict[str, int] = {}
+    depth = 0
+    while frontier and depth < max_levels:
+        depth += 1
+        if max_depth > 0 and depth > max_depth:
+            break
+        frontier_ref = ray.put(frozenset(frontier))
+
+        def expand(df: pd.DataFrame, ref=frontier_ref) -> pd.DataFrame:
+            fr = ray.get(ref)
+            hit = df["dst"].isin(fr).to_numpy()
+            return pd.DataFrame({"src": df.loc[hit, "src"].unique()})
+
+        found = edges.map_batches(expand, batch_format="pandas").to_pandas()
+        # per-level result is bounded by the affected set; dedup across
+        # blocks and drop already-visited nodes driver-side
+        new_nodes = sorted(set(found["src"]) - visited) if len(found) else []
+        for node in new_nodes:
+            best[node] = depth
+        visited.update(new_nodes)
+        frontier = new_nodes
+
+    out = pd.DataFrame(
+        {
+            "node": list(best.keys()),
+            "impact": [1.0 * 0.5 ** (d - 1) for d in best.values()],
+            "depth": list(best.values()),
+        }
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {"node": pd.Series(dtype=object),
+             "impact": pd.Series(dtype=np.float64),
+             "depth": pd.Series(dtype="int64")}
+        )
+    out["depth"] = out["depth"].astype("int64")
+    return (
+        out.sort_values(["impact", "node"], ascending=[False, True])
+        .reset_index(drop=True)
+    )

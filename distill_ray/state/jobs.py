@@ -1,0 +1,219 @@
+"""X1 async batch-job surface — the `ray job submit` analog of the
+reference's in-memory queue (/root/reference/pkg/batch/batch.go:55-258:
+Submit/Get/Results/List, Progress 0-1, result TTL with eviction).
+
+On a Ray cluster the queue/worker-pool half of batch.go is the cluster
+scheduler itself (`ray job submit` runs the CLI verb; Ray restarts it on
+node loss), so what this module owns is the durable JOB-STATE manifest the
+reference keeps in process memory: one JSON record per job under
+<root>/jobs/, written with atomic tmp+rename so concurrent pollers never
+read a torn record. The CLI writes submit -> running -> per-stage progress
+-> completed/failed transitions; a `status` verb (or any process) reads
+them back. Records are tiny and O(jobs), never O(rows): progress is kept
+as per-stage row counters, results stay in the job's parquet output
+directory and only the PATH is recorded.
+
+Lifecycle parity with batch.go:
+  submit()   -> StatusQueued   (Submit, batch.go:115-140)
+  start()    -> StatusRunning  (process(), batch.go:203-212; progress 0)
+  progress() ->   per-stage rows done/total, job progress 0-1
+  complete() -> StatusCompleted (progress 1.0, result path + stats)
+  fail()     -> StatusFailed    (error string)
+  get/results/list/evict        (Get/Results/List/evict, incl.
+                                 ErrJobNotFound / not-completed /
+                                 ErrResultExpired semantics)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+STATUS_QUEUED = "queued"
+STATUS_RUNNING = "running"
+STATUS_COMPLETED = "completed"
+STATUS_FAILED = "failed"
+
+
+class JobNotFound(KeyError):
+    """batch.go ErrJobNotFound."""
+
+
+class JobResultExpired(KeyError):
+    """batch.go ErrResultExpired — the record was evicted past its TTL."""
+
+
+class JobNotCompleted(RuntimeError):
+    """Results() on a job that is not StatusCompleted (batch.go:164-166)."""
+
+
+@dataclass
+class JobRecord:
+    job_id: str
+    verb: str
+    params: dict = field(default_factory=dict)
+    status: str = STATUS_QUEUED
+    created_at: float = 0.0
+    started_at: float = 0.0
+    completed_at: float = 0.0
+    progress: float = 0.0  # 0-1, like batch.go Job.Progress
+    stages: dict = field(default_factory=dict)  # stage -> {rows_done, rows_total}
+    result_path: str = ""
+    stats: dict = field(default_factory=dict)
+    error: str = ""
+
+
+class JobStore:
+    """Durable job-state manifest; all methods are O(1) file ops except
+    list() which is O(jobs)."""
+
+    def __init__(self, root: str, result_ttl_s: float = 24 * 3600.0):
+        self.root = root
+        self.result_ttl_s = float(result_ttl_s)
+        self._dir = os.path.join(root, "jobs")
+        os.makedirs(self._dir, exist_ok=True)
+
+    # -- storage ------------------------------------------------------------
+
+    def _path(self, job_id: str) -> str:
+        if not job_id or "/" in job_id or job_id.startswith("."):
+            raise ValueError(f"bad job id {job_id!r}")
+        return os.path.join(self._dir, f"{job_id}.json")
+
+    def _write(self, rec: JobRecord) -> None:
+        path = self._path(rec.job_id)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(asdict(rec), f, sort_keys=True)
+        os.replace(tmp, path)  # atomic: pollers never see a torn record
+
+    def _read(self, job_id: str) -> JobRecord:
+        try:
+            with open(self._path(job_id)) as f:
+                return JobRecord(**json.load(f))
+        except FileNotFoundError:
+            raise JobNotFound(job_id) from None
+
+    # -- lifecycle (batch.go parity) -----------------------------------------
+
+    def submit(self, verb: str, params: dict | None = None,
+               job_id: str | None = None, now: float | None = None) -> JobRecord:
+        now = time.time() if now is None else now
+        if job_id is None:
+            # monotonic counter file — deterministic ids, resume-safe
+            counter = os.path.join(self.root, "next_job_id")
+            n = 0
+            if os.path.exists(counter):
+                with open(counter) as f:
+                    n = int(f.read().strip() or 0)
+            with open(counter, "w") as f:
+                f.write(str(n + 1))
+            job_id = f"job-{n:06d}"
+        if os.path.exists(self._path(job_id)):
+            raise ValueError(f"job {job_id} already exists")
+        rec = JobRecord(job_id=job_id, verb=verb, params=params or {},
+                        created_at=now)
+        self._write(rec)
+        return rec
+
+    def start(self, job_id: str, now: float | None = None) -> JobRecord:
+        rec = self._read(job_id)
+        rec.status = STATUS_RUNNING
+        rec.started_at = time.time() if now is None else now
+        rec.progress = 0.0
+        self._write(rec)
+        return rec
+
+    def progress(self, job_id: str, stage: str, rows_done: int,
+                 rows_total: int | None = None) -> JobRecord:
+        """Record per-stage row counters; job progress = mean of per-stage
+        completion fractions (stages with unknown totals count as started
+        but incomplete)."""
+        rec = self._read(job_id)
+        cur = rec.stages.get(stage, {})
+        rec.stages[stage] = {
+            "rows_done": int(rows_done),
+            "rows_total": int(rows_total) if rows_total is not None
+            else cur.get("rows_total", -1),
+        }
+        fracs = []
+        for s in rec.stages.values():
+            total = s.get("rows_total", -1)
+            if total and total > 0:
+                fracs.append(min(1.0, s["rows_done"] / total))
+            else:
+                fracs.append(0.0)
+        rec.progress = round(sum(fracs) / len(fracs), 6) if fracs else 0.0
+        self._write(rec)
+        return rec
+
+    def complete(self, job_id: str, result_path: str = "",
+                 stats: dict | None = None, now: float | None = None) -> JobRecord:
+        rec = self._read(job_id)
+        rec.status = STATUS_COMPLETED
+        rec.completed_at = time.time() if now is None else now
+        rec.progress = 1.0
+        rec.result_path = result_path
+        rec.stats = stats or {}
+        self._write(rec)
+        return rec
+
+    def fail(self, job_id: str, error: str, now: float | None = None) -> JobRecord:
+        rec = self._read(job_id)
+        rec.status = STATUS_FAILED
+        rec.completed_at = time.time() if now is None else now
+        rec.error = str(error)
+        self._write(rec)
+        return rec
+
+    # -- queries -------------------------------------------------------------
+
+    def get(self, job_id: str) -> JobRecord:
+        return self._read(job_id)
+
+    def results(self, job_id: str) -> tuple[str, dict]:
+        """Result path + stats for a COMPLETED job (batch.go Results)."""
+        rec = self._read(job_id)
+        if rec.status != STATUS_COMPLETED:
+            raise JobNotCompleted(
+                f"job {job_id} is {rec.status}, not completed"
+            )
+        return rec.result_path, rec.stats
+
+    def list(self, status: str | None = None) -> list[JobRecord]:
+        out = []
+        for name in sorted(os.listdir(self._dir)):
+            if not name.endswith(".json"):
+                continue
+            rec = self._read(name[:-5])
+            if status is None or rec.status == status:
+                out.append(rec)
+        return out
+
+    def evict(self, now: float | None = None) -> int:
+        """Delete completed/failed records older than result_ttl_s
+        (batch.go evict, :243-253). Returns the number evicted; a later
+        get() raises JobResultExpired."""
+        now = time.time() if now is None else now
+        cutoff = now - self.result_ttl_s
+        n = 0
+        for rec in self.list():
+            if (rec.status in (STATUS_COMPLETED, STATUS_FAILED)
+                    and rec.completed_at < cutoff):
+                os.remove(self._path(rec.job_id))
+                # tombstone so get() can distinguish expired from never-existed
+                with open(self._path(rec.job_id) + ".expired", "w") as f:
+                    f.write(str(now))
+                n += 1
+        return n
+
+    def get_or_expired(self, job_id: str) -> JobRecord:
+        """get() that raises JobResultExpired for evicted jobs."""
+        try:
+            return self._read(job_id)
+        except JobNotFound:
+            if os.path.exists(self._path(job_id) + ".expired"):
+                raise JobResultExpired(job_id) from None
+            raise

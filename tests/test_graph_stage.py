@@ -1,0 +1,104 @@
+"""blast_radius_ds (distributed frontier expansion) parity with the
+in-memory kernel on multi-level and cyclic graphs, plus the query's shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from distill_ray.kernels.graph_ops import blast_radius
+from distill_ray.stages.graph_stage import blast_radius_ds
+
+
+def _edges_ds(edges: list[tuple[str, str]], blocks: int = 3) -> rd.Dataset:
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    return rd.from_pandas(df).repartition(blocks)
+
+
+def _kernel_df(edges, changed, max_depth=0) -> pd.DataFrame:
+    out = blast_radius(edges, changed, max_depth)
+    df = pd.DataFrame(out, columns=["node", "impact", "depth"])
+    df["depth"] = df["depth"].astype("int64")
+    return df.reset_index(drop=True)
+
+
+def assert_parity(edges, changed, max_depth=0):
+    got = blast_radius_ds(_edges_ds(edges), changed, max_depth=max_depth)
+    want = _kernel_df(edges, changed, max_depth)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_chain_three_levels(ray_session):
+    # a -> b -> c -> d (a depends on b ...); change d => c@1, b@2, a@3
+    edges = [("a", "b"), ("b", "c"), ("c", "d")]
+    assert_parity(edges, ["d"])
+    got = blast_radius_ds(_edges_ds(edges), ["d"])
+    assert got.set_index("node")["depth"].to_dict() == {"c": 1, "b": 2, "a": 3}
+    assert got.set_index("node")["impact"].to_dict() == {"c": 1.0, "b": 0.5, "a": 0.25}
+
+
+def test_diamond_shallowest_depth_wins(ray_session):
+    # d<-b<-a, d<-c<-a and d<-a directly: a is discovered at depth 1
+    edges = [("a", "d"), ("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")]
+    assert_parity(edges, ["d"])
+    got = blast_radius_ds(_edges_ds(edges), ["d"])
+    assert got.set_index("node")["depth"]["a"] == 1
+
+
+def test_cycle_terminates(ray_session):
+    edges = [("a", "b"), ("b", "c"), ("c", "a")]
+    assert_parity(edges, ["a"])
+
+
+def test_max_depth_cap(ray_session):
+    edges = [("a", "b"), ("b", "c"), ("c", "d")]
+    assert_parity(edges, ["d"], max_depth=2)
+    got = blast_radius_ds(_edges_ds(edges), ["d"], max_depth=2)
+    assert set(got["node"]) == {"b", "c"}
+
+
+def test_changed_node_not_reported(ray_session):
+    edges = [("a", "b")]
+    got = blast_radius_ds(_edges_ds(edges), ["b"])
+    assert list(got["node"]) == ["a"]
+
+
+def test_no_dependents_empty(ray_session):
+    edges = [("a", "b")]
+    got = blast_radius_ds(_edges_ds(edges), ["a"])
+    assert len(got) == 0
+    assert list(got.columns) == ["node", "impact", "depth"]
+
+
+def test_random_graph_parity(ray_session):
+    rng = np.random.default_rng(5)
+    n = 200
+    edges = [
+        (f"v{int(a)}", f"v{int(b)}")
+        for a, b in rng.integers(0, n, size=(600, 2))
+        if a != b
+    ]
+    assert_parity(edges, ["v0", "v1"])
+
+
+def test_query_matches_oracle_shape(ray_session):
+    import duckdb
+
+    from distill_ray.pipelines.queries_aux import BLAST_RADIUS_SQL, q_blast_radius
+
+    sf = "/root/testdata/sf0.001"
+    got = q_blast_radius(sf).reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("nation", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    want = (
+        con.execute(BLAST_RADIUS_SQL).df()
+        .sort_values("node").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

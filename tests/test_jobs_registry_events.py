@@ -1,0 +1,229 @@
+"""X1 job-state store, X3 embedder registry, X6 memory lifecycle events.
+
+Reference parity targets:
+  X1 — pkg/batch/batch.go:55-258 (submit/get/results/list, progress, TTL)
+  X3 — pkg/embedding/registry.go (factory map, override, unknown error)
+  X6 — pkg/memory/cache_events.go:5-49 + sqlite.go:726-735 (handlers)
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from distill_ray.state.jobs import (
+    STATUS_COMPLETED,
+    STATUS_FAILED,
+    STATUS_QUEUED,
+    STATUS_RUNNING,
+    JobNotCompleted,
+    JobNotFound,
+    JobResultExpired,
+    JobStore,
+)
+
+
+# --- X1: submit -> progress -> result -> expiry lifecycle --------------------
+
+def test_job_lifecycle(tmp_path):
+    store = JobStore(str(tmp_path))
+    rec = store.submit("dedup", {"input": "a.parquet"}, now=100.0)
+    assert rec.job_id == "job-000000"
+    assert rec.status == STATUS_QUEUED and rec.created_at == 100.0
+
+    rec = store.start(rec.job_id, now=101.0)
+    assert rec.status == STATUS_RUNNING and rec.progress == 0.0
+
+    rec = store.progress(rec.job_id, "dedup", 500, 1000)
+    assert rec.stages["dedup"] == {"rows_done": 500, "rows_total": 1000}
+    assert rec.progress == pytest.approx(0.5)
+
+    # second stage with unknown total counts as started-but-incomplete
+    rec = store.progress(rec.job_id, "spans", 10)
+    assert rec.progress == pytest.approx(0.25)
+
+    with pytest.raises(JobNotCompleted):
+        store.results(rec.job_id)
+
+    rec = store.complete(rec.job_id, "/tmp/out", {"rows": 42}, now=102.0)
+    assert rec.status == STATUS_COMPLETED and rec.progress == 1.0
+    path, stats = store.results(rec.job_id)
+    assert path == "/tmp/out" and stats == {"rows": 42}
+
+
+def test_job_ids_monotonic_and_explicit(tmp_path):
+    store = JobStore(str(tmp_path))
+    a = store.submit("dedup")
+    b = store.submit("spans")
+    assert (a.job_id, b.job_id) == ("job-000000", "job-000001")
+    c = store.submit("serve", job_id="my-job")
+    assert c.job_id == "my-job"
+    with pytest.raises(ValueError):
+        store.submit("serve", job_id="my-job")  # duplicate
+    with pytest.raises(ValueError):
+        store.submit("serve", job_id="../escape")
+
+
+def test_job_fail_and_list_filter(tmp_path):
+    store = JobStore(str(tmp_path))
+    a = store.submit("dedup", now=1.0)
+    b = store.submit("spans", now=2.0)
+    store.start(a.job_id, now=3.0)
+    store.fail(a.job_id, "boom", now=4.0)
+    assert store.get(a.job_id).status == STATUS_FAILED
+    assert store.get(a.job_id).error == "boom"
+    assert [r.job_id for r in store.list()] == [a.job_id, b.job_id]
+    assert [r.job_id for r in store.list(STATUS_QUEUED)] == [b.job_id]
+    with pytest.raises(JobNotFound):
+        store.get("nope")
+
+
+def test_job_ttl_eviction(tmp_path):
+    store = JobStore(str(tmp_path), result_ttl_s=10.0)
+    a = store.submit("dedup", now=0.0)
+    b = store.submit("dedup", now=0.0)
+    store.complete(a.job_id, now=5.0)
+    store.start(b.job_id, now=5.0)  # running jobs are never evicted
+    assert store.evict(now=20.0) == 1
+    with pytest.raises(JobNotFound):
+        store.get(a.job_id)
+    with pytest.raises(JobResultExpired):
+        store.get_or_expired(a.job_id)
+    assert store.get_or_expired(b.job_id).status == STATUS_RUNNING
+    assert store.evict(now=20.0) == 0  # idempotent
+
+
+def test_cli_status_verb(tmp_path):
+    """`python -m distill_ray status` reads the manifest with no Ray
+    session (it must return fast)."""
+    store = JobStore(str(tmp_path))
+    rec = store.submit("dedup", {"input": "x"}, now=1.0)
+    store.start(rec.job_id, now=2.0)
+    out = subprocess.run(
+        [sys.executable, "-m", "distill_ray", "status",
+         "--job-dir", str(tmp_path)],
+        capture_output=True, text=True, timeout=60, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+    rows = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rows[0]["job_id"] == rec.job_id
+    assert rows[0]["status"] == STATUS_RUNNING
+
+    one = subprocess.run(
+        [sys.executable, "-m", "distill_ray", "status",
+         "--job-dir", str(tmp_path), "--job-id", rec.job_id],
+        capture_output=True, text=True, timeout=60, cwd="/root/repo",
+    )
+    assert json.loads(one.stdout.strip().splitlines()[-1])["verb"] == "dedup"
+
+
+# --- X3: embedder registry ---------------------------------------------------
+
+def test_registry_builtin_and_unknown():
+    from distill_ray.kernels.embed import (
+        DeterministicEmbedder, make_embedder, supported_embedders)
+
+    assert "deterministic" in supported_embedders()
+    emb = make_embedder("deterministic", dim=16)
+    assert isinstance(emb, DeterministicEmbedder) and emb.dim == 16
+    with pytest.raises(ValueError, match="supported: "):
+        make_embedder("openai")
+    with pytest.raises(ValueError):
+        make_embedder("")
+
+
+def test_registry_custom_override_and_cache_passthrough():
+    from distill_ray.kernels import embed as E
+
+    calls = []
+
+    class Fake:
+        def __init__(self, **cfg):
+            calls.append(cfg)
+
+        def __call__(self, batch):
+            return batch
+
+    E.register_embedder("fake", lambda **cfg: Fake(**cfg))
+    try:
+        obj = E.make_embedder("FAKE", cache_entries=7, dim=8)
+        assert isinstance(obj, Fake)
+        assert calls[-1] == {"cache_entries": 7, "dim": 8}
+        # custom registration overrides built-ins, as in registry.go
+        E.register_embedder("deterministic", lambda **cfg: Fake(**cfg))
+        assert isinstance(E.make_embedder("deterministic"), Fake)
+    finally:
+        E._EMBEDDER_FACTORIES.pop("fake", None)
+        E.register_embedder(
+            "deterministic", lambda **cfg: E.DeterministicEmbedder(**cfg))
+
+    emb = E.make_embedder("deterministic", cache_entries=4, dim=8)
+    assert emb.cache is not None  # the CachedProvider wrapping role
+
+
+def test_registry_embedder_embeds():
+    from distill_ray.kernels.embed import make_embedder
+
+    emb = make_embedder("deterministic", dim=8)
+    out = emb(pd.DataFrame({"text": ["hello world", "hello world", "bye"]}))
+    v = np.stack(out["embedding"].to_numpy())
+    assert v.shape == (3, 8)
+    np.testing.assert_array_equal(v[0], v[1])
+    assert not np.array_equal(v[0], v[2])
+
+
+# --- X6: lifecycle event handlers --------------------------------------------
+
+def _entry(eid, text, level, idle_h, now_h=1000.0):
+    from distill_ray.kernels.memory import MemoryEntry
+
+    return MemoryEntry(eid, text, None, level, last_referenced_h=now_h - idle_h)
+
+
+def test_decay_emits_lifecycle_events():
+    from distill_ray.kernels import memory as M
+
+    long_text = ("The quick brown fox jumps over the lazy dog. " * 8).strip()
+    entries = [
+        _entry("keep", "fresh entry", M.DECAY_FULL, idle_h=1.0),
+        _entry("sum", long_text, M.DECAY_FULL, idle_h=48.0),
+        _entry("kw", long_text, M.DECAY_SUMMARY, idle_h=200.0),
+        _entry("gone", "old keywords", M.DECAY_KEYWORDS, idle_h=800.0),
+    ]
+    seen = []
+    kept, counts = M.memory_decay(entries, now_h=1000.0,
+                                  handlers=[seen.append])
+    assert counts == {"evicted": 1, "to_keywords": 1, "to_summary": 1}
+    by_id = {e.entry_id: e for e in seen}
+    assert len(seen) == 3
+    ev = by_id["gone"]
+    assert ev.type == M.EVENT_EVICTED
+    assert ev.tokens_before > 0 and ev.tokens_after == 0
+    ev = by_id["sum"]
+    assert ev.type == M.EVENT_COMPRESSED
+    assert ev.compression_level == M.DECAY_SUMMARY
+    assert 0 < ev.tokens_after < ev.tokens_before
+    ev = by_id["kw"]
+    assert ev.type == M.EVENT_COMPRESSED
+    assert ev.compression_level == M.DECAY_KEYWORDS
+    assert all(e.occurred_at == 1000.0 for e in seen)
+
+
+def test_decay_handlers_in_registration_order_and_optional():
+    from distill_ray.kernels import memory as M
+
+    entries = [_entry("gone", "x y z", M.DECAY_KEYWORDS, idle_h=800.0)]
+    order = []
+    M.memory_decay(entries, now_h=1000.0,
+                   handlers=[lambda e: order.append("a"),
+                             lambda e: order.append("b")])
+    assert order == ["a", "b"]
+    # no handlers: same kept/counts, no event machinery
+    entries = [_entry("gone", "x y z", M.DECAY_KEYWORDS, idle_h=800.0)]
+    kept, counts = M.memory_decay(entries, now_h=1000.0)
+    assert counts["evicted"] == 1 and kept == []

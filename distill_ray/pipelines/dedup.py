@@ -336,37 +336,59 @@ def run_dedup(
         # of serializing in front of them.
         ray.wait([pairable_ref], num_returns=1)
         _mark("p6a_artifact_build")
-        raw_pairs = (
-            _bounded(fused).map_batches(
-                make_expand_bands_numeric(B, include_simhash=False,
-                                          pairable_ref=pairable_ref),
-                batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(
-                _named(BandPairNumericBucket(
-                    cfg, narrow=True, sim_lookup=lookup_ref,
-                    verify_threshold=(cfg.threshold if inband_verify else None)),
-                       "band_pairs"),
-                batch_format="pyarrow")
-        ).materialize()  # barrier between consecutive wide ops (see endpoint)
-        _mark("p6_band_pairs")
-        import os as _os_s
+        # Raw-task hash exchange (stages/exchange.py) replaces BOTH
+        # sort-based groupbys of this phase — no key sort, no separate
+        # materialize barrier, and the pair shuffle's map side fused into
+        # the band reduce tasks. DEFAULT since round 4: 8M x 32 ABBA
+        # measured band+verify 13.5 -> 10.1 s (wall 32.7 -> 28.9 s mean)
+        # with the identical 1,984,741-edge set in all four runs;
+        # >= parity at 2M. DISTILL_RAY_BAND_EXCHANGE=sort restores the
+        # sort path for A/B; edge/assignment parity is asserted in
+        # tests/test_dedup_pipeline.py::test_raw_exchange_matches_sort_path.
+        if _os_v.environ.get("DISTILL_RAY_BAND_EXCHANGE", "raw") == "raw":
+            from distill_ray.stages.exchange import raw_band_pair_edges
 
-        if _os_s.environ.get("DISTILL_RAY_PRINT_STATS") == "1":
-            import sys as _sys
+            edges = raw_band_pair_edges(
+                fused, cfg, P, lookup_ref, pairable_ref,
+                inband_verify=inband_verify,
+            )
+            _mark("p6_band_pairs")  # fused stages; the split lives in p6_p7
+            edges = edges.materialize()
+        else:
+            edges = None
+        if edges is None:
+            raw_pairs = (
+                _bounded(fused).map_batches(
+                    make_expand_bands_numeric(B, include_simhash=False,
+                                              pairable_ref=pairable_ref),
+                    batch_format="pyarrow")
+                .groupby("bucket")
+                .map_groups(
+                    _named(BandPairNumericBucket(
+                        cfg, narrow=True, sim_lookup=lookup_ref,
+                        verify_threshold=(cfg.threshold if inband_verify
+                                          else None)),
+                           "band_pairs"),
+                    batch_format="pyarrow")
+            ).materialize()  # barrier between consecutive wide ops (see endpoint)
+            _mark("p6_band_pairs")
+            import os as _os_s
 
-            print(raw_pairs.stats(), file=_sys.stderr)
-        edges = (
-            _bounded(raw_pairs)
-            .groupby("kbucket")
-            .map_groups(
-                _named(
-                    make_dedupe_verify_broadcast(
-                        cfg.min_band_collisions, cfg.threshold, lookup_ref,
-                        preverified=inband_verify),
-                    "dedupe_verify"),
-                batch_format="pyarrow")
-        )
+            if _os_s.environ.get("DISTILL_RAY_PRINT_STATS") == "1":
+                import sys as _sys
+
+                print(raw_pairs.stats(), file=_sys.stderr)
+            edges = (
+                _bounded(raw_pairs)
+                .groupby("kbucket")
+                .map_groups(
+                    _named(
+                        make_dedupe_verify_broadcast(
+                            cfg.min_band_collisions, cfg.threshold, lookup_ref,
+                            preverified=inband_verify),
+                        "dedupe_verify"),
+                    batch_format="pyarrow")
+            )
     else:
         # Raw multi-band pair emissions as near-pure-numeric rows (int64
         # endpoint hashes + one null varlen offset, 28 B/row), keyed by

@@ -257,6 +257,69 @@ def _build_frontier_keys(combined: rd.Dataset, new_keys: np.ndarray) -> np.ndarr
     return u[tot >= 2]
 
 
+@ray.remote(num_returns=2)
+def _expand_and_carriers_block(block, frontier, n_buckets: int):
+    """ONE pass over one combined-state block emitting BOTH endpoint-mode
+    row kinds: (frontier-pruned band rows, frontier-touching carrier rows).
+
+    Replaces two separate full scans of the combined signature state — the
+    band expansion and the carrier emission each recomputed the identical
+    frontier-membership searchsorted over every stored band key (the
+    builder-measured endpoint cost was 3 full state scans). Here the
+    (rows x bands) membership mask is computed ONCE and drives both
+    outputs, so endpoint mode scans the state twice total (frontier count
+    + this), not three times. Outputs are bit-identical to the unfused
+    stages: band rows == make_expand_bands_numeric(pairable_ref=frontier)
+    and carriers == _make_frontier_carriers (asserted by the endpoint
+    parity tests)."""
+    import pyarrow.compute as pc
+
+    from distill_ray.stages.dedup_stages import (
+        _BAND_SCHEMA, _hash_bucket)
+
+    carrier = make_carrier_rows(n_buckets)
+    empty = (_BAND_SCHEMA.empty_table(), PAIRX_SCHEMA.empty_table())
+    # raw block refs pass through as-is: an empty sort/groupby partition
+    # materializes as an empty PANDAS block with no columns
+    t = as_arrow_block(block)
+    if t is None or "n_tokens" not in t.column_names:
+        return empty
+    t = t.filter(pc.greater(t["n_tokens"], 0))
+    if t.num_rows == 0:
+        return empty
+    # `frontier` arrives as the top-level-arg auto-deref of the driver's
+    # ray.put ref: a zero-copy plasma view of the sorted uint32 key set
+    if not len(frontier):
+        return empty
+    key_mat = band_keys32(t)  # (rows, bands) int32
+    ku = key_mat.view(np.uint32)
+    pos = np.minimum(np.searchsorted(frontier, ku), len(frontier) - 1)
+    hit2d = frontier[pos] == ku  # the shared membership mask
+
+    # band rows (flattened, pruned) — same layout as expand_bands_numeric
+    n_bands = key_mat.shape[1]
+    rh0 = t["rh"].to_numpy()
+    mask = hit2d.reshape(-1)
+    keys = key_mat.reshape(-1)[mask]
+    rh = np.repeat(rh0, n_bands)[mask]
+    sim = np.repeat(t["simhash"].to_numpy(), n_bands)[mask]
+    if len(keys):
+        bucket = (keys.view(np.uint32) % np.uint32(n_buckets)).astype(np.int32)
+        band_t = pa.Table.from_arrays(
+            [pa.array(keys), pa.array(rh), pa.array(sim), pa.array(bucket)],
+            schema=_BAND_SCHEMA)
+    else:
+        band_t = _BAND_SCHEMA.empty_table()
+
+    # carrier rows for rows with >= 1 frontier band
+    rows_hit = hit2d.any(axis=1)
+    if rows_hit.any():
+        carrier_t = carrier(t.select(["rh", "emb"]).filter(pa.array(rows_hit)))
+    else:
+        carrier_t = PAIRX_SCHEMA.empty_table()
+    return band_t, carrier_t
+
+
 def _make_frontier_carriers(frontier_ref, n_buckets: int):
     """Carrier rows for the endpoint attach, prefiltered map-side to rows
     with >= 1 band key in the frontier — every surviving pair's endpoints
@@ -404,18 +467,34 @@ def run_dedup_incremental(
             edges = pd.DataFrame({"a": pd.Series(dtype="int64"),
                                   "b": pd.Series(dtype="int64")})
         else:
-            raw_pairs = (
-                combined.map_batches(
+            # ONE fused pass over the combined state emits band rows AND
+            # carrier rows per block (shared frontier-membership mask),
+            # dropping the third full state scan — see
+            # _expand_and_carriers_block. DISTILL_RAY_INC_FUSED=0 restores
+            # the two-scan shape for A/B (identical outputs either way).
+            if os.environ.get("DISTILL_RAY_INC_FUSED", "1") != "0":
+                band_refs, carrier_refs = [], []
+                for blk in combined.to_arrow_refs():
+                    br, cr = _expand_and_carriers_block.remote(
+                        blk, frontier_ref, B)
+                    band_refs.append(br)
+                    carrier_refs.append(cr)
+                bands_ds = rd.from_arrow_refs(band_refs)
+                carriers = rd.from_arrow_refs(carrier_refs)
+            else:
+                bands_ds = combined.map_batches(
                     make_expand_bands_numeric(B, pairable_ref=frontier_ref),
                     batch_format="pyarrow")
+                carriers = combined.map_batches(
+                    _make_frontier_carriers(frontier_ref, B),
+                    batch_format="pyarrow")
+            raw_pairs = (
+                bands_ds
                 .groupby("bucket")
                 .map_groups(_named(BandPairNumericBucket(cfg),
                                    "inc_band_pairs"),
                             batch_format="pyarrow")
             ).materialize()
-            carriers = combined.map_batches(
-                _make_frontier_carriers(frontier_ref, B),
-                batch_format="pyarrow")
             attached_a = (
                 raw_pairs.union(carriers)
                 .groupby("kbucket")

@@ -1,0 +1,190 @@
+"""Raw-task hash exchange for the band-pair + pair-dedupe shuffles.
+
+Ray's groupby runs a SORT-based all-to-all: every wide op pays a full key
+sort, a P x P intermediate-object matrix, AND a driver-side scheduling
+round per shuffle. The band-pair phase only needs HASH CO-LOCATION — both
+kernels sort their own input (BandPairNumericBucket lexsorts by band_key,
+dedupe_verify lexsorts by (k, o)) and neither depends on Ray delivering
+one fine-grained group at a time — so a direct hash exchange over raw Ray
+tasks does strictly less work:
+
+  stage 1 (one task per fused block): expand bands (with the map-side
+      singleton-key prune) and return the rows PARTITIONED by
+      band_key % P — num_returns=P, each return a small fixed-width Arrow
+      table, so the object store holds exactly the shuffle matrix and
+      nothing else (no sort runs, no separate materialize barrier).
+  stage 2 (P tasks): concat one partition's parts from every block, run
+      the band-pair kernel ONCE over the whole partition (it groups by
+      band_key internally), and return the resulting TRUE-pair rows
+      partitioned by hash(a) % P for the next exchange — the second
+      shuffle's map side is FUSED into the first shuffle's reduce side.
+  stage 3 (P tasks): concat one pair partition, collapse the multiset +
+      >= min_band_collisions count (the dedupe/verify kernel) -> edges.
+
+Correctness relies only on co-location invariants that hash partitioning
+preserves exactly: all rows of one band_key land in one stage-2 task
+(band_key % P), and all copies of one (a, b) pair land in one stage-3
+task (hash(a) % P; every emission of a pair carries the same a). The edge
+SET is therefore identical to the sort path's — asserted by the mode
+parity test (tests/test_dedup_pipeline.py::test_verify_modes_agree) and
+the dedicated raw/sort equality test.
+
+At cluster scale this is the classic map-side-partitioned shuffle:
+stage boundaries are plain object-store transfers with locality-aware
+scheduling, and P scales with the cluster exactly like the sort path's
+partition count. Enabled via DISTILL_RAY_BAND_EXCHANGE=raw (A/B flag;
+sort remains the default until the measured win is recorded in
+BASELINE.md — see that file's probe table for the history).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from distill_ray.stages.dedup_stages import (
+    BandPairNumericBucket,
+    EDGE_SCHEMA,
+    as_arrow_block,
+    make_dedupe_verify_broadcast,
+    make_expand_bands_numeric,
+)
+
+_BAND_PART_SCHEMA = pa.schema([("band_key", pa.int32()), ("rh", pa.int64())])
+_PAIR_PART_SCHEMA = pa.schema([("k", pa.int64()), ("o", pa.int64())])
+
+
+def _partition_tables(
+    arrays: dict[str, np.ndarray], part: np.ndarray, n_parts: int,
+    schema: pa.Schema,
+) -> list[pa.Table]:
+    """Split parallel numpy columns into n_parts Arrow tables by the part
+    id of each row. One stable argsort + contiguous slices; pa.array wraps
+    each slice zero-copy, so serialization ships only that partition's
+    bytes (never the full backing buffer)."""
+    order = np.argsort(part, kind="stable")
+    counts = np.bincount(part, minlength=n_parts)
+    sorted_cols = {name: a[order] for name, a in arrays.items()}
+    out = []
+    off = 0
+    for i in range(n_parts):
+        c = int(counts[i])
+        out.append(
+            pa.Table.from_arrays(
+                [pa.array(sorted_cols[f.name][off:off + c]) for f in schema],
+                schema=schema,
+            )
+        )
+        off += c
+    return out
+
+
+@ray.remote
+def _expand_partition(block, expand_fn, n_parts: int):
+    """Stage 1: expand one fused block into band rows, hash-partitioned by
+    band_key % n_parts. expand_fn carries the pairable-key prune ref."""
+    # raw block refs pass through as-is: an empty sort/groupby partition
+    # materializes as an empty PANDAS block with no columns
+    block = as_arrow_block(block)
+    if block is None:
+        empty = _BAND_PART_SCHEMA.empty_table()
+        return tuple(empty for _ in range(n_parts))
+    t = expand_fn(block)
+    if t.num_rows == 0:
+        empty = _BAND_PART_SCHEMA.empty_table()
+        return tuple(empty for _ in range(n_parts))
+    keys = t["band_key"].to_numpy()
+    rh = t["rh"].to_numpy()
+    part = (keys.view(np.uint32) % np.uint32(n_parts)).astype(np.int64)
+    return tuple(
+        _partition_tables({"band_key": keys, "rh": rh}, part, n_parts,
+                          _BAND_PART_SCHEMA)
+    )
+
+
+@ray.remote
+def _band_pairs_partition(kernel, n_parts: int, n_buckets: int, *parts):
+    """Stage 2: run the band-pair kernel over one band-key partition and
+    return its TRUE-pair emissions partitioned by hash(a) % n_parts (the
+    next exchange's map side, fused here)."""
+    tables = [p for p in parts if p.num_rows]
+    empty = _PAIR_PART_SCHEMA.empty_table()
+    if not tables:
+        return tuple(empty for _ in range(n_parts))
+    g = pa.concat_tables(tables).combine_chunks()
+    pairs = kernel(g)  # narrow schema (k, o, kbucket); kernel sorts itself
+    if pairs.num_rows == 0:
+        return tuple(empty for _ in range(n_parts))
+    k = pairs["k"].to_numpy()
+    o = pairs["o"].to_numpy()
+    # kbucket = hash(a) % shuffle_buckets is already computed; folding it
+    # to n_parts keeps co-location by `a` (same a -> same kbucket -> same
+    # part) without a second hash
+    part = (pairs["kbucket"].to_numpy().astype(np.int64)) % n_parts
+    return tuple(
+        _partition_tables({"k": k, "o": o}, part, n_parts, _PAIR_PART_SCHEMA)
+    )
+
+
+@ray.remote
+def _dedupe_verify_partition(dedupe_fn, *parts):
+    """Stage 3: collapse one pair partition's multiset, apply the band-
+    collision count (and the cosine verify when not pre-verified)."""
+    tables = [p for p in parts if p.num_rows]
+    if not tables:
+        return EDGE_SCHEMA.empty_table()
+    return dedupe_fn(pa.concat_tables(tables).combine_chunks())
+
+
+def raw_band_pair_edges(
+    fused: rd.Dataset,
+    cfg,
+    n_parts: int,
+    lookup_ref,
+    pairable_ref,
+    inband_verify: bool,
+) -> rd.Dataset:
+    """The P6+P7 broadcast-verify phase as a raw-task hash exchange.
+    `fused` must be materialized (block refs are taken directly). Returns
+    the verified edge Dataset — same edge set as the sort path."""
+    kernel = BandPairNumericBucket(
+        cfg, narrow=True, sim_lookup=lookup_ref,
+        verify_threshold=(cfg.threshold if inband_verify else None),
+    )
+    dedupe_fn = make_dedupe_verify_broadcast(
+        cfg.min_band_collisions, cfg.threshold, lookup_ref,
+        preverified=inband_verify,
+    )
+    expand_fn = make_expand_bands_numeric(
+        cfg.shuffle_buckets, include_simhash=False, pairable_ref=pairable_ref
+    )
+
+    blocks = fused.to_arrow_refs()
+    if not blocks:
+        return rd.from_arrow(EDGE_SCHEMA.empty_table())
+
+    band_parts = [
+        _expand_partition.options(num_returns=n_parts).remote(
+            b, expand_fn, n_parts)
+        for b in blocks
+    ]
+    if n_parts == 1:  # options(num_returns=1) returns a bare ref
+        band_parts = [[r] for r in band_parts]
+    pair_parts = [
+        _band_pairs_partition.options(num_returns=n_parts).remote(
+            kernel, n_parts, cfg.shuffle_buckets,
+            *[band_parts[b][p] for b in range(len(blocks))])
+        for p in range(n_parts)
+    ]
+    if n_parts == 1:
+        pair_parts = [[r] for r in pair_parts]
+    edge_refs = [
+        _dedupe_verify_partition.remote(
+            dedupe_fn, *[pair_parts[p][q] for p in range(n_parts)])
+        for q in range(n_parts)
+    ]
+    return rd.from_arrow_refs(edge_refs)

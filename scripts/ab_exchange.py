@@ -1,0 +1,95 @@
+"""ABBA probe: sort-shuffle vs raw-task hash exchange for the band/pair
+phase (DISTILL_RAY_BAND_EXCHANGE). Host drift is real (NOTES_r3), so only
+interleaved pairs are comparable.
+
+    python scripts/ab_exchange.py [n_convs] [num_cpus] [reps]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+N_CONVS = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
+NUM_CPUS = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, "/root/repo")
+import ray
+ray.init(address="local", num_cpus=%(cpus)d, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+import ray.data as rd
+from distill_ray.sources.transcripts import write_transcripts_parquet
+from distill_ray.pipelines.dedup import run_dedup
+
+path = write_transcripts_parquet(
+    "/tmp/distill_ray_bench/transcripts_v3_%(convs)dx8", %(convs)d, 8, seed=42)
+
+def _warm(batch):
+    import pandas, pyarrow
+    from distill_ray.stages import dedup_stages
+    return batch
+
+rd.range(%(cpus)d * 4, override_num_blocks=%(cpus)d * 4).map_batches(
+    _warm, batch_format="pandas", batch_size=1).materialize()
+
+read_blocks = max(2 * %(cpus)d, 16)
+t0 = time.time()
+res = run_dedup(rd.read_parquet(path, override_num_blocks=read_blocks),
+                verify_mode="broadcast", collect_stats=True)
+res.assignments.count()
+wall = time.time() - t0
+print(json.dumps({"mode": os.environ.get("DISTILL_RAY_BAND_EXCHANGE", "sort"),
+                  "wall": round(wall, 2), "edges": res.stats.get("edges"),
+                  "timings": res.stats["timings"]}))
+ray.shutdown()
+"""
+
+
+def run(mode: str) -> dict:
+    env = dict(os.environ)
+    env["DISTILL_RAY_BAND_EXCHANGE"] = mode
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD % {"convs": N_CONVS, "cpus": NUM_CPUS}],
+        capture_output=True, text=True, env=env, timeout=3600,
+    )
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        print(f"--- {mode} child failed (rc={out.returncode}) ---")
+        print(out.stderr[-4000:])
+        raise SystemExit(1)
+    return json.loads(lines[-1])
+
+
+def main():
+    results = []
+    for rep in range(REPS):
+        order = ["sort", "raw"] if rep % 2 == 0 else ["raw", "sort"]
+        for m in order:
+            r = run(m)
+            results.append(r)
+            t = r["timings"]
+            print(f"{m:5s} wall={r['wall']:7.2f}  "
+                  f"p6a={t.get('p6a_artifact_build', 0):5.2f}  "
+                  f"band={t.get('p6_band_pairs', 0):5.2f}  "
+                  f"p6p7={t.get('p6_p7_candidates_verify', 0):5.2f}  "
+                  f"edges={r['edges']}", flush=True)
+    for m in ("sort", "raw"):
+        walls = [r["wall"] for r in results if r["mode"] == m]
+        bp = [r["timings"].get("p6_band_pairs", 0)
+              + r["timings"].get("p6_p7_candidates_verify", 0)
+              for r in results if r["mode"] == m]
+        print(f"{m}: min wall {min(walls):.2f} mean {sum(walls)/len(walls):.2f}"
+              f"  min band+verify {min(bp):.2f}")
+    es = {r["edges"] for r in results}
+    print("edge counts agree:", len(es) == 1, es)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""ABBA probe: fused (one expand+carrier scan) vs unfused (two scans)
+endpoint-mode incremental append (DISTILL_RAY_INC_FUSED). Builds the state
+once, then times appends in fresh child processes.
+
+    python scripts/ab_inc_endpoint.py [n_convs_state] [n_convs_inc] [cpus] [reps]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+N_STATE = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
+N_INC = int(sys.argv[2]) if len(sys.argv) > 2 else 12_500
+CPUS = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+REPS = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+STATE_DIR = f"/tmp/distill_ray_bench/inc_state_{N_STATE}"
+INC_PATH = f"/tmp/distill_ray_bench/inc_batch_{N_INC}"
+
+BUILD = r"""
+import os, sys, shutil
+sys.path.insert(0, "/root/repo")
+import ray
+ray.init(address="local", num_cpus=%(cpus)d, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+import ray.data as rd
+from distill_ray.sources.transcripts import write_transcripts_parquet
+from distill_ray.pipelines.dedup import run_dedup
+from distill_ray.pipelines.incremental import save_dedup_state
+
+path = write_transcripts_parquet(
+    "/tmp/distill_ray_bench/transcripts_v3_%(state)dx8", %(state)d, 8, seed=42)
+res = run_dedup(rd.read_parquet(path))
+shutil.rmtree("%(sdir)s", ignore_errors=True)
+save_dedup_state(res.signatures, res.assignments, "%(sdir)s")
+# the increment: different seed + disjoint conv ids
+inc = write_transcripts_parquet("%(ipath)s_src", %(inc)d, 8, seed=99)
+import pandas as pd
+df = rd.read_parquet(inc).to_pandas()
+df["conv_id"] = "inc_" + df["conv_id"].astype(str)
+shutil.rmtree("%(ipath)s", ignore_errors=True)
+rd.from_pandas(df).write_parquet("%(ipath)s")
+print("STATE_READY")
+ray.shutdown()
+"""
+
+APPEND = r"""
+import json, os, sys, time
+sys.path.insert(0, "/root/repo")
+import ray
+ray.init(address="local", num_cpus=%(cpus)d, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+import ray.data as rd
+from distill_ray.pipelines.incremental import run_dedup_incremental
+
+def _warm(batch):
+    import pandas, pyarrow
+    from distill_ray.stages import dedup_stages
+    return batch
+
+rd.range(%(cpus)d * 4, override_num_blocks=%(cpus)d * 4).map_batches(
+    _warm, batch_format="pandas", batch_size=1).materialize()
+
+t0 = time.time()
+inc = run_dedup_incremental(rd.read_parquet("%(ipath)s"), "%(sdir)s",
+                            verify_mode="endpoint")
+wall = time.time() - t0
+import hashlib
+h = hashlib.md5(
+    inc.assignments.sort_values("rid").to_csv(index=False).encode()
+).hexdigest()
+print(json.dumps({"fused": os.environ.get("DISTILL_RAY_INC_FUSED", "1"),
+                  "wall": round(wall, 2),
+                  "edges": inc.stats.get("n_edges_new"),
+                  "joined_old": inc.stats.get("n_joined_old"),
+                  "hash": h}))
+ray.shutdown()
+"""
+
+SUBS = {"state": N_STATE, "inc": N_INC, "cpus": CPUS,
+        "sdir": STATE_DIR, "ipath": INC_PATH}
+
+
+def run_child(code: str, env_extra: dict) -> str:
+    env = dict(os.environ, **env_extra)
+    out = subprocess.run([sys.executable, "-c", code % SUBS],
+                         capture_output=True, text=True, env=env,
+                         timeout=3600)
+    if out.returncode != 0:
+        print(out.stderr[-4000:])
+        raise SystemExit(1)
+    return out.stdout
+
+
+def main():
+    if not os.path.exists(os.path.join(STATE_DIR, "signatures")):
+        print("building state...", flush=True)
+        run_child(BUILD, {})
+    results = []
+    for rep in range(REPS):
+        order = ["1", "0"] if rep % 2 == 0 else ["0", "1"]
+        for f in order:
+            out = run_child(APPEND, {"DISTILL_RAY_INC_FUSED": f})
+            r = json.loads(
+                [l for l in out.splitlines() if l.startswith("{")][-1])
+            results.append(r)
+            print(f"fused={f} wall={r['wall']:7.2f} edges={r['edges']} "
+                  f"hash={r['hash'][:10]}", flush=True)
+    for f in ("1", "0"):
+        walls = [r["wall"] for r in results if r["fused"] == f]
+        print(f"fused={f}: min {min(walls):.2f} mean "
+              f"{sum(walls)/len(walls):.2f}")
+    print("outputs agree:", len({r["hash"] for r in results}) == 1)
+
+
+if __name__ == "__main__":
+    main()

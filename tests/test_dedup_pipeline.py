@@ -135,6 +135,38 @@ def test_verify_modes_agree():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_raw_exchange_matches_sort_path(monkeypatch):
+    """DISTILL_RAY_BAND_EXCHANGE=raw (raw-task hash exchange,
+    stages/exchange.py) must produce the identical edge set and
+    assignments as the default sort-shuffle path."""
+    import ray.data as rd
+
+    from distill_ray.pipelines.dedup import run_dedup
+
+    df = generate_transcripts(n_convs=120, turns_per_conv=6, seed=23)
+    cfg = DedupConfig()
+    monkeypatch.setenv("DISTILL_RAY_BAND_EXCHANGE", "sort")
+    a = run_dedup(rd.from_pandas(df), cfg, verify_mode="broadcast")
+    monkeypatch.setenv("DISTILL_RAY_BAND_EXCHANGE", "raw")
+    b = run_dedup(rd.from_pandas(df), cfg, verify_mode="broadcast")
+    # raw exchange must also agree when the in-band verify is off (the
+    # dedupe stage then runs the cosine itself)
+    monkeypatch.setenv("DISTILL_RAY_INBAND_VERIFY", "0")
+    c = run_dedup(rd.from_pandas(df), cfg, verify_mode="broadcast")
+
+    def edge_set(res):
+        e = res.edges.to_pandas()
+        return set(map(tuple, np.sort(e[["a", "b"]].to_numpy(), axis=1)))
+
+    assert edge_set(a) == edge_set(b) == edge_set(c)
+    pa_ = a.assignments.to_pandas().sort_values("rid").reset_index(drop=True)
+    pb_ = b.assignments.to_pandas().sort_values("rid").reset_index(drop=True)
+    pc_ = c.assignments.to_pandas().sort_values("rid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(pa_, pb_)
+    pd.testing.assert_frame_equal(pa_, pc_)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_pairable_keys_match_naive_counts():
     """build_pairable_keys (per-block unique -> range reduce) must equal a
     naive global count of the expanded band keys: exactly the keys that

@@ -408,34 +408,53 @@ def run_dedup(
         # 103 s at 8 CPUs). A sort-shuffle is internally a full barrier
         # anyway, so the extra cost is one bounded object-store copy of
         # the (narrow) pair exchange, not a semantic change.
-        raw_pairs = (
-            sk.map_batches(make_expand_bands_numeric(B), batch_format="pyarrow")
-            .repartition(P)
-            .groupby("bucket")
-            .map_groups(_named(BandPairNumericBucket(cfg), "band_pairs"),
-                        batch_format="pyarrow")
-        ).materialize()
-        # embeddings travel only on one carrier row per unique input row;
-        # the same carrier dataset feeds both attach stages
-        carriers = sk.select_columns(["rh", "emb"]).map_batches(
-            make_carrier_rows(B), batch_format="pyarrow"
-        )
-        attached_a = (
-            raw_pairs.union(carriers)
-            .repartition(P)
-            .groupby("kbucket")
-            .map_groups(
-                _named(make_dedupe_attach_a_bucket(B, cfg.min_band_collisions),
-                       "dedupe_attach_a"),
-                batch_format="pyarrow")
-        ).materialize()
-        edges = (
-            attached_a.union(carriers)
-            .repartition(P)
-            .groupby("kbucket")
-            .map_groups(_named(make_attach_b_verify_bucket(cfg.threshold),
-                               "attach_b_verify"), batch_format="pyarrow")
-        )
+        # Raw-task variant of this whole chain (stages/exchange.
+        # raw_endpoint_edges) — carriers partitioned once and fed to both
+        # attach stages, no sorts, no barriers. DEFAULT since round 4:
+        # 20M x 32 ABBA measured P6+P7 27.9 -> 15.9 s, wall 71.5 -> 58.0 s
+        # mean (283 -> 345k rows/s). DISTILL_RAY_ENDPOINT_EXCHANGE=sort
+        # restores the three-groupby sort path; parity asserted in
+        # test_raw_exchange_matches_sort_path + test_verify_modes_agree.
+        import os as _os_e
+
+        if _os_e.environ.get("DISTILL_RAY_ENDPOINT_EXCHANGE", "raw") == "raw":
+            from distill_ray.stages.exchange import raw_endpoint_edges
+
+            edges = raw_endpoint_edges(fused, cfg, P).materialize()
+            _mark("p6_band_pairs")
+        else:
+            edges = None
+        if edges is None:
+            raw_pairs = (
+                sk.map_batches(make_expand_bands_numeric(B),
+                               batch_format="pyarrow")
+                .repartition(P)
+                .groupby("bucket")
+                .map_groups(_named(BandPairNumericBucket(cfg), "band_pairs"),
+                            batch_format="pyarrow")
+            ).materialize()
+            # embeddings travel only on one carrier row per unique input
+            # row; the same carrier dataset feeds both attach stages
+            carriers = sk.select_columns(["rh", "emb"]).map_batches(
+                make_carrier_rows(B), batch_format="pyarrow"
+            )
+            attached_a = (
+                raw_pairs.union(carriers)
+                .repartition(P)
+                .groupby("kbucket")
+                .map_groups(
+                    _named(make_dedupe_attach_a_bucket(
+                        B, cfg.min_band_collisions), "dedupe_attach_a"),
+                    batch_format="pyarrow")
+            ).materialize()
+            edges = (
+                attached_a.union(carriers)
+                .repartition(P)
+                .groupby("kbucket")
+                .map_groups(_named(make_attach_b_verify_bucket(cfg.threshold),
+                                   "attach_b_verify"),
+                            batch_format="pyarrow")
+            )
     edges = _ckpt_or("edges", edges)
     n_edges = edges.count()
     _mark("p6_p7_candidates_verify")

@@ -434,27 +434,40 @@ def run_dedup_incremental(
                                   assume_unique=True)
         frontier_ref = ray.put(frontier)
         stats["n_frontier_keys"] = int(len(frontier))
-        raw_pairs = (
-            combined.map_batches(
-                make_expand_bands_numeric(B, include_simhash=False,
-                                          pairable_ref=frontier_ref),
-                batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(
-                _named(BandPairNumericBucket(
-                    cfg, narrow=True, sim_lookup=lookup_ref,
-                    verify_threshold=cfg.threshold), "inc_band_pairs"),
-                batch_format="pyarrow")
-        ).materialize()
-        edges = (
-            raw_pairs.groupby("kbucket")
-            .map_groups(
-                _named(make_dedupe_verify_broadcast(
-                    cfg.min_band_collisions, cfg.threshold, lookup_ref,
-                    preverified=True), "inc_dedupe_verify"),
-                batch_format="pyarrow")
-            .to_pandas()
-        )
+        if os.environ.get("DISTILL_RAY_BAND_EXCHANGE", "raw") == "raw":
+            # same raw-task hash exchange as run_dedup's broadcast path
+            # (stages/exchange.py, measured there), with the frontier as
+            # the map-side prune set — identical edge set to the sort
+            # path below (mode-parity tests in test_incremental.py)
+            from distill_ray.stages.exchange import raw_band_pair_edges
+
+            total_cpus = int(ray.cluster_resources().get("CPU", 8))
+            edges = raw_band_pair_edges(
+                combined, cfg, max(total_cpus, 16), lookup_ref,
+                frontier_ref, inband_verify=True,
+            ).to_pandas()
+        else:
+            raw_pairs = (
+                combined.map_batches(
+                    make_expand_bands_numeric(B, include_simhash=False,
+                                              pairable_ref=frontier_ref),
+                    batch_format="pyarrow")
+                .groupby("bucket")
+                .map_groups(
+                    _named(BandPairNumericBucket(
+                        cfg, narrow=True, sim_lookup=lookup_ref,
+                        verify_threshold=cfg.threshold), "inc_band_pairs"),
+                    batch_format="pyarrow")
+            ).materialize()
+            edges = (
+                raw_pairs.groupby("kbucket")
+                .map_groups(
+                    _named(make_dedupe_verify_broadcast(
+                        cfg.min_band_collisions, cfg.threshold, lookup_ref,
+                        preverified=True), "inc_dedupe_verify"),
+                    batch_format="pyarrow")
+                .to_pandas()
+            )
     else:
         # endpoint: nothing corpus-bounded is broadcast — the frontier is
         # an increment-bounded distributed count, band rows stay narrow

@@ -858,6 +858,31 @@ FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_windowed_dup_events(sf_dir: str) -> pd.DataFrame:
+    """Event-time windowed dedup (the streaming-window semantics of
+    NOTES_r3 item 4): an event is a window-dup if its (user, type) key
+    fired within the preceding hour — stages/temporal.windowed_dup_events,
+    one bucketed shuffle + lexsort/shift kernel."""
+    from distill_ray.stages.temporal import windowed_dup_events
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+    out = windowed_dup_events(ds, window_s=3600.0).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+WINDOWED_DUP_SQL = """
+SELECT event_id,
+       COALESCE(epoch_us(ts) - epoch_us(lag(ts) OVER w) <= 3600000000,
+                FALSE) AS is_window_dup
+FROM events
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+ORDER BY event_id
+"""
+
+
 def q_rolling_events(sf_dir: str) -> pd.DataFrame:
     """Rolling 24-hour RANGE window per user: per event, the count and
     value-sum of the user's events in [ts - 24h, ts] (peer rows with equal

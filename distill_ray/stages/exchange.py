@@ -49,9 +49,15 @@ import ray.data as rd
 from distill_ray.stages.dedup_stages import (
     BandPairNumericBucket,
     EDGE_SCHEMA,
+    PAIRX_SCHEMA,
+    _BAND_SCHEMA,
     as_arrow_block,
+    make_attach_b_verify_bucket,
+    make_carrier_rows,
+    make_dedupe_attach_a_bucket,
     make_dedupe_verify_broadcast,
     make_expand_bands_numeric,
+    winners_table,
 )
 
 _BAND_PART_SCHEMA = pa.schema([("band_key", pa.int32()), ("rh", pa.int64())])
@@ -79,6 +85,25 @@ def _partition_tables(
                 schema=schema,
             )
         )
+        off += c
+    return out
+
+
+def _partition_arrow(t: pa.Table, part: np.ndarray, n_parts: int,
+                     schema: pa.Schema) -> list[pa.Table]:
+    """Split an Arrow table (possibly with varlen payload columns) into
+    n_parts compact tables. Per-partition take() materializes fresh
+    buffers, so each shipped object holds only its own bytes."""
+    order = np.argsort(part, kind="stable")
+    counts = np.bincount(part, minlength=n_parts)
+    out = []
+    off = 0
+    for i in range(n_parts):
+        c = int(counts[i])
+        if c == 0:
+            out.append(schema.empty_table())
+        else:
+            out.append(t.take(pa.array(order[off:off + c])))
         off += c
     return out
 
@@ -186,5 +211,145 @@ def raw_band_pair_edges(
         _dedupe_verify_partition.remote(
             dedupe_fn, *[pair_parts[p][q] for p in range(n_parts)])
         for q in range(n_parts)
+    ]
+    return rd.from_arrow_refs(edge_refs)
+
+
+# --- endpoint mode (the nothing-broadcast 100-TB path) -----------------------
+#
+# Same exchange idea applied to the endpoint-attach chain, which the sort
+# path runs as THREE groupbys with materialize barriers (band pairs,
+# attach-A over pairs ∪ carriers, attach-B-verify over attached ∪
+# carriers). Here:
+#   stage 1 (per fused block, num_returns=2P): band rows partitioned by
+#       band_key % P AND carrier rows partitioned by hash(rh) % P — the
+#       carrier partitions are computed ONCE and fed to BOTH attach
+#       stages (the sort path shipped the carrier dataset through two
+#       separate shuffles).
+#   stage 2 (P tasks): band kernel over one band partition -> raw PAIRX
+#       multiset partitioned by hash(a) % P.
+#   stage 3 (P tasks): attach-A kernel over [pair parts + carrier parts]
+#       -> surviving pairs with emb_a, partitioned by hash(b) % P.
+#   stage 4 (P tasks): attach-B-verify over [attached parts + carrier
+#       parts] -> edges.
+# Co-location invariants: one band_key -> one stage-2 task; all copies of
+# a pair plus a's carrier -> one stage-3 task (both keyed by
+# kbucket = hash(a) % B, folded % P); attached pairs plus b's carrier ->
+# one stage-4 task (hash(b)). The attach kernels' missing-carrier checks
+# therefore hold exactly as on the sort path.
+
+
+@ray.remote
+def _expand_carrier_partition(block, expand_fn, carrier_fn, n_parts: int):
+    """Stage 1 (endpoint): one fused block -> n_parts band partitions
+    followed by n_parts carrier partitions (2P returns)."""
+    band_empty = _BAND_SCHEMA.empty_table()
+    carrier_empty = PAIRX_SCHEMA.empty_table()
+    block = as_arrow_block(block)
+    if block is None:
+        return tuple([band_empty] * n_parts + [carrier_empty] * n_parts)
+    t = expand_fn(block)
+    if t.num_rows:
+        part = (t["band_key"].to_numpy().view(np.uint32)
+                % np.uint32(n_parts)).astype(np.int64)
+        bands = _partition_arrow(t, part, n_parts, _BAND_SCHEMA)
+    else:
+        bands = [band_empty] * n_parts
+    c = carrier_fn(winners_table(block).select(["rh", "emb"]))
+    if c.num_rows:
+        cpart = c["kbucket"].to_numpy().astype(np.int64) % n_parts
+        carriers = _partition_arrow(c, cpart, n_parts, PAIRX_SCHEMA)
+    else:
+        carriers = [carrier_empty] * n_parts
+    return tuple(bands + carriers)
+
+
+@ray.remote
+def _band_pairs_pairx_partition(kernel, n_parts: int, *parts):
+    """Stage 2 (endpoint): band kernel over one partition -> raw PAIRX
+    multiset partitioned by its kbucket (hash(a) % B folded % n_parts)."""
+    empty = PAIRX_SCHEMA.empty_table()
+    tables = [p for p in parts if p.num_rows]
+    if not tables:
+        return tuple(empty for _ in range(n_parts))
+    pairs = kernel(pa.concat_tables(tables).combine_chunks())
+    if pairs.num_rows == 0:
+        return tuple(empty for _ in range(n_parts))
+    part = pairs["kbucket"].to_numpy().astype(np.int64) % n_parts
+    return tuple(_partition_arrow(pairs, part, n_parts, PAIRX_SCHEMA))
+
+
+@ray.remote
+def _attach_a_partition(attach_fn, n_parts: int, *parts):
+    """Stage 3 (endpoint): dedupe + attach emb_a over one hash(a)
+    partition (pairs ∪ carriers) -> re-keyed by hash(b), partitioned."""
+    empty = PAIRX_SCHEMA.empty_table()
+    tables = [p for p in parts if p.num_rows]
+    if not tables:
+        return tuple(empty for _ in range(n_parts))
+    out = attach_fn(pa.concat_tables(tables).combine_chunks())
+    if out.num_rows == 0:
+        return tuple(empty for _ in range(n_parts))
+    part = out["kbucket"].to_numpy().astype(np.int64) % n_parts
+    return tuple(_partition_arrow(out, part, n_parts, PAIRX_SCHEMA))
+
+
+@ray.remote
+def _attach_b_partition(verify_fn, *parts):
+    """Stage 4 (endpoint): attach emb_b + exact cosine verify -> edges."""
+    tables = [p for p in parts if p.num_rows]
+    if not tables:
+        return EDGE_SCHEMA.empty_table()
+    return verify_fn(pa.concat_tables(tables).combine_chunks())
+
+
+def raw_endpoint_edges(fused: rd.Dataset, cfg, n_parts: int) -> rd.Dataset:
+    """The endpoint-mode P6+P7 chain as a raw-task hash exchange over the
+    materialized fused table. Returns the verified edge Dataset — same
+    edge set as the three-groupby sort path (mode-parity tests)."""
+    B = cfg.shuffle_buckets
+    expand_fn = make_expand_bands_numeric(B)  # with simhash, no prune
+    carrier_fn = make_carrier_rows(B)
+    kernel = BandPairNumericBucket(cfg)
+    attach_fn = make_dedupe_attach_a_bucket(B, cfg.min_band_collisions)
+    verify_fn = make_attach_b_verify_bucket(cfg.threshold)
+
+    blocks = fused.to_arrow_refs()
+    if not blocks:
+        return rd.from_arrow(EDGE_SCHEMA.empty_table())
+    P = n_parts
+
+    stage1 = [
+        _expand_carrier_partition.options(num_returns=2 * P).remote(
+            b, expand_fn, carrier_fn, P)
+        for b in blocks
+    ]
+    if 2 * P == 1:
+        stage1 = [[r] for r in stage1]
+    band_of = lambda blk, p: stage1[blk][p]          # noqa: E731
+    carrier_of = lambda blk, p: stage1[blk][P + p]   # noqa: E731
+
+    pair_parts = [
+        _band_pairs_pairx_partition.options(num_returns=P).remote(
+            kernel, P, *[band_of(bi, p) for bi in range(len(blocks))])
+        for p in range(P)
+    ]
+    if P == 1:
+        pair_parts = [[r] for r in pair_parts]
+    attached = [
+        _attach_a_partition.options(num_returns=P).remote(
+            attach_fn, P,
+            *[pair_parts[p][q] for p in range(P)],
+            *[carrier_of(bi, q) for bi in range(len(blocks))])
+        for q in range(P)
+    ]
+    if P == 1:
+        attached = [[r] for r in attached]
+    edge_refs = [
+        _attach_b_partition.remote(
+            verify_fn,
+            *[attached[q][r] for q in range(P)],
+            *[carrier_of(bi, r) for bi in range(len(blocks))])
+        for r in range(P)
     ]
     return rd.from_arrow_refs(edge_refs)

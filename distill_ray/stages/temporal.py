@@ -404,3 +404,60 @@ def lag_events(
         .groupby("lbucket")
         .map_groups(lag_bucket, batch_format="pyarrow")
     )
+
+
+# --- event-time windowed dedup ---------------------------------------------
+
+def windowed_dup_events(
+    events: rd.Dataset,
+    window_s: float = 3600.0,
+    n_buckets: int = 64,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> rd.Dataset:
+    """Streaming-window dedup on EVENT TIME: an event is a window-dup if
+    the same (user, type) key emitted an event within the preceding
+    `window_s` seconds — the telemetry/retry-suppression semantics of a
+    streaming pipeline, evaluated batch-exactly. Same bucketed shape as
+    lag_events (hash(user) co-locates every key; one lexsort + one shift
+    per bucket — window membership needs only the IMMEDIATELY previous
+    same-key event, so no rolling scan and no per-key Python loop).
+    Equal-timestamp same-key events order by (ts, id); the later id is
+    the dup (gap 0 <= window), matching SQL LAG semantics exactly.
+    Emits (event_id, is_window_dup)."""
+    from distill_ray.kernels.hashing import stable_hash64
+
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("is_window_dup", pa.bool_())])
+    window_us = np.int64(round(window_s * 1e6))
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["wbucket"] = _bucket_of(df[user_col].to_numpy(), n_buckets)
+        return df
+
+    def dup_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        uid = g[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        th = stable_hash64(
+            g[type_col].to_numpy(zero_copy_only=False).astype(str)
+        ).view(np.int64)
+        ts = _ts_us(g[ts_col].to_numpy(zero_copy_only=False))
+        eid = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((eid, ts, th, uid))
+        uid, th, ts, eid = uid[o], th[o], ts[o], eid[o]
+        same_key = np.r_[False, (uid[1:] == uid[:-1]) & (th[1:] == th[:-1])]
+        gap = np.r_[np.int64(0), ts[1:] - ts[:-1]]
+        dup = same_key & (gap <= window_us)
+        return pa.Table.from_arrays([pa.array(eid), pa.array(dup)],
+                                    schema=out_schema)
+
+    return (
+        events.map_batches(add_bucket, batch_format="pandas")
+        .groupby("wbucket")
+        .map_groups(dup_bucket, batch_format="pyarrow")
+    )

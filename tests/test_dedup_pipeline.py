@@ -153,17 +153,26 @@ def test_raw_exchange_matches_sort_path(monkeypatch):
     # dedupe stage then runs the cosine itself)
     monkeypatch.setenv("DISTILL_RAY_INBAND_VERIFY", "0")
     c = run_dedup(rd.from_pandas(df), cfg, verify_mode="broadcast")
+    # and the endpoint-mode raw chain (expand+carrier -> band -> attach-A
+    # -> attach-B-verify as raw tasks) must match everything above, as
+    # must the legacy three-groupby endpoint sort path
+    monkeypatch.setenv("DISTILL_RAY_ENDPOINT_EXCHANGE", "raw")
+    d = run_dedup(rd.from_pandas(df), cfg, verify_mode="endpoint")
+    monkeypatch.setenv("DISTILL_RAY_ENDPOINT_EXCHANGE", "sort")
+    e = run_dedup(rd.from_pandas(df), cfg, verify_mode="endpoint")
 
     def edge_set(res):
-        e = res.edges.to_pandas()
-        return set(map(tuple, np.sort(e[["a", "b"]].to_numpy(), axis=1)))
+        ed = res.edges.to_pandas()
+        return set(map(tuple, np.sort(ed[["a", "b"]].to_numpy(), axis=1)))
 
-    assert edge_set(a) == edge_set(b) == edge_set(c)
+    assert (edge_set(a) == edge_set(b) == edge_set(c) == edge_set(d)
+            == edge_set(e))
     pa_ = a.assignments.to_pandas().sort_values("rid").reset_index(drop=True)
-    pb_ = b.assignments.to_pandas().sort_values("rid").reset_index(drop=True)
-    pc_ = c.assignments.to_pandas().sort_values("rid").reset_index(drop=True)
-    pd.testing.assert_frame_equal(pa_, pb_)
-    pd.testing.assert_frame_equal(pa_, pc_)
+    for res in (b, c, d, e):
+        pd.testing.assert_frame_equal(
+            pa_,
+            res.assignments.to_pandas().sort_values("rid")
+            .reset_index(drop=True))
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -220,6 +220,30 @@ def test_endpoint_mode_matches_broadcast(incremental_setup, tmp_path):
     assert ep.stats["n_edges_new"] == bc.stats["n_edges_new"]
 
 
+def test_broadcast_raw_exchange_matches_sort(incremental_setup, tmp_path,
+                                             monkeypatch):
+    """The incremental broadcast path's raw-task hash exchange
+    (DISTILL_RAY_BAND_EXCHANGE=raw, the default) must produce identical
+    assignments and edge counts to the sort-groupby path."""
+    old, new, *_ = incremental_setup
+    cfg = DedupConfig()
+    res = run_dedup(rd.from_pandas(old), cfg)
+    state_dir = str(tmp_path / "state_raw")
+    save_dedup_state(res.signatures, res.assignments, state_dir)
+
+    monkeypatch.setenv("DISTILL_RAY_BAND_EXCHANGE", "raw")
+    a = run_dedup_incremental(rd.from_pandas(new), state_dir, cfg,
+                              verify_mode="broadcast")
+    monkeypatch.setenv("DISTILL_RAY_BAND_EXCHANGE", "sort")
+    b = run_dedup_incremental(rd.from_pandas(new), state_dir, cfg,
+                              verify_mode="broadcast")
+    cols = ["rid", "cluster_id", "is_new_cluster", "is_representative"]
+    pd.testing.assert_frame_equal(
+        a.assignments[cols].sort_values("rid").reset_index(drop=True),
+        b.assignments[cols].sort_values("rid").reset_index(drop=True))
+    assert a.stats["n_edges_new"] == b.stats["n_edges_new"]
+
+
 def test_redelivered_rids_rejected(incremental_setup, tmp_path):
     """A new batch whose rids already exist in the state (re-delivered
     file / continued conv) must fail fast with a clear error, not become

@@ -263,3 +263,50 @@ def test_running_totals_matches_duckdb(ray_session):
            ORDER BY event_id""",
     ).df()
     pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_windowed_dup_boundary_ties_and_key_isolation(ray_session):
+    """windowed_dup_events: exact-boundary gap counts as dup (<=), equal
+    timestamps order by event_id (later id is the dup), and neither a
+    different user nor a different type links a window."""
+    from distill_ray.stages.temporal import windowed_dup_events
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 2, 1, 1],
+            "event_type": ["a", "a", "a", "a", "a", "b", "a"],
+            "ts": _ts(0, 3600, 7201, 7201, 7300, 7300, 10802),
+            "event_id": [10, 11, 12, 13, 14, 15, 16],
+        }
+    )
+    out = (
+        windowed_dup_events(rd.from_pandas(df), window_s=3600.0)
+        .to_pandas()
+        .set_index("event_id")["is_window_dup"]
+    )
+    assert out[10] == False  # first of key        # noqa: E712
+    assert out[11] == True   # gap exactly 3600 s  # noqa: E712
+    assert out[12] == False  # 3601 s after 11 — just past the window
+    assert out[13] == True   # tie with 12: later id is the dup
+    assert out[14] == False  # other user, same type/ts range
+    assert out[15] == False  # same user, other type
+    assert out[16] == False  # 3601 s after the tie pair
+
+
+def test_windowed_dup_gap_just_over_window(ray_session):
+    from distill_ray.stages.temporal import windowed_dup_events
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1],
+            "event_type": ["a", "a"],
+            "ts": _ts(0, 3601),
+            "event_id": [1, 2],
+        }
+    )
+    out = (
+        windowed_dup_events(rd.from_pandas(df), window_s=3600.0)
+        .to_pandas()
+        .set_index("event_id")["is_window_dup"]
+    )
+    assert out[1] == False and out[2] == False  # noqa: E712

@@ -192,16 +192,31 @@ def run_dedup(
     hashed = prep.map_batches(make_add_text_hash_arrow(B), batch_format="pandas")
     import os as _os_r
 
-    if _os_r.environ.get("DISTILL_RAY_P2_REPART", "1") != "0":
-        hashed = hashed.repartition(P)
-    fused = (
-        hashed
-        .groupby("bucket")
-        .map_groups(
-            _named(make_exact_dedup_sketch_bucket(cfg, need_text),
-                   "exact_dedup_sketch"),
-            batch_format="pyarrow")
-    )
+    if _os_r.environ.get("DISTILL_RAY_P2_EXCHANGE", "raw") == "raw":
+        # raw-task hash exchange for the TEXT exchange too
+        # (stages/exchange.raw_dedup_sketch): partition the hashed prep
+        # blocks by h % 2P, run the fused dedup+sketch kernel per
+        # partition — no key sort over the widest (string) rows of the
+        # pipeline. 2P partitions keep the compute-heavy sketch reducers
+        # load-balanced. DEFAULT since round 4: 8M ABBA wall 28.0 ->
+        # 24.5 s mean at 32 CPUs, 76.5 -> 64.7 s at 8 CPUs, identical
+        # edges; DISTILL_RAY_P2_EXCHANGE=sort restores the sort groupby.
+        from distill_ray.stages.exchange import raw_dedup_sketch
+
+        fused = raw_dedup_sketch(
+            hashed.materialize(),
+            make_exact_dedup_sketch_bucket(cfg, need_text), 2 * P)
+    else:
+        if _os_r.environ.get("DISTILL_RAY_P2_REPART", "1") != "0":
+            hashed = hashed.repartition(P)
+        fused = (
+            hashed
+            .groupby("bucket")
+            .map_groups(
+                _named(make_exact_dedup_sketch_bucket(cfg, need_text),
+                       "exact_dedup_sketch"),
+                batch_format="pyarrow")
+        )
     fused = _ckpt_or("signatures", fused)
     _mark("p2_p5_dedup_sketch")
 

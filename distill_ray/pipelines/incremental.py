@@ -257,8 +257,7 @@ def _build_frontier_keys(combined: rd.Dataset, new_keys: np.ndarray) -> np.ndarr
     return u[tot >= 2]
 
 
-@ray.remote(num_returns=2)
-def _expand_and_carriers_block(block, frontier, n_buckets: int):
+def _expand_and_carriers_impl(block, frontier, n_buckets: int):
     """ONE pass over one combined-state block emitting BOTH endpoint-mode
     row kinds: (frontier-pruned band rows, frontier-touching carrier rows).
 
@@ -318,6 +317,39 @@ def _expand_and_carriers_block(block, frontier, n_buckets: int):
     else:
         carrier_t = PAIRX_SCHEMA.empty_table()
     return band_t, carrier_t
+
+
+@ray.remote(num_returns=2)
+def _expand_and_carriers_block(block, frontier, n_buckets: int):
+    """Remote wrapper of _expand_and_carriers_impl (sort-groupby path)."""
+    return _expand_and_carriers_impl(block, frontier, n_buckets)
+
+
+@ray.remote
+def _expand_and_carriers_parts(block, frontier, n_buckets: int,
+                               n_parts: int):
+    """Raw-exchange stage 1 for the endpoint append: the SAME fused
+    single pass as _expand_and_carriers_block, but returning the band
+    rows partitioned by band_key % P followed by the carrier rows
+    partitioned by kbucket % P (2P returns) — feeding the
+    stages/exchange.py endpoint reducers directly, so the append's three
+    sort-groupbys disappear exactly as run_dedup's did."""
+    from distill_ray.stages.dedup_stages import _BAND_SCHEMA
+    from distill_ray.stages.exchange import _partition_arrow
+
+    band_t, carrier_t = _expand_and_carriers_impl(block, frontier, n_buckets)
+    if band_t.num_rows:
+        part = (band_t["band_key"].to_numpy().view(np.uint32)
+                % np.uint32(n_parts)).astype(np.int64)
+        bands = _partition_arrow(band_t, part, n_parts, _BAND_SCHEMA)
+    else:
+        bands = [_BAND_SCHEMA.empty_table()] * n_parts
+    if carrier_t.num_rows:
+        cpart = carrier_t["kbucket"].to_numpy().astype(np.int64) % n_parts
+        carriers = _partition_arrow(carrier_t, cpart, n_parts, PAIRX_SCHEMA)
+    else:
+        carriers = [PAIRX_SCHEMA.empty_table()] * n_parts
+    return tuple(bands + carriers)
 
 
 def _make_frontier_carriers(frontier_ref, n_buckets: int):
@@ -479,6 +511,56 @@ def run_dedup_incremental(
         if len(frontier) == 0:
             edges = pd.DataFrame({"a": pd.Series(dtype="int64"),
                                   "b": pd.Series(dtype="int64")})
+        elif os.environ.get("DISTILL_RAY_ENDPOINT_EXCHANGE", "raw") == "raw":
+            # raw-task hash exchange for the whole append chain (same
+            # reducers as run_dedup's endpoint mode — stages/exchange.py):
+            # the fused expand+carrier scan returns its outputs already
+            # partitioned (band_key % P / kbucket % P, num_returns=2P),
+            # then band-pair, attach-A and attach-B-verify run as raw
+            # reduce tasks. No sort-groupbys, no materialize barriers;
+            # edge-set parity with the sort path is asserted by
+            # test_endpoint_mode_matches_broadcast (this is the default)
+            # plus the explicit sort-path test.
+            from distill_ray.stages.exchange import (
+                _attach_a_partition, _attach_b_partition,
+                _band_pairs_pairx_partition)
+
+            P = max(int(ray.cluster_resources().get("CPU", 8)), 16)
+            blocks = combined.to_arrow_refs()
+            stage1 = [
+                _expand_and_carriers_parts.options(num_returns=2 * P).remote(
+                    blk, frontier_ref, B, P)
+                for blk in blocks
+            ]
+            if 2 * P == 1:
+                stage1 = [[r] for r in stage1]
+            nb = len(blocks)
+            pair_parts = [
+                _band_pairs_pairx_partition.options(num_returns=P).remote(
+                    BandPairNumericBucket(cfg), P,
+                    *[stage1[bi][p] for bi in range(nb)])
+                for p in range(P)
+            ]
+            if P == 1:
+                pair_parts = [[r] for r in pair_parts]
+            attached = [
+                _attach_a_partition.options(num_returns=P).remote(
+                    make_dedupe_attach_a_bucket(B, cfg.min_band_collisions),
+                    P,
+                    *[pair_parts[p][q] for p in range(P)],
+                    *[stage1[bi][P + q] for bi in range(nb)])
+                for q in range(P)
+            ]
+            if P == 1:
+                attached = [[r] for r in attached]
+            edge_refs = [
+                _attach_b_partition.remote(
+                    make_attach_b_verify_bucket(cfg.threshold),
+                    *[attached[q][r] for q in range(P)],
+                    *[stage1[bi][P + r] for bi in range(nb)])
+                for r in range(P)
+            ]
+            edges = rd.from_arrow_refs(edge_refs).to_pandas()
         else:
             # ONE fused pass over the combined state emits band rows AND
             # carrier rows per block (shared frontier-membership mask),

@@ -215,6 +215,72 @@ def raw_band_pair_edges(
     return rd.from_arrow_refs(edge_refs)
 
 
+# --- P2+P5 (exact dedup + sketch) -------------------------------------------
+#
+# The P2 exchange moves the FULL normalized-text rows (the widest bytes of
+# the pipeline), and NOTES_r3's phase split put "exchange + dict-encode" at
+# ~2/3 of the p2+sketch cost. The kernel (make_exact_dedup_sketch_bucket)
+# only needs all rows of one text hash co-located — it re-groups on the
+# full text itself — so the same raw hash exchange applies: partition the
+# prep blocks by h % P, run the fused dedup+sketch kernel once per
+# partition. More partitions than CPUs (the n_parts arg; callers pass
+# ~2x CPUs) keep the heavy sketch reducers load-balanced.
+
+
+_HASHED_SCHEMA = pa.schema(
+    [("rid", pa.string()), ("conv_id", pa.string()),
+     ("turn_idx", pa.int32()), ("norm_text", pa.string()),
+     ("h", pa.int64()), ("bucket", pa.int32())]
+)
+
+
+@ray.remote
+def _hash_partition_block(block, n_parts: int):
+    """Stage 1 (P2): partition one hashed prep block by text-hash % P.
+    Rows ship with their strings — same bytes the sort path exchanged."""
+    block = as_arrow_block(block)
+    if block is None:
+        empty = _HASHED_SCHEMA.empty_table()
+        return tuple(empty for _ in range(n_parts))
+    part = (block["h"].to_numpy().view(np.uint64)
+            % np.uint64(n_parts)).astype(np.int64)
+    return tuple(_partition_arrow(block, part, n_parts, block.schema))
+
+
+@ray.remote
+def _dedup_sketch_partition(kernel, *parts):
+    """Stage 2 (P2+P5): fused first-wins exact dedup + signature sketch
+    over one text-hash partition. All parts carry a schema, so the empty
+    case flows through the kernel's empty-table path."""
+    tables = [p for p in parts if p.num_rows]
+    if not tables:
+        return kernel(parts[0])
+    return kernel(pa.concat_tables(tables).combine_chunks())
+
+
+def raw_dedup_sketch(hashed: rd.Dataset, kernel, n_parts: int) -> rd.Dataset:
+    """The fused P2+P5 stage as a raw-task hash exchange. `hashed` must be
+    materialized (add_text_hash_arrow output). Returns the fused
+    signature Dataset — identical rows to the sort path's groupby("bucket")
+    since the kernel groups by full text within its partition and every
+    text hash is wholly contained in one partition."""
+    blocks = hashed.to_arrow_refs()
+    if not blocks:
+        return rd.from_arrow(kernel(_HASHED_SCHEMA.empty_table()))
+    parts = [
+        _hash_partition_block.options(num_returns=n_parts).remote(b, n_parts)
+        for b in blocks
+    ]
+    if n_parts == 1:
+        parts = [[r] for r in parts]
+    fused_refs = [
+        _dedup_sketch_partition.remote(
+            kernel, *[parts[b][p] for b in range(len(blocks))])
+        for p in range(n_parts)
+    ]
+    return rd.from_arrow_refs(fused_refs)
+
+
 # --- endpoint mode (the nothing-broadcast 100-TB path) -----------------------
 #
 # Same exchange idea applied to the endpoint-attach chain, which the sort

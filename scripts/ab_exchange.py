@@ -1,8 +1,9 @@
-"""ABBA probe: sort-shuffle vs raw-task hash exchange for the band/pair
-phase (DISTILL_RAY_BAND_EXCHANGE). Host drift is real (NOTES_r3), so only
-interleaved pairs are comparable.
+"""ABBA probe: sort-shuffle vs raw-task hash exchange for one exchange
+flag (default DISTILL_RAY_BAND_EXCHANGE; pass another flag name as the
+4th arg, e.g. DISTILL_RAY_P2_EXCHANGE). Host drift is real (NOTES_r3), so
+only interleaved pairs are comparable.
 
-    python scripts/ab_exchange.py [n_convs] [num_cpus] [reps]
+    python scripts/ab_exchange.py [n_convs] [num_cpus] [reps] [flag_var]
 """
 
 from __future__ import annotations
@@ -15,6 +16,7 @@ import sys
 N_CONVS = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
 NUM_CPUS = int(sys.argv[2]) if len(sys.argv) > 2 else 32
 REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+FLAG_VAR = sys.argv[4] if len(sys.argv) > 4 else "DISTILL_RAY_BAND_EXCHANGE"
 
 CHILD = r"""
 import json, os, sys, time
@@ -45,7 +47,7 @@ res = run_dedup(rd.read_parquet(path, override_num_blocks=read_blocks),
                 verify_mode="broadcast", collect_stats=True)
 res.assignments.count()
 wall = time.time() - t0
-print(json.dumps({"mode": os.environ.get("DISTILL_RAY_BAND_EXCHANGE", "sort"),
+print(json.dumps({"mode": os.environ.get("AB_MODE", "sort"),
                   "wall": round(wall, 2), "edges": res.stats.get("edges"),
                   "timings": res.stats["timings"]}))
 ray.shutdown()
@@ -54,7 +56,8 @@ ray.shutdown()
 
 def run(mode: str) -> dict:
     env = dict(os.environ)
-    env["DISTILL_RAY_BAND_EXCHANGE"] = mode
+    env[FLAG_VAR] = mode
+    env["AB_MODE"] = mode
     out = subprocess.run(
         [sys.executable, "-c", CHILD % {"convs": N_CONVS, "cpus": NUM_CPUS}],
         capture_output=True, text=True, env=env, timeout=3600,

@@ -1,8 +1,12 @@
-"""ABBA probe: fused (one expand+carrier scan) vs unfused (two scans)
-endpoint-mode incremental append (DISTILL_RAY_INC_FUSED). Builds the state
-once, then times appends in fresh child processes.
+"""ABBA probe for the endpoint-mode incremental append. Builds the state
+once, then times appends in fresh child processes. The flag under test is
+the 5th arg (default DISTILL_RAY_ENDPOINT_EXCHANGE, values raw/sort — the
+full raw-task chain vs the fused-scan + sort-groupby chain); pass
+DISTILL_RAY_INC_FUSED with values 1/0 to A/B the scan fusion inside the
+sort chain instead (set DISTILL_RAY_ENDPOINT_EXCHANGE=sort first).
 
-    python scripts/ab_inc_endpoint.py [n_convs_state] [n_convs_inc] [cpus] [reps]
+    python scripts/ab_inc_endpoint.py [n_convs_state] [n_convs_inc] [cpus]
+                                      [reps] [flag_var]
 """
 
 from __future__ import annotations
@@ -16,6 +20,8 @@ N_STATE = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
 N_INC = int(sys.argv[2]) if len(sys.argv) > 2 else 12_500
 CPUS = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 REPS = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+FLAG_VAR = sys.argv[5] if len(sys.argv) > 5 else "DISTILL_RAY_ENDPOINT_EXCHANGE"
+FLAG_VALUES = ("1", "0") if FLAG_VAR == "DISTILL_RAY_INC_FUSED" else ("raw", "sort")
 STATE_DIR = f"/tmp/distill_ray_bench/inc_state_{N_STATE}"
 INC_PATH = f"/tmp/distill_ray_bench/inc_batch_{N_INC}"
 
@@ -75,7 +81,7 @@ import hashlib
 h = hashlib.md5(
     inc.assignments.sort_values("rid").to_csv(index=False).encode()
 ).hexdigest()
-print(json.dumps({"fused": os.environ.get("DISTILL_RAY_INC_FUSED", "1"),
+print(json.dumps({"fused": os.environ.get("AB_MODE", "?"),
                   "wall": round(wall, 2),
                   "edges": inc.stats.get("n_edges_new"),
                   "joined_old": inc.stats.get("n_joined_old"),
@@ -104,15 +110,15 @@ def main():
         run_child(BUILD, {})
     results = []
     for rep in range(REPS):
-        order = ["1", "0"] if rep % 2 == 0 else ["0", "1"]
+        order = list(FLAG_VALUES) if rep % 2 == 0 else list(reversed(FLAG_VALUES))
         for f in order:
-            out = run_child(APPEND, {"DISTILL_RAY_INC_FUSED": f})
+            out = run_child(APPEND, {FLAG_VAR: f, "AB_MODE": f})
             r = json.loads(
                 [l for l in out.splitlines() if l.startswith("{")][-1])
             results.append(r)
             print(f"fused={f} wall={r['wall']:7.2f} edges={r['edges']} "
                   f"hash={r['hash'][:10]}", flush=True)
-    for f in ("1", "0"):
+    for f in FLAG_VALUES:
         walls = [r["wall"] for r in results if r["fused"] == f]
         print(f"fused={f}: min {min(walls):.2f} mean "
               f"{sum(walls)/len(walls):.2f}")

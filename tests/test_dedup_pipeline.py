@@ -146,6 +146,7 @@ def test_raw_exchange_matches_sort_path(monkeypatch):
     df = generate_transcripts(n_convs=120, turns_per_conv=6, seed=23)
     cfg = DedupConfig()
     monkeypatch.setenv("DISTILL_RAY_BAND_EXCHANGE", "sort")
+    monkeypatch.setenv("DISTILL_RAY_P2_EXCHANGE", "sort")  # legacy P2 path
     a = run_dedup(rd.from_pandas(df), cfg, verify_mode="broadcast")
     monkeypatch.setenv("DISTILL_RAY_BAND_EXCHANGE", "raw")
     b = run_dedup(rd.from_pandas(df), cfg, verify_mode="broadcast")
@@ -160,19 +161,25 @@ def test_raw_exchange_matches_sort_path(monkeypatch):
     d = run_dedup(rd.from_pandas(df), cfg, verify_mode="endpoint")
     monkeypatch.setenv("DISTILL_RAY_ENDPOINT_EXCHANGE", "sort")
     e = run_dedup(rd.from_pandas(df), cfg, verify_mode="endpoint")
+    # the raw P2 text exchange must also reproduce signatures exactly
+    monkeypatch.setenv("DISTILL_RAY_P2_EXCHANGE", "raw")
+    f = run_dedup(rd.from_pandas(df), cfg, verify_mode="broadcast")
 
     def edge_set(res):
         ed = res.edges.to_pandas()
         return set(map(tuple, np.sort(ed[["a", "b"]].to_numpy(), axis=1)))
 
     assert (edge_set(a) == edge_set(b) == edge_set(c) == edge_set(d)
-            == edge_set(e))
+            == edge_set(e) == edge_set(f))
     pa_ = a.assignments.to_pandas().sort_values("rid").reset_index(drop=True)
-    for res in (b, c, d, e):
+    for res in (b, c, d, e, f):
         pd.testing.assert_frame_equal(
             pa_,
             res.assignments.to_pandas().sort_values("rid")
             .reset_index(drop=True))
+    sa = a.signatures.to_pandas().sort_values("rid").reset_index(drop=True)
+    sf_ = f.signatures.to_pandas().sort_values("rid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(sa, sf_)
 
 
 @pytest.mark.usefixtures("ray_session")

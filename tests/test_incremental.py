@@ -218,6 +218,19 @@ def test_endpoint_mode_matches_broadcast(incremental_setup, tmp_path):
     b = ep.assignments[cols].sort_values("rid").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert ep.stats["n_edges_new"] == bc.stats["n_edges_new"]
+    # the legacy sort-groupby endpoint chain must agree too (the default
+    # above is the raw-task chain)
+    import os
+
+    os.environ["DISTILL_RAY_ENDPOINT_EXCHANGE"] = "sort"
+    try:
+        eps = run_dedup_incremental(rd.from_pandas(new), state_dir, cfg,
+                                    verify_mode="endpoint")
+    finally:
+        del os.environ["DISTILL_RAY_ENDPOINT_EXCHANGE"]
+    c = eps.assignments[cols].sort_values("rid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, c)
+    assert eps.stats["n_edges_new"] == bc.stats["n_edges_new"]
 
 
 def test_broadcast_raw_exchange_matches_sort(incremental_setup, tmp_path,

@@ -23,16 +23,29 @@ def _hashes(n, seed=0):
 
 
 def test_accuracy_large_range():
-    """Standard error at p=12 is ~1.04/sqrt(4096) = 1.6%; assert 3% in
-    the asymptotic range and 5% at n ~ 2.5m — the classic transition
-    region where raw HLL carries positive bias (HLL++'s empirical bias
-    table exists precisely for it; this implementation documents rather
-    than hides it)."""
-    for n, seed, tol in ((10_000, 1, 0.05), (50_000, 2, 0.03),
+    """Standard error at p=12 is ~1.04/sqrt(4096) = 1.6%; assert 3%
+    everywhere INCLUDING n ~ 2.5m — the classic transition region whose
+    raw positive bias is now removed by the HLL++ empirical bias table
+    (scripts/gen_hll_bias.py); round 3 needed 5% tolerance there."""
+    for n, seed, tol in ((10_000, 1, 0.03), (50_000, 2, 0.03),
                          (200_000, 3, 0.03)):
         h = _hashes(n, seed)
         est = hll_estimate(hll_add_hashes(hll_init(12), h))
         assert abs(est - n) / n < tol, (n, est)
+
+
+def test_transition_region_bias_removed():
+    """Mean signed error across seeds in the transition region must be
+    near zero (the raw estimator's +10-25% bias at n ~ 2.5-3m would fail
+    this by an order of magnitude)."""
+    for n in (9_000, 11_000, 13_000, 16_000):
+        errs = []
+        for seed in range(12):
+            h = _hashes(n, 100 + seed)
+            est = hll_estimate(hll_add_hashes(hll_init(12), h))
+            errs.append((est - n) / n)
+        mean_err = float(np.mean(errs))
+        assert abs(mean_err) < 0.02, (n, mean_err)
 
 
 def test_small_range_linear_counting_near_exact():

@@ -236,6 +236,59 @@ def _resolve_span_rids(spans_df: pd.DataFrame, prep_ds) -> pd.DataFrame:
     )
 
 
+import ray as _ray
+
+
+@_ray.remote
+def _span_windows_partition(block, window_fn, n_parts: int):
+    """Raw-exchange stage 1: window rows from one prep block, partitioned
+    by whash % P (pure fixed-width columns)."""
+    from distill_ray.stages.exchange import _partition_tables
+
+    if isinstance(block, pa.Table):
+        block = block.to_pandas()
+    if block is None or len(block) == 0:
+        empty = WINDOW_SCHEMA.empty_table()
+        return tuple(empty for _ in range(n_parts))
+    t = window_fn(block)
+    if t.num_rows == 0:
+        empty = WINDOW_SCHEMA.empty_table()
+        return tuple(empty for _ in range(n_parts))
+    wh = t["whash"].to_numpy()
+    part = (wh.view(np.uint64) % np.uint64(n_parts)).astype(np.int64)
+    cols = {"whash": wh, "rid": t["rid"].to_numpy(),
+            "pos": t["pos"].to_numpy(),
+            "wbucket": t["wbucket"].to_numpy()}
+    return tuple(_partition_tables(cols, part, n_parts, WINDOW_SCHEMA))
+
+
+@_ray.remote
+def _span_matches_partition(match_fn, n_parts: int, *parts):
+    """Raw-exchange stage 2: window matches over one whash partition,
+    output partitioned by the pair bucket % P."""
+    from distill_ray.stages.exchange import _partition_tables
+
+    empty = MATCH_SCHEMA.empty_table()
+    tables = [p for p in parts if p.num_rows]
+    if not tables:
+        return tuple(empty for _ in range(n_parts))
+    m = match_fn(pa.concat_tables(tables).combine_chunks())
+    if m.num_rows == 0:
+        return tuple(empty for _ in range(n_parts))
+    part = m["pbucket"].to_numpy().astype(np.int64) % n_parts
+    cols = {f.name: m[f.name].to_numpy() for f in MATCH_SCHEMA}
+    return tuple(_partition_tables(cols, part, n_parts, MATCH_SCHEMA))
+
+
+@_ray.remote
+def _span_merge_partition(merge_fn, *parts):
+    """Raw-exchange stage 3: merge contiguous matches into maximal spans."""
+    tables = [p for p in parts if p.num_rows]
+    if not tables:
+        return SPAN_SCHEMA.empty_table()
+    return merge_fn(pa.concat_tables(tables).combine_chunks())
+
+
 def run_span_pass(prep_ds, span_k: int = 50, n_buckets: int = 128):
     """prep_ds: Dataset with (rid, norm_text). Returns spans Dataset
     (a, b, pos_a, pos_b, length) with length >= span_k; a/b carry the rid
@@ -259,17 +312,58 @@ def run_span_pass(prep_ds, span_k: int = 50, n_buckets: int = 128):
     # pipelines/dedup.py P); upstream map stages emit hundreds of blocks
     P = max(2 * int(ray.cluster_resources().get("CPU", 8)), 16)
 
-    windows = prep_ds.map_batches(
-        make_window_rows(span_k, n_buckets, hash_rids=not int_rids),
-        batch_format="pandas",
-    )
-    matches = windows.repartition(P).groupby("wbucket").map_groups(
-        _named(make_window_matches(n_buckets), "window_matches"),
-        batch_format="pyarrow",
-    )
-    spans = matches.repartition(P).groupby("pbucket").map_groups(
-        _named(make_merge_spans(span_k), "merge_spans"), batch_format="pyarrow"
-    )
+    import os as _os
+
+    if _os.environ.get("DISTILL_RAY_SPAN_EXCHANGE", "raw") == "raw":
+        # raw-task hash exchange (same shape as the dedup pipeline's —
+        # both kernels lexsort their own input and only need key
+        # co-location, which whash % P / pair_bucket % P preserve
+        # exactly). DISTILL_RAY_SPAN_EXCHANGE=sort restores the two
+        # sort-groupbys; parity asserted in tests/test_spans.py.
+        import ray.data as _rd
+
+        prep_ds = prep_ds.materialize()
+        blocks = prep_ds.to_arrow_refs()
+        if not blocks:
+            spans = _rd.from_arrow(SPAN_SCHEMA.empty_table())
+        else:
+            window_fn = make_window_rows(span_k, n_buckets,
+                                         hash_rids=not int_rids)
+            stage1 = [
+                _span_windows_partition.options(num_returns=P).remote(
+                    b, window_fn, P)
+                for b in blocks
+            ]
+            if P == 1:
+                stage1 = [[r] for r in stage1]
+            stage2 = [
+                _span_matches_partition.options(num_returns=P).remote(
+                    make_window_matches(n_buckets), P,
+                    *[stage1[bi][p] for bi in range(len(blocks))])
+                for p in range(P)
+            ]
+            if P == 1:
+                stage2 = [[r] for r in stage2]
+            span_refs = [
+                _span_merge_partition.remote(
+                    make_merge_spans(span_k),
+                    *[stage2[p][q] for p in range(P)])
+                for q in range(P)
+            ]
+            spans = _rd.from_arrow_refs(span_refs)
+    else:
+        windows = prep_ds.map_batches(
+            make_window_rows(span_k, n_buckets, hash_rids=not int_rids),
+            batch_format="pandas",
+        )
+        matches = windows.repartition(P).groupby("wbucket").map_groups(
+            _named(make_window_matches(n_buckets), "window_matches"),
+            batch_format="pyarrow",
+        )
+        spans = matches.repartition(P).groupby("pbucket").map_groups(
+            _named(make_merge_spans(span_k), "merge_spans"),
+            batch_format="pyarrow"
+        )
     if int_rids:
         return spans
     import ray.data as rd

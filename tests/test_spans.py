@@ -187,3 +187,32 @@ def test_span_pass_string_vs_int_rid_parity(ray_session):
     assert got == exp
     # string output is canonically oriented
     assert (s_str["a"] < s_str["b"]).all()
+
+
+def test_span_raw_exchange_matches_sort(ray_session, monkeypatch):
+    """DISTILL_RAY_SPAN_EXCHANGE raw (default) vs sort: identical span
+    ROWS (a, b, pos_a, pos_b, length), not just the same pair set."""
+    import ray.data as rd
+
+    from distill_ray.sources.transcripts import generate_transcripts
+    from distill_ray.stages.dedup_stages import prep_batch
+    from distill_ray.stages.spans_stage import run_span_pass
+
+    df = generate_transcripts(n_convs=40, turns_per_conv=8, seed=7)
+
+    def spans_with(flag):
+        monkeypatch.setenv("DISTILL_RAY_SPAN_EXCHANGE", flag)
+        prep = rd.from_pandas(df).map_batches(prep_batch,
+                                              batch_format="pandas")
+        return (
+            run_span_pass(prep, span_k=50).to_pandas()
+            .sort_values(["a", "b", "pos_a", "pos_b"])
+            .reset_index(drop=True)
+        )
+
+    raw = spans_with("raw")
+    sort = spans_with("sort")
+    assert len(raw) > 0
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(raw, sort)

@@ -577,24 +577,55 @@ def run_dedup(
         return l
 
     _mark("p8_components")
-    # barrier: rows feeds two consumers (singleton bypass + refinement);
-    # measured cheaper to copy once than to recompute the attach map twice
-    # (p8+p9 16.1 s materialized vs ~19-20 s recomputed, 2M rows x 32 CPUs)
-    rows = rows.materialize()
-    _mark("p8_attach")
-    single_assign = rows.map_batches(singles_out, batch_format="pandas")
-    # refined materializes separately so the dup-fold lookup below scans
-    # ONLY component members (the refiner's output), not the full canonical
-    # table — singleton canons fold as cluster_id = canon_rid by the
-    # singles_out invariant, no lookup row needed. The subsequent union is
-    # a metadata-level concat of already-materialized block lists.
-    refined = (
-        rows.map_batches(labeled_out, batch_format="pandas")
-        .repartition(P)
-        .groupby("cbucket")
-        .map_groups(_named(ComponentBucketRefiner(cfg), "refine_components"),
-                    batch_format="pandas")
-    ).materialize()
+    import os as _os_t
+
+    if (use_driver_labels
+            and _os_t.environ.get("DISTILL_RAY_TAIL_EXCHANGE", "raw") == "raw"
+            # raw tasks launch EAGERLY — on a checkpoint resume the
+            # assignments_core stage is about to be loaded, so skip the
+            # launch and let the (lazy) sort-path expression be discarded
+            and not (ckpt is not None and ckpt.has("assignments_core"))):
+        # raw-task tail (stages/exchange.raw_refine_tail): ONE task per
+        # winner block fuses label attach + singleton split + component
+        # partitioning (num_returns=1+P — singleton assignments come out
+        # finished), and P refine reducers replace the repartition +
+        # cbucket sort-groupby. The full attached-row table is never
+        # materialized as an intermediate. Parity: the refiner lexsorts
+        # by (component, rid) itself, so per-component co-location
+        # (component-hash % P) reproduces the sort path's refinement
+        # exactly (test_raw_exchange_matches_sort_path covers the
+        # assignment frames). DISTILL_RAY_TAIL_EXCHANGE=sort restores
+        # the materialize + two-map + groupby shape.
+        from distill_ray.stages.exchange import raw_refine_tail
+
+        refined, single_assign = raw_refine_tail(
+            sk, attach_labels, ComponentBucketRefiner(cfg), P)
+        _mark("p8_attach")
+        # refined materializes separately so the dup-fold lookup below
+        # scans ONLY component members (the refiner's output)
+        refined = refined.materialize()
+    else:
+        # barrier: rows feeds two consumers (singleton bypass +
+        # refinement); measured cheaper to copy once than to recompute
+        # the attach map twice (p8+p9 16.1 s materialized vs ~19-20 s
+        # recomputed, 2M rows x 32 CPUs)
+        rows = rows.materialize()
+        _mark("p8_attach")
+        single_assign = rows.map_batches(singles_out, batch_format="pandas")
+        # refined materializes separately so the dup-fold lookup below
+        # scans ONLY component members (the refiner's output), not the
+        # full canonical table — singleton canons fold as cluster_id =
+        # canon_rid by the singles_out invariant, no lookup row needed.
+        # The subsequent union is a metadata-level concat of
+        # already-materialized block lists.
+        refined = (
+            rows.map_batches(labeled_out, batch_format="pandas")
+            .repartition(P)
+            .groupby("cbucket")
+            .map_groups(_named(ComponentBucketRefiner(cfg),
+                               "refine_components"),
+                        batch_format="pandas")
+        ).materialize()
     assignments = _ckpt_or("assignments_core", refined.union(single_assign))
     _mark("p9_refine")
 

@@ -281,6 +281,84 @@ def raw_dedup_sketch(hashed: rd.Dataset, kernel, n_parts: int) -> rd.Dataset:
     return rd.from_arrow_refs(fused_refs)
 
 
+# --- P8/P9 tail (label attach + singleton split + component refine) ----------
+#
+# The sort path materialized the full attached-row table, mapped it twice
+# (singleton bypass + labeled filter), repartitioned, and ran ONE more
+# sort-groupby for the per-component refinement. Here one raw task per
+# winner block fuses attach + split + partition (num_returns=1+P: the
+# singleton ASSIGNMENT rows come out finished, and component members come
+# out partitioned by component-hash % P), and P refine reducers run the
+# refiner kernel (it lexsorts by (component, rid) itself, so merged
+# partitions are fine — co-location per component is all it needs).
+
+
+@ray.remote
+def _attach_split_partition(block, attach_fn, n_parts: int):
+    """Stage 1 (tail): attach component labels to one winner block, emit
+    (finished singleton assignments, component rows x n_parts)."""
+    if isinstance(block, pa.Table):
+        block = block.to_pandas()
+    df = attach_fn(block)
+    s = df[~df["in_comp"]]
+    singles = pd.DataFrame(
+        {
+            "rid": s["rid"],
+            "conv_id": s["conv_id"],
+            "turn_idx": s["turn_idx"],
+            "cluster_id": s["rid"],
+            "is_representative": np.ones(len(s), dtype=bool),
+        }
+    )
+    l = df[df["in_comp"]].drop(columns=["in_comp"])
+    if len(l) == 0:
+        empty = l.iloc[0:0]
+        return tuple([singles] + [empty] * n_parts)
+    part = (l["component"].to_numpy().view(np.uint64)
+            % np.uint64(n_parts)).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    counts = np.bincount(part, minlength=n_parts)
+    l = l.iloc[order]
+    parts = []
+    off = 0
+    for i in range(n_parts):
+        parts.append(l.iloc[off:off + int(counts[i])])
+        off += int(counts[i])
+    return tuple([singles] + parts)
+
+
+@ray.remote
+def _refine_partition(refiner, *parts):
+    """Stage 2 (tail): exact per-component refinement over one partition."""
+    dfs = [p for p in parts if len(p)]
+    if not dfs:
+        return refiner(pd.DataFrame())
+    return refiner(pd.concat(dfs, ignore_index=True))
+
+
+def raw_refine_tail(sk: rd.Dataset, attach_fn, refiner, n_parts: int):
+    """The driver-labels P8+P9 tail as a raw-task exchange over the winner
+    blocks. Returns (refined Dataset, singleton-assignment Dataset) — the
+    same two tables the sort path builds, with identical rows."""
+    blocks = sk.to_arrow_refs()
+    if not blocks:
+        empty = rd.from_pandas(refiner(pd.DataFrame()))
+        return empty, empty
+    stage1 = [
+        _attach_split_partition.options(num_returns=1 + n_parts).remote(
+            b, attach_fn, n_parts)
+        for b in blocks
+    ]
+    refined_refs = [
+        _refine_partition.remote(
+            refiner, *[stage1[bi][1 + p] for bi in range(len(blocks))])
+        for p in range(n_parts)
+    ]
+    singles = rd.from_pandas_refs([stage1[bi][0] for bi in range(len(blocks))])
+    refined = rd.from_pandas_refs(refined_refs)
+    return refined, singles
+
+
 # --- endpoint mode (the nothing-broadcast 100-TB path) -----------------------
 #
 # Same exchange idea applied to the endpoint-attach chain, which the sort

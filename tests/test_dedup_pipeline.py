@@ -183,6 +183,25 @@ def test_raw_exchange_matches_sort_path(monkeypatch):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_tail_exchange_matches_sort(monkeypatch):
+    """DISTILL_RAY_TAIL_EXCHANGE raw (default; fused attach+split+refine
+    raw tasks) vs sort (materialize + two maps + cbucket groupby):
+    identical assignment frames."""
+    import ray.data as rd
+
+    from distill_ray.pipelines.dedup import run_dedup
+
+    df = generate_transcripts(n_convs=120, turns_per_conv=6, seed=23)
+    monkeypatch.setenv("DISTILL_RAY_TAIL_EXCHANGE", "sort")
+    a = run_dedup(rd.from_pandas(df))
+    monkeypatch.setenv("DISTILL_RAY_TAIL_EXCHANGE", "raw")
+    b = run_dedup(rd.from_pandas(df))
+    pd.testing.assert_frame_equal(
+        a.assignments.to_pandas().sort_values("rid").reset_index(drop=True),
+        b.assignments.to_pandas().sort_values("rid").reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_pairable_keys_match_naive_counts():
     """build_pairable_keys (per-block unique -> range reduce) must equal a
     naive global count of the expanded band keys: exactly the keys that

@@ -192,7 +192,12 @@ def run_dedup(
     hashed = prep.map_batches(make_add_text_hash_arrow(B), batch_format="pandas")
     import os as _os_r
 
-    if _os_r.environ.get("DISTILL_RAY_P2_EXCHANGE", "raw") == "raw":
+    if (_os_r.environ.get("DISTILL_RAY_P2_EXCHANGE", "raw") == "raw"
+            and (ckpt is None or not ckpt.has("signatures"))):
+        # the raw exchange executes EAGERLY (to_arrow_refs + remote calls),
+        # so on a checkpoint resume we must not take it — _ckpt_or would
+        # load the stage and this whole graph would be wasted work. The
+        # lazy sort expression below is free to build and discard.
         # raw-task hash exchange for the TEXT exchange too
         # (stages/exchange.raw_dedup_sketch): partition the hashed prep
         # blocks by h % 2P, run the fused dedup+sketch kernel per
@@ -265,7 +270,15 @@ def run_dedup(
         verify_mode = (
             "broadcast" if n_uniques <= broadcast_verify_limit else "endpoint"
         )
-    if verify_mode == "inband":
+    if ckpt is not None and ckpt.has("edges"):
+        # resume: skip the WHOLE P6+P7 graph build — the broadcast-artifact
+        # scan, the ray.wait and the raw exchanges below are all eager, so
+        # on a resume they would recompute the most expensive stages of the
+        # pipeline only for _ckpt_or to discard them and load the
+        # checkpoint (round-4 advice finding). The placeholder is never
+        # executed.
+        edges = rd.from_arrow(EDGE_SCHEMA.empty_table())
+    elif verify_mode == "inband":
         import pyarrow as _pa
 
         def _edges_numeric(df: pd.DataFrame) -> "_pa.Table":

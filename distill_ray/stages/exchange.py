@@ -132,7 +132,7 @@ def _expand_partition(block, expand_fn, n_parts: int):
 
 
 @ray.remote
-def _band_pairs_partition(kernel, n_parts: int, n_buckets: int, *parts):
+def _band_pairs_partition(kernel, n_parts: int, *parts):
     """Stage 2: run the band-pair kernel over one band-key partition and
     return its TRUE-pair emissions partitioned by hash(a) % n_parts (the
     next exchange's map side, fused here)."""
@@ -201,7 +201,7 @@ def raw_band_pair_edges(
         band_parts = [[r] for r in band_parts]
     pair_parts = [
         _band_pairs_partition.options(num_returns=n_parts).remote(
-            kernel, n_parts, cfg.shuffle_buckets,
+            kernel, n_parts,
             *[band_parts[b][p] for b in range(len(blocks))])
         for p in range(n_parts)
     ]

@@ -443,6 +443,14 @@ def windowed_dup_events(
         if g.num_rows == 0:
             return out_schema.empty_table()
         uid = g[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # The LAG partition key is a 64-bit hash of event_type (same idiom
+        # as the pipeline's rid hashing): a collision between two distinct
+        # types of the SAME user would merge their partitions and mislabel
+        # dups. Accepted at ~2^-64 per same-user type pair — with k types
+        # per user the union bound is k^2/2^65, negligible at any plausible
+        # type cardinality; lexsorting the raw strings instead would ship
+        # and compare varlen bytes in the hot sort for no measurable risk
+        # reduction.
         th = stable_hash64(
             g[type_col].to_numpy(zero_copy_only=False).astype(str)
         ).view(np.int64)

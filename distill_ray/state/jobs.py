@@ -102,15 +102,33 @@ class JobStore:
                job_id: str | None = None, now: float | None = None) -> JobRecord:
         now = time.time() if now is None else now
         if job_id is None:
-            # monotonic counter file — deterministic ids, resume-safe
+            # The record file itself is the allocation primitive: claim the
+            # next free id with O_EXCL (atomic on POSIX), so two concurrent
+            # submitters can never collide — the loser of a race just
+            # advances to the next id. The counter file is only a hint that
+            # skips the scan prefix; it is written best-effort afterwards.
             counter = os.path.join(self.root, "next_job_id")
             n = 0
             if os.path.exists(counter):
                 with open(counter) as f:
                     n = int(f.read().strip() or 0)
-            with open(counter, "w") as f:
+            while True:
+                job_id = f"job-{n:06d}"
+                try:
+                    fd = os.open(self._path(job_id),
+                                 os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.close(fd)
+                    break
+                except FileExistsError:
+                    n += 1
+            tmp = f"{counter}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
                 f.write(str(n + 1))
-            job_id = f"job-{n:06d}"
+            os.replace(tmp, counter)
+            rec = JobRecord(job_id=job_id, verb=verb, params=params or {},
+                            created_at=now)
+            self._write(rec)  # overwrites the zero-byte claim atomically
+            return rec
         if os.path.exists(self._path(job_id)):
             raise ValueError(f"job {job_id} already exists")
         rec = JobRecord(job_id=job_id, verb=verb, params=params or {},
@@ -171,7 +189,15 @@ class JobStore:
     # -- queries -------------------------------------------------------------
 
     def get(self, job_id: str) -> JobRecord:
-        return self._read(job_id)
+        """Fetch a record; raises JobResultExpired for evicted jobs (the
+        tombstone check lives here so the documented API matches batch.go's
+        ErrResultExpired semantics) and JobNotFound otherwise."""
+        try:
+            return self._read(job_id)
+        except JobNotFound:
+            if os.path.exists(self._path(job_id) + ".expired"):
+                raise JobResultExpired(job_id) from None
+            raise
 
     def results(self, job_id: str) -> tuple[str, dict]:
         """Result path + stats for a COMPLETED job (batch.go Results)."""
@@ -195,7 +221,8 @@ class JobStore:
     def evict(self, now: float | None = None) -> int:
         """Delete completed/failed records older than result_ttl_s
         (batch.go evict, :243-253). Returns the number evicted; a later
-        get() raises JobResultExpired."""
+        get() raises JobResultExpired. Tombstones themselves age out after
+        a further TTL so the directory stays bounded."""
         now = time.time() if now is None else now
         cutoff = now - self.result_ttl_s
         n = 0
@@ -207,13 +234,22 @@ class JobStore:
                 with open(self._path(rec.job_id) + ".expired", "w") as f:
                     f.write(str(now))
                 n += 1
+        # age out tombstones one TTL after they were written: past that
+        # horizon "expired" and "never existed" are indistinguishable anyway
+        for name in os.listdir(self._dir):
+            if not name.endswith(".expired"):
+                continue
+            path = os.path.join(self._dir, name)
+            try:
+                with open(path) as f:
+                    written = float(f.read().strip() or 0)
+            except (OSError, ValueError):
+                written = 0.0
+            if written < cutoff:
+                os.remove(path)
         return n
 
     def get_or_expired(self, job_id: str) -> JobRecord:
-        """get() that raises JobResultExpired for evicted jobs."""
-        try:
-            return self._read(job_id)
-        except JobNotFound:
-            if os.path.exists(self._path(job_id) + ".expired"):
-                raise JobResultExpired(job_id) from None
-            raise
+        """Alias of get() (kept for callers written against the pre-fix API
+        where only this variant consulted the tombstone)."""
+        return self.get(job_id)

@@ -9,6 +9,7 @@ Reference parity targets:
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 
@@ -90,12 +91,36 @@ def test_job_ttl_eviction(tmp_path):
     store.complete(a.job_id, now=5.0)
     store.start(b.job_id, now=5.0)  # running jobs are never evicted
     assert store.evict(now=20.0) == 1
-    with pytest.raises(JobNotFound):
+    # get() itself distinguishes expired from never-existed (batch.go
+    # ErrResultExpired parity — round-4 advice fix)
+    with pytest.raises(JobResultExpired):
         store.get(a.job_id)
     with pytest.raises(JobResultExpired):
         store.get_or_expired(a.job_id)
     assert store.get_or_expired(b.job_id).status == STATUS_RUNNING
     assert store.evict(now=20.0) == 0  # idempotent
+    # tombstones age out one further TTL later: expired collapses back to
+    # never-existed and the directory stays bounded
+    store.evict(now=40.0)
+    with pytest.raises(JobNotFound):
+        store.get(a.job_id)
+    assert not any(
+        n.endswith(".expired") for n in os.listdir(store._dir))
+
+
+def test_submit_id_allocation_survives_stale_counter(tmp_path):
+    """Auto-id allocation claims the record file with O_EXCL, so a stale
+    (or racing) counter can never hand out a duplicate id — the allocator
+    walks forward to the next free slot instead of raising."""
+    store = JobStore(str(tmp_path))
+    a = store.submit("dedup", now=0.0)
+    assert a.job_id == "job-000000"
+    # simulate the lost-update race: rewind the counter hint to 0
+    with open(os.path.join(str(tmp_path), "next_job_id"), "w") as f:
+        f.write("0")
+    b = store.submit("dedup", now=0.0)
+    assert b.job_id == "job-000001"
+    assert store.get(a.job_id).job_id == a.job_id  # a's record intact
 
 
 def test_cli_status_verb(tmp_path):

@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_events": qa.q_rolling_events,
         "running_totals_events": qa.q_running_totals_events,
         "windowed_dup_events": qa.q_windowed_dup_events,
+        "rolling_dup_events": qa.q_rolling_dup_events,
         # dedup / sketch / kernel surface (also SQL-checked)
         "near_dup_pairs_exact_docs": qo.q_near_dup_pairs_exact_docs,
         "simhash_docs": qo.q_simhash_docs,
@@ -199,6 +200,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_events": qa.ROLLING_EVENTS_SQL,
         "running_totals_events": qa.RUNNING_TOTALS_SQL,
         "windowed_dup_events": qa.WINDOWED_DUP_SQL,
+        "rolling_dup_events": qa.ROLLING_DUP_SQL,
         "multimodal_decode": qo.MULTIMODAL_DECODE_SQL,
         "video_frame_sample": qo.VIDEO_FRAME_SAMPLE_SQL,
         "audio_features": qo.AUDIO_FEATURES_SQL,

@@ -155,7 +155,28 @@ def run_bench() -> dict:
             inc = run_dedup_incremental(rd.read_parquet(inc_path), state_dir)
             inc_rows = len(inc.assignments)
             timings["incremental_append"] = round(time.time() - t0, 3)
-            del inc
+
+            # indexed append (state/band_index.py): the same batch through
+            # the resident-index path — build timed separately (paid once
+            # per cluster lifetime in the daily-append deployment; appends
+            # never rescan the state). Light parity assert per run; the
+            # byte-level parity suite lives in tests/test_band_index.py.
+            from distill_ray.pipelines.incremental import (
+                run_dedup_incremental_indexed)
+            from distill_ray.state.band_index import BandIndex
+
+            t0 = time.time()
+            index = BandIndex.from_state(state_dir)
+            index.wait_ready()
+            timings["band_index_build"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            inc2 = run_dedup_incremental_indexed(
+                rd.read_parquet(inc_path), index)
+            timings["incremental_append_indexed"] = round(time.time() - t0, 3)
+            assert len(inc2.assignments) == inc_rows
+            assert (inc2.stats["n_edges_new"] == inc.stats["n_edges_new"]), (
+                inc2.stats, inc.stats)
+            del inc, inc2, index
         finally:
             shutil.rmtree(state_dir, ignore_errors=True)
 

@@ -380,30 +380,18 @@ def _make_frontier_carriers(frontier_ref, n_buckets: int):
     return frontier_carrier_rows
 
 
-def run_dedup_incremental(
-    new_transcripts: rd.Dataset,
-    state_dir: str,
-    cfg: DedupConfig | None = None,
-    *,
-    verify_mode: str = "auto",  # auto | broadcast | endpoint
-    broadcast_verify_limit: int = 8_000_000,
-) -> IncrementalResult:
-    from distill_ray.pipelines.dedup import _named
+# bounded-by-increment driver maps for the new rows
+_WIN_IDS = pa.schema(
+    [("rid", pa.string()), ("conv_id", pa.string()),
+     ("turn_idx", pa.int32()), ("rh", pa.int64())])
+_LOSE_IDS = pa.schema(
+    [("rid", pa.string()), ("conv_id", pa.string()),
+     ("turn_idx", pa.int32()), ("canon_rid", pa.string())])
 
-    cfg = cfg or DedupConfig()
-    B = cfg.shuffle_buckets
-    stats: dict = {}
 
-    # 1. sketch the new batch (exact dedup inside the batch + signatures)
-    new_fused = _sketch_new(new_transcripts, cfg)
-
-    # bounded-by-increment driver maps for the new rows
-    _WIN_IDS = pa.schema(
-        [("rid", pa.string()), ("conv_id", pa.string()),
-         ("turn_idx", pa.int32()), ("rh", pa.int64())])
-    _LOSE_IDS = pa.schema(
-        [("rid", pa.string()), ("conv_id", pa.string()),
-         ("turn_idx", pa.int32()), ("canon_rid", pa.string())])
+def _new_batch_maps(new_fused: rd.Dataset):
+    """Driver-side id maps of the new batch (bounded by the increment):
+    (new_win df, new_lose df, sorted winner rh array)."""
 
     def winner_ids(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -431,6 +419,26 @@ def run_dedup_incremental(
     if new_win.empty:
         new_win = _WIN_IDS.empty_table().to_pandas()
     new_rh = np.sort(new_win["rh"].to_numpy().astype(np.int64))
+    return new_win, new_lose, new_rh
+
+
+def run_dedup_incremental(
+    new_transcripts: rd.Dataset,
+    state_dir: str,
+    cfg: DedupConfig | None = None,
+    *,
+    verify_mode: str = "auto",  # auto | broadcast | endpoint
+    broadcast_verify_limit: int = 8_000_000,
+) -> IncrementalResult:
+    from distill_ray.pipelines.dedup import _named
+
+    cfg = cfg or DedupConfig()
+    B = cfg.shuffle_buckets
+    stats: dict = {}
+
+    # 1. sketch the new batch (exact dedup inside the batch + signatures)
+    new_fused = _sketch_new(new_transcripts, cfg)
+    new_win, new_lose, new_rh = _new_batch_maps(new_fused)
     stats["n_new"] = len(new_win) + len(new_lose)
     stats["n_new_winners"] = len(new_win)
 
@@ -606,6 +614,181 @@ def run_dedup_incremental(
                             batch_format="pyarrow")
                 .to_pandas()
             )
+    out = _finalize_incremental(
+        edges, new_win, new_lose, new_rh,
+        lambda nodes: _old_cluster_lookup(state_dir, nodes), stats)
+    return IncrementalResult(assignments=out, stats=stats,
+                             new_signatures=new_fused)
+
+
+def _new_key_counts(new_fused: rd.Dataset):
+    """(sorted unique u32 band keys, multiset counts) over the new batch's
+    winner band entries — the new side of the indexed frontier count.
+    Same n_tokens > 0 / per-band-slot multiplicity rules as the state-scan
+    path's _build_frontier_keys, so the combined counts are identical."""
+    empty = (np.empty(0, dtype=np.uint32), np.empty(0, dtype=np.int64))
+
+    def partials(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = pa.table({"k": pa.array([], pa.uint32()),
+                        "c": pa.array([], pa.int64())})
+        if "n_tokens" not in t.column_names:
+            return out
+        t = t.filter(pc.greater(t["n_tokens"], 0))
+        if t.num_rows == 0:
+            return out
+        keys = band_keys32(t).reshape(-1).view(np.uint32)
+        u, c = np.unique(keys, return_counts=True)
+        return pa.table({"k": pa.array(u), "c": pa.array(c.astype(np.int64))})
+
+    parts = new_fused.map_batches(partials, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return empty
+    u, inv = np.unique(parts["k"].to_numpy().astype(np.uint32),
+                       return_inverse=True)
+    tot = np.bincount(inv, weights=parts["c"].to_numpy(),
+                      minlength=len(u)).astype(np.int64)
+    return u, tot
+
+
+def run_dedup_incremental_indexed(
+    new_transcripts: rd.Dataset,
+    index,
+    cfg: DedupConfig | None = None,
+) -> IncrementalResult:
+    """Index-backed append: O(increment) given a warm
+    state.band_index.BandIndex — NO scans of the persisted state. The
+    three state-touching questions of an append (rid freshness, frontier
+    count, band-row/carrier extraction + old-cluster resolution) become
+    point lookups against the resident sorted shards; everything else is
+    the same raw-task endpoint chain as run_dedup_incremental, fed the
+    identical band-row and carrier multisets — so the edge set, and
+    therefore the assignment table, is byte-identical (parity suite:
+    tests/test_band_index.py). Call `index.update(result.new_signatures,
+    result.assignments)` afterwards to chain appends day over day."""
+    from distill_ray.stages.exchange import (
+        _attach_a_partition, _attach_b_partition,
+        _band_pairs_pairx_partition)
+    from distill_ray.state.band_index import (
+        _extract_band_rows, _fetch_carriers, _slice_sorted_rh,
+        _slice_sorted_u32)
+
+    cfg = cfg or index.cfg
+    B = cfg.shuffle_buckets
+    stats: dict = {"verify_mode": "indexed"}
+
+    # 1. sketch the new batch (identical to the state-scan path)
+    new_fused = _sketch_new(new_transcripts, cfg)
+    new_win, new_lose, new_rh = _new_batch_maps(new_fused)
+    stats["n_new"] = len(new_win) + len(new_lose)
+    stats["n_new_winners"] = len(new_win)
+
+    # 1b. rid-freshness guard — point lookups against the assignment shards
+    all_rids = pd.concat([new_win["rid"], new_lose["rid"]],
+                         ignore_index=True).to_numpy()
+    if len(all_rids):
+        batch_rh = np.sort(rid_hash64(all_rids).astype(np.int64))
+        dup = index.match_rh(batch_rh)
+        if len(dup):
+            rid_of = dict(zip(rid_hash64(all_rids).tolist(),
+                              all_rids.tolist()))
+            sample = sorted(rid_of[h] for h in dup.tolist()[:5])
+            raise ValueError(
+                f"incremental append: {len(dup)} rid(s) of the new batch "
+                f"already exist in the indexed state (e.g. {sample}). "
+                "Re-delivered or continued rows must be dropped or re-keyed "
+                "before appending — incremental never mutates existing "
+                "assignments."
+            )
+
+    # 2+3. frontier: new-side multiset counts + indexed point counts
+    new_u, new_c = _new_key_counts(new_fused)
+    old_c = index.count_keys(new_u) if len(new_u) else new_c
+    frontier = new_u[(new_c + old_c) >= 2]
+    stats["n_frontier_keys"] = int(len(frontier))
+
+    if len(frontier) == 0:
+        edges = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64")})
+    else:
+        frontier_ref = ray.put(frontier)
+        P = max(int(ray.cluster_resources().get("CPU", 8)), 16)
+
+        # 4a. new-side band rows + carriers (frontier-pruned, partitioned)
+        blocks = new_fused.to_arrow_refs()
+        stage1 = [
+            _expand_and_carriers_parts.options(num_returns=2 * P).remote(
+                blk, frontier_ref, B, P)
+            for blk in blocks
+        ]
+        nb = len(blocks)
+
+        # 4b. old-side band rows: point extraction from the posting shards
+        slices = _slice_sorted_u32(frontier, index.log2s)
+        extract_refs = [
+            _extract_band_rows.options(num_returns=P + 1).remote(
+                slices[s], B, P, *index.posting_segs[s])
+            for s in range(index.S)
+            if len(slices[s]) and index.posting_segs[s]
+        ]
+
+        # 4c. carriers for the touched old rows (distinct matched rh)
+        matched = [m for m in ray.get([r[P] for r in extract_refs])
+                   if len(m)]
+        need_old_rh = (np.unique(np.concatenate(matched)) if matched
+                       else np.empty(0, dtype=np.int64))
+        stats["n_old_touched"] = int(len(need_old_rh))
+        rh_slices = _slice_sorted_rh(need_old_rh, index.log2s)
+        carrier_refs = [
+            _fetch_carriers.options(num_returns=P).remote(
+                rh_slices[s], B, P, *index.sig_segs[s])
+            for s in range(index.S)
+            if len(rh_slices[s]) and index.sig_segs[s]
+        ]
+
+        # 5. the same raw endpoint reducers as run_dedup's endpoint chain
+        ne = len(extract_refs)
+        pair_parts = [
+            _band_pairs_pairx_partition.options(num_returns=P).remote(
+                BandPairNumericBucket(cfg), P,
+                *[extract_refs[e][p] for e in range(ne)],
+                *[stage1[bi][p] for bi in range(nb)])
+            for p in range(P)
+        ]
+        attached = [
+            _attach_a_partition.options(num_returns=P).remote(
+                make_dedupe_attach_a_bucket(B, cfg.min_band_collisions), P,
+                *[pair_parts[p][q] for p in range(P)],
+                *[c[q] for c in carrier_refs],
+                *[stage1[bi][P + q] for bi in range(nb)])
+            for q in range(P)
+        ]
+        edge_refs = [
+            _attach_b_partition.remote(
+                make_attach_b_verify_bucket(cfg.threshold),
+                *[attached[q][r] for q in range(P)],
+                *[c[r] for c in carrier_refs],
+                *[stage1[bi][P + r] for bi in range(nb)])
+            for r in range(P)
+        ]
+        edges = rd.from_arrow_refs(edge_refs).to_pandas()
+
+    out = _finalize_incremental(edges, new_win, new_lose, new_rh,
+                                index.cluster_lookup, stats)
+    return IncrementalResult(assignments=out, stats=stats,
+                             new_signatures=new_fused)
+
+
+def _finalize_incremental(edges: pd.DataFrame, new_win: pd.DataFrame,
+                          new_lose: pd.DataFrame, new_rh: np.ndarray,
+                          old_cluster_fn, stats: dict) -> pd.DataFrame:
+    """Steps 5-7 shared by the state-scan and index-backed append paths:
+    edge filter -> components -> label resolution -> assignment frames.
+    `old_cluster_fn(sorted old rh array) -> {rh: cluster_id}` abstracts
+    the old-cluster lookup (filtered state scan vs resident-index point
+    lookups). Deterministic given the edge SET, so both paths produce
+    byte-identical assignments when their edge sets agree."""
     if edges.empty:  # all-unique batch: all-empty to_pandas drops columns
         edges = pd.DataFrame({"a": pd.Series(dtype="int64"),
                               "b": pd.Series(dtype="int64")})
@@ -641,7 +824,7 @@ def run_dedup_incremental(
     old_nodes = np.array(
         sorted(set(np.concatenate([a[~an], b[~bn]]).tolist())
                if len(a) else []), dtype=np.int64)
-    old_cluster = _old_cluster_lookup(state_dir, old_nodes)
+    old_cluster = old_cluster_fn(old_nodes)
     rid_of_new = dict(zip(new_win["rh"].tolist(), new_win["rid"].tolist()))
 
     label: dict[int, tuple[str, bool]] = {}  # new rh -> (cluster, is_new_cluster)
@@ -693,5 +876,4 @@ def run_dedup_incremental(
         .reset_index(drop=True)
     )
     stats["n_joined_old"] = int((~out["is_new_cluster"]).sum())
-    return IncrementalResult(assignments=out, stats=stats,
-                             new_signatures=new_fused)
+    return out

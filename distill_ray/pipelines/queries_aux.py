@@ -883,6 +883,32 @@ ORDER BY event_id
 """
 
 
+def q_rolling_dup_events(sf_dir: str) -> pd.DataFrame:
+    """Rolling ANY-prior-within-window dedup per (user, type): per event,
+    the count of same-key events in the preceding hour's RANGE frame and
+    the >= 2 dup flag — stages/temporal.rolling_dup_events (the burst-size
+    generalization of windowed_dup_events)."""
+    from distill_ray.stages.temporal import rolling_dup_events
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+    out = rolling_dup_events(ds, window_s=3600.0).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+ROLLING_DUP_SQL = """
+SELECT event_id, count(*) OVER w AS win_cnt,
+       count(*) OVER w >= 2 AS is_window_dup
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id, event_type ORDER BY ts
+  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 def q_rolling_events(sf_dir: str) -> pd.DataFrame:
     """Rolling 24-hour RANGE window per user: per event, the count and
     value-sum of the user's events in [ts - 24h, ts] (peer rows with equal

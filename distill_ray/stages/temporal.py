@@ -408,6 +408,77 @@ def lag_events(
 
 # --- event-time windowed dedup ---------------------------------------------
 
+def rolling_dup_events(
+    events: rd.Dataset,
+    window_s: float = 3600.0,
+    n_buckets: int = 64,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> rd.Dataset:
+    """Rolling any-prior-within-window dedup per (user, type): for each
+    event, `win_cnt` = how many same-key events fall in the RANGE frame
+    [ts - window_s, ts] (SQL `RANGE BETWEEN INTERVAL .. PRECEDING AND
+    CURRENT ROW`, peer rows at the same ts included), and
+    `is_window_dup` = win_cnt >= 2. Generalizes windowed_dup_events
+    (which only checks the IMMEDIATELY-previous event — equivalent for
+    the boolean, since the closest prior is the one with the smallest
+    gap, but blind to burst SIZE) to the full frame count a
+    rate-limiting / burst-collapse policy needs.
+
+    Kernel: the rolling_window composite trick per (user, type-hash)
+    key — one lexsort per bucket, both frame edges from two vectorized
+    searchsorteds over `rank * span + ts offset`; no per-key loop. The
+    type hash shares windowed_dup_events' 2^-64 same-user collision
+    assumption (documented there)."""
+    from distill_ray.kernels.hashing import stable_hash64
+
+    win_us = np.int64(round(window_s * 1e6))
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("win_cnt", pa.int64()),
+                            ("is_window_dup", pa.bool_())])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["wbucket"] = _bucket_of(df[user_col].to_numpy(), n_buckets)
+        return df
+
+    def dup_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        uid = g[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        th = stable_hash64(
+            g[type_col].to_numpy(zero_copy_only=False).astype(str)
+        ).view(np.int64)
+        ts = _ts_us(g[ts_col].to_numpy(zero_copy_only=False))
+        eid = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((eid, ts, th, uid))
+        uid, th, ts, eid = uid[o], th[o], ts[o], eid[o]
+        newkey = np.r_[True, (uid[1:] != uid[:-1]) | (th[1:] != th[:-1])]
+        rank = (np.cumsum(newkey) - 1).astype(np.int64)
+        off = ts - ts.min()
+        span = np.int64(off.max()) + win_us + np.int64(2)
+        n_keys = int(rank[-1]) + 1
+        if n_keys and span > np.iinfo(np.int64).max // np.int64(n_keys):
+            raise ValueError(
+                "rolling_dup_events composite-key overflow: raise n_buckets")
+        comp = rank * span + off
+        lo = np.searchsorted(comp, comp - win_us, side="left")
+        hi = np.searchsorted(comp, comp, side="right") - 1
+        cnt = (hi - lo + 1).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(eid), pa.array(cnt), pa.array(cnt >= 2)],
+            schema=out_schema)
+
+    return (
+        events.map_batches(add_bucket, batch_format="pandas")
+        .groupby("wbucket")
+        .map_groups(dup_bucket, batch_format="pyarrow")
+    )
+
+
 def windowed_dup_events(
     events: rd.Dataset,
     window_s: float = 3600.0,

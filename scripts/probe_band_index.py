@@ -1,0 +1,164 @@
+"""State-size-independence probe for the resident band index.
+
+Measures a fixed-size append (default 100k rows) against dedup states of
+different sizes, comparing the state-scan path (run_dedup_incremental,
+endpoint mode — O(state) per append) with the indexed path
+(BandIndex + run_dedup_incremental_indexed — O(increment) per append
+after a one-time build). The round-5 "done" bar: indexed append wall
+~flat from 2M-row state to 20M-row state, outputs md5-identical to the
+scan path.
+
+    python scripts/probe_band_index.py [n_convs_state] [n_convs_inc]
+                                       [cpus] [reps]
+
+State/batch fixtures are cached under /tmp/distill_ray_bench (shared with
+scripts/ab_inc_endpoint.py). Set RAY_GRAFT_OBJ_STORE_GB for the 20M-state
+runs (the resident index + state blocks need ~20 GB of object store).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+N_STATE = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
+N_INC = int(sys.argv[2]) if len(sys.argv) > 2 else 12_500
+CPUS = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+REPS = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+STATE_DIR = f"/tmp/distill_ray_bench/inc_state_{N_STATE}"
+INC_PATH = f"/tmp/distill_ray_bench/inc_batch_{N_INC}"
+
+_PRELUDE = r"""
+import json, os, sys, time
+sys.path.insert(0, "/root/repo")
+import ray
+obj_gb = int(os.environ.get("RAY_GRAFT_OBJ_STORE_GB", "0"))
+ray.init(address="local", num_cpus=%(cpus)d, include_dashboard=False,
+         logging_level="ERROR",
+         **({"object_store_memory": obj_gb << 30} if obj_gb else {}))
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+import ray.data as rd
+
+def _warm(batch):
+    import pandas, pyarrow
+    from distill_ray.stages import dedup_stages
+    return batch
+
+rd.range(%(cpus)d * 4, override_num_blocks=%(cpus)d * 4).map_batches(
+    _warm, batch_format="pandas", batch_size=1).materialize()
+"""
+
+BUILD = r"""
+import os, sys, shutil
+sys.path.insert(0, "/root/repo")
+import ray
+obj_gb = int(os.environ.get("RAY_GRAFT_OBJ_STORE_GB", "0"))
+ray.init(address="local", num_cpus=%(cpus)d, include_dashboard=False,
+         logging_level="ERROR",
+         **({"object_store_memory": obj_gb << 30} if obj_gb else {}))
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+import ray.data as rd
+from distill_ray.sources.transcripts import write_transcripts_parquet
+from distill_ray.pipelines.dedup import run_dedup
+from distill_ray.pipelines.incremental import save_dedup_state
+
+path = write_transcripts_parquet(
+    "/tmp/distill_ray_bench/transcripts_v3_%(state)dx8", %(state)d, 8, seed=42)
+res = run_dedup(rd.read_parquet(path))
+shutil.rmtree("%(sdir)s", ignore_errors=True)
+save_dedup_state(res.signatures, res.assignments, "%(sdir)s")
+inc = write_transcripts_parquet("%(ipath)s_src", %(inc)d, 8, seed=99)
+import pandas as pd
+df = rd.read_parquet(inc).to_pandas()
+df["conv_id"] = "inc_" + df["conv_id"].astype(str)
+shutil.rmtree("%(ipath)s", ignore_errors=True)
+rd.from_pandas(df).write_parquet("%(ipath)s")
+print("STATE_READY")
+ray.shutdown()
+"""
+
+SCAN = _PRELUDE + r"""
+from distill_ray.pipelines.incremental import run_dedup_incremental
+
+t0 = time.time()
+inc = run_dedup_incremental(rd.read_parquet("%(ipath)s"), "%(sdir)s",
+                            verify_mode="endpoint")
+wall = time.time() - t0
+import hashlib
+h = hashlib.md5(
+    inc.assignments.sort_values("rid").to_csv(index=False).encode()
+).hexdigest()
+print(json.dumps({"mode": "scan", "wall": round(wall, 2),
+                  "edges": inc.stats.get("n_edges_new"), "hash": h}))
+ray.shutdown()
+"""
+
+INDEXED = _PRELUDE + r"""
+from distill_ray.pipelines.incremental import run_dedup_incremental_indexed
+from distill_ray.state.band_index import BandIndex
+
+t0 = time.time()
+index = BandIndex.from_state("%(sdir)s")
+index.wait_ready()
+t_build = time.time() - t0
+walls = []
+res = None
+for _ in range(2):  # append twice: warm-path cost is the second number
+    t0 = time.time()
+    res = run_dedup_incremental_indexed(rd.read_parquet("%(ipath)s"), index)
+    walls.append(round(time.time() - t0, 2))
+import hashlib
+h = hashlib.md5(
+    res.assignments.sort_values("rid").to_csv(index=False).encode()
+).hexdigest()
+print(json.dumps({"mode": "indexed", "build": round(t_build, 2),
+                  "wall": walls[0], "wall_warm": walls[1],
+                  "edges": res.stats.get("n_edges_new"),
+                  "n_old_touched": res.stats.get("n_old_touched"),
+                  "hash": h}))
+ray.shutdown()
+"""
+
+SUBS = {"state": N_STATE, "inc": N_INC, "cpus": CPUS,
+        "sdir": STATE_DIR, "ipath": INC_PATH}
+
+
+def run_child(code: str) -> str:
+    out = subprocess.run([sys.executable, "-c", code % SUBS],
+                         capture_output=True, text=True, timeout=7200)
+    if out.returncode != 0:
+        print(out.stderr[-4000:])
+        raise SystemExit(1)
+    return out.stdout
+
+
+def main():
+    if not os.path.exists(os.path.join(STATE_DIR, "signatures")):
+        print("building state...", flush=True)
+        run_child(BUILD)
+    results = []
+    for rep in range(REPS):
+        codes = [SCAN, INDEXED] if rep % 2 == 0 else [INDEXED, SCAN]
+        for code in codes:
+            out = run_child(code)
+            r = json.loads(
+                [l for l in out.splitlines() if l.startswith("{")][-1])
+            results.append(r)
+            print(json.dumps(r), flush=True)
+    hashes = {r["hash"] for r in results}
+    print("outputs agree:", len(hashes) == 1)
+    for mode in ("scan", "indexed"):
+        walls = [r["wall"] for r in results if r["mode"] == mode]
+        print(f"{mode}: min {min(walls):.2f} mean "
+              f"{sum(walls) / len(walls):.2f}")
+    warm = [r["wall_warm"] for r in results if r.get("wall_warm")]
+    if warm:
+        print(f"indexed warm: min {min(warm):.2f}")
+
+
+if __name__ == "__main__":
+    main()

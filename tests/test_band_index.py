@@ -1,0 +1,209 @@
+"""Resident band index (state/band_index.py): the state-size-independent
+append path must produce assignments IDENTICAL to the state-scan path
+(`run_dedup_incremental`), chain day over day through `index.update`,
+and answer its point lookups exactly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from distill_ray.config import DedupConfig
+from distill_ray.pipelines.dedup import run_dedup
+from distill_ray.pipelines.incremental import (
+    run_dedup_incremental, run_dedup_incremental_indexed,
+    save_dedup_state)
+from distill_ray.state.band_index import (
+    BandIndex, _ranges_to_indices, _slice_sorted_rh, _slice_sorted_u32)
+
+from tests.test_incremental import _frame, _perturb, _text
+
+COLS = ["rid", "cluster_id", "is_new_cluster", "is_representative"]
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return df[COLS].sort_values("rid").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def indexed_setup(ray_session, tmp_path_factory):
+    """Shared state + new batch (same shape as incremental_setup: planted
+    old near-dups, an exact old copy, new-new pairs, uniques, in-batch
+    exact dup) with a warm BandIndex over the state."""
+    rng = np.random.default_rng(41)
+    old_texts = [_text(rng) for _ in range(200)]
+    old = _frame(old_texts, "old")
+    new_texts = [_perturb(rng, old_texts[i]) for i in range(0, 90, 3)]
+    new_texts.append(old_texts[150])
+    for t in [_text(rng) for _ in range(3)]:
+        new_texts += [t, _perturb(rng, t)]
+    new_texts += [_text(rng) for _ in range(20)]
+    new_texts.append(new_texts[0])
+    new = _frame(new_texts, "new")
+
+    cfg = DedupConfig()
+    res = run_dedup(rd.from_pandas(old), cfg)
+    state_dir = str(tmp_path_factory.mktemp("bi_state"))
+    save_dedup_state(res.signatures, res.assignments, state_dir)
+    index = BandIndex.from_state(state_dir, cfg, n_shards=8)
+    return old, new, cfg, state_dir, index
+
+
+def test_indexed_append_matches_state_scan(indexed_setup):
+    """The headline parity: identical assignment table and edge count to
+    BOTH verify modes of the state-scan path."""
+    _, new, cfg, state_dir, index = indexed_setup
+    scan = run_dedup_incremental(rd.from_pandas(new), state_dir, cfg,
+                                 verify_mode="endpoint")
+    idx = run_dedup_incremental_indexed(rd.from_pandas(new), index, cfg)
+    assert idx.stats["verify_mode"] == "indexed"
+    pd.testing.assert_frame_equal(_sorted(scan.assignments),
+                                  _sorted(idx.assignments))
+    assert idx.stats["n_edges_new"] == scan.stats["n_edges_new"]
+    assert idx.stats["n_frontier_keys"] == scan.stats["n_frontier_keys"]
+
+    bc = run_dedup_incremental(rd.from_pandas(new), state_dir, cfg,
+                               verify_mode="broadcast")
+    pd.testing.assert_frame_equal(_sorted(bc.assignments),
+                                  _sorted(idx.assignments))
+
+
+def test_indexed_appends_chain_with_update(ray_session, tmp_path):
+    """Day-over-day: full run A -> indexed +B -> index.update -> indexed
+    +C must equal the state-scan chain (save_incremental_state) row for
+    row, including compaction between appends."""
+    from distill_ray.pipelines.incremental import save_incremental_state
+
+    rng = np.random.default_rng(43)
+    a_texts = [_text(rng) for _ in range(120)]
+    b_texts = [_text(rng) for _ in range(40)]
+    c_texts = (
+        [_perturb(rng, b_texts[i]) for i in range(10)]
+        + [_perturb(rng, a_texts[i]) for i in range(10)]
+        + [_text(rng) for _ in range(10)]
+    )
+    cfg = DedupConfig()
+    res = run_dedup(rd.from_pandas(_frame(a_texts, "aa")), cfg)
+    s0 = str(tmp_path / "s0")
+    save_dedup_state(res.signatures, res.assignments, s0)
+
+    # state-scan chain
+    inc_b = run_dedup_incremental(rd.from_pandas(_frame(b_texts, "bb")),
+                                  s0, cfg)
+    s1 = str(tmp_path / "s1")
+    save_incremental_state(s0, inc_b, s1)
+    inc_c = run_dedup_incremental(rd.from_pandas(_frame(c_texts, "cc")),
+                                  s1, cfg)
+
+    # indexed chain
+    index = BandIndex.from_state(s0, cfg, n_shards=8)
+    n0 = index.n_rows
+    idx_b = run_dedup_incremental_indexed(
+        rd.from_pandas(_frame(b_texts, "bb")), index, cfg)
+    pd.testing.assert_frame_equal(_sorted(inc_b.assignments),
+                                  _sorted(idx_b.assignments))
+    index.update(idx_b.new_signatures, idx_b.assignments)
+    assert index.n_rows > n0
+    index.compact()
+    assert all(len(s) <= 1 for s in index.posting_segs)
+    idx_c = run_dedup_incremental_indexed(
+        rd.from_pandas(_frame(c_texts, "cc")), index, cfg)
+    pd.testing.assert_frame_equal(_sorted(inc_c.assignments),
+                                  _sorted(idx_c.assignments))
+    assert idx_c.stats["n_edges_new"] == inc_c.stats["n_edges_new"]
+
+
+def test_indexed_redelivered_rids_rejected(indexed_setup):
+    old, _, cfg, _, index = indexed_setup
+    with pytest.raises(ValueError, match="already"):
+        run_dedup_incremental_indexed(
+            rd.from_pandas(old.iloc[:5]), index, cfg)
+
+
+def test_indexed_all_unique_batch(ray_session, tmp_path):
+    rng = np.random.default_rng(47)
+    old = _frame([_text(rng) for _ in range(60)], "o")
+    new = _frame([_text(rng) for _ in range(15)], "n")
+    cfg = DedupConfig()
+    res = run_dedup(rd.from_pandas(old), cfg)
+    state_dir = str(tmp_path / "s")
+    save_dedup_state(res.signatures, res.assignments, state_dir)
+    index = BandIndex.from_state(state_dir, cfg, n_shards=4)
+    inc = run_dedup_incremental_indexed(rd.from_pandas(new), index, cfg)
+    got = inc.assignments
+    assert len(got) == 15
+    assert got["is_new_cluster"].all()
+    assert (got["cluster_id"] == got["rid"]).all()
+
+
+def test_count_keys_and_match_rh_exact(indexed_setup):
+    """Point lookups vs a brute-force recount over the state parquet."""
+    import pyarrow.compute as pc
+    import pyarrow as pa
+
+    from distill_ray.stages.dedup_stages import band_keys32, rid_hash64
+
+    _, _, cfg, state_dir, index = indexed_setup
+    sig = rd.read_parquet(f"{state_dir}/signatures").to_pandas()
+    asn = rd.read_parquet(f"{state_dir}/assignments").to_pandas()
+
+    t = pa.Table.from_pandas(sig)
+    t = t.filter(pc.greater(t["n_tokens"], 0))
+    all_keys = band_keys32(t).reshape(-1).view(np.uint32)
+    uk, uc = np.unique(all_keys, return_counts=True)
+
+    # query a mix of present and absent keys
+    rng = np.random.default_rng(7)
+    absent = rng.integers(0, 2**32, size=50, dtype=np.uint32)
+    q = np.unique(np.concatenate([uk[::7], absent]))
+    got = index.count_keys(q)
+    want = np.zeros(len(q), dtype=np.int64)
+    pos = np.searchsorted(q, uk)
+    hit = (pos < len(q))
+    hit[hit] = q[pos[hit]] == uk[hit]
+    want[pos[hit]] = uc[hit]
+    np.testing.assert_array_equal(got, want)
+
+    # rh membership: all state rids present, fresh rids absent
+    state_rh = np.sort(rid_hash64(asn["rid"].to_numpy()).astype(np.int64))
+    fresh = np.sort(rid_hash64(
+        np.array([f"ghost{i}" for i in range(20)])).astype(np.int64))
+    assert len(index.match_rh(state_rh)) == len(state_rh)
+    assert len(index.match_rh(fresh)) == 0
+    # cluster lookup round-trips the assignment table
+    look = index.cluster_lookup(state_rh)
+    want_map = dict(zip(
+        rid_hash64(asn["rid"].to_numpy()).astype(np.int64).tolist(),
+        asn["cluster_id"].tolist()))
+    assert look == want_map
+
+
+def test_helpers_unit():
+    """_ranges_to_indices + the two sorted slicers."""
+    lo = np.array([3, 10, 20], dtype=np.int64)
+    cnt = np.array([2, 1, 3], dtype=np.int64)
+    np.testing.assert_array_equal(
+        _ranges_to_indices(lo, cnt), [3, 4, 10, 20, 21, 22])
+    assert len(_ranges_to_indices(np.empty(0, np.int64),
+                                  np.empty(0, np.int64))) == 0
+
+    rng = np.random.default_rng(3)
+    keys = np.sort(rng.integers(0, 2**32, size=1000,
+                                dtype=np.uint64).astype(np.uint32))
+    slices = _slice_sorted_u32(keys, 3)
+    assert sum(len(s) for s in slices) == len(keys)
+    np.testing.assert_array_equal(np.concatenate(slices), keys)
+    for s, sl in enumerate(slices):
+        if len(sl):
+            assert ((sl.astype(np.uint64) >> np.uint64(29)) == s).all()
+
+    rh = np.sort(rng.integers(-2**63, 2**63, size=1000).astype(np.int64))
+    rslices = _slice_sorted_rh(rh, 3)
+    assert sum(len(s) for s in rslices) == len(rh)
+    for s, sl in enumerate(rslices):
+        if len(sl):
+            assert ((sl.view(np.uint64) >> np.uint64(61)) == s).all()
+            assert (np.diff(sl) >= 0).all()  # still int64-sorted

@@ -310,3 +310,57 @@ def test_windowed_dup_gap_just_over_window(ray_session):
         .set_index("event_id")["is_window_dup"]
     )
     assert out[1] == False and out[2] == False  # noqa: E712
+
+
+def test_rolling_dup_counts_full_frame(ray_session):
+    """rolling_dup_events: win_cnt counts EVERY same-key event in the
+    RANGE frame (not just the immediately-previous), boundary is
+    inclusive, ts-peers are in each other's frames, and keys isolate."""
+    from distill_ray.stages.temporal import rolling_dup_events
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 1, 2, 1],
+            "event_type": ["a", "a", "a", "a", "b", "a", "a"],
+            # burst: 0, 1800, 3600 (all within one window of each other),
+            # then 5401 (frame holds 1800+3600), peers handled below
+            "ts": _ts(0, 1800, 3600, 5401, 1800, 1800, 20000),
+            "event_id": [10, 11, 12, 13, 14, 15, 16],
+        }
+    )
+    out = (
+        rolling_dup_events(rd.from_pandas(df), window_s=3600.0)
+        .to_pandas()
+        .set_index("event_id")
+    )
+    assert out.loc[10, "win_cnt"] == 1 and not out.loc[10, "is_window_dup"]
+    assert out.loc[11, "win_cnt"] == 2
+    # frame of 12 = [0, 3600]: events at 0, 1800, 3600 — the LAG variant
+    # would only see the 1800 one
+    assert out.loc[12, "win_cnt"] == 3 and out.loc[12, "is_window_dup"]
+    assert out.loc[13, "win_cnt"] == 2  # frame [1801, 5401]: 3600 + itself
+    assert out.loc[14, "win_cnt"] == 1  # other type
+    assert out.loc[15, "win_cnt"] == 1  # other user
+    assert out.loc[16, "win_cnt"] == 1  # far future
+
+
+def test_rolling_dup_ts_peers_share_frame(ray_session):
+    """Equal timestamps: SQL RANGE frames include ALL peer rows, so both
+    peers count each other (unlike the LAG-ordered windowed_dup flag)."""
+    from distill_ray.stages.temporal import rolling_dup_events
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1],
+            "event_type": ["a", "a"],
+            "ts": _ts(100, 100),
+            "event_id": [1, 2],
+        }
+    )
+    out = (
+        rolling_dup_events(rd.from_pandas(df), window_s=3600.0)
+        .to_pandas()
+        .set_index("event_id")
+    )
+    assert out.loc[1, "win_cnt"] == 2 and out.loc[2, "win_cnt"] == 2
+    assert out["is_window_dup"].all()

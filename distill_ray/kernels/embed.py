@@ -57,13 +57,25 @@ def tokenize_series(
     doc_lengths = np.bincount(doc_ids, minlength=len(s)).astype(np.int64)
     kept = flat.filter(nz)
     if len(kept):
-        toks = kept.to_numpy(zero_copy_only=False)
+        # hash DISTINCT tokens only, then gather: dictionary_encode is an
+        # Arrow C++ hash table, and natural-language token streams are
+        # Zipfian (bench corpus: ~11k distinct per 2M tokens), so this
+        # hashes thousands of Python objects instead of millions. Hash
+        # VALUES are unchanged — the same per-string family applied to the
+        # dictionary — so signatures stay bit-identical (parity pinned by
+        # test_sketch's hash-stream test). Measured 0.36 -> 0.10 s per
+        # 125k-row batch.
+        dic = kept.dictionary_encode()
+        if isinstance(dic, pa.ChunkedArray):
+            dic = dic.combine_chunks()
+        toks = dic.dictionary.to_numpy(zero_copy_only=False)
         if token_hash == "fnv":
             from distill_ray.kernels.hashing import fnv1a64_batch
 
-            token_hashes = fnv1a64_batch(toks)
+            dict_hashes = fnv1a64_batch(toks)
         else:
-            token_hashes = stable_hash64(toks)
+            dict_hashes = stable_hash64(toks)
+        token_hashes = dict_hashes[dic.indices.to_numpy()]
     else:
         token_hashes = np.empty(0, dtype=np.uint64)
     return token_hashes, doc_lengths
@@ -85,6 +97,10 @@ def embed_from_token_hashes(
         sign = np.where(
             (mix64(token_hashes) >> np.uint64(63)).astype(bool), 1.0, -1.0
         )
+        # np.add.at, not bincount: with ~16 tokens/doc the n*dim bin space
+        # is ~4x larger than the update stream, so bincount's zeroed-bin
+        # allocation costs more than add.at's per-element loop (measured
+        # 0.030 vs 0.047 s per 125k-row batch — the loop wins here)
         np.add.at(out, (doc_ids, idx), sign)
     norms = np.sqrt(np.einsum("ij,ij->i", out, out))
     nz = norms > 0

@@ -226,16 +226,26 @@ def simhash64(token_hashes: np.ndarray, doc_lengths: np.ndarray) -> np.ndarray:
     off_ne = offsets[nonempty]
     lengths_ne = doc_lengths[nonempty]
     packed = np.zeros(len(off_ne), dtype=np.uint64)
-    t64 = _buf("sim_t", len(th))
-    bj = _buf("sim_b", len(th), np.int32)
+    # byte-sliced: extract each of the 8 byte columns ONCE (strided read,
+    # contiguous uint8 write — 2 MB per 2M tokens), then the 8 bit tests
+    # per byte run over that small cache-resident column with reduceat
+    # accumulating in int64. vs the previous per-bit uint64 shift+mask
+    # (16 MB temp + 8 MB cast per bit = ~2 GB of traffic per 2M-token
+    # batch): ~4x less memory movement, identical sums.
+    col = _buf("sim_c", len(th), np.uint8)
+    bit = _buf("sim_b1", len(th), np.uint8)
+    b8 = th.view(np.uint8).reshape(-1, 8)
     with np.errstate(over="ignore"):
-        for j in range(64):
-            np.right_shift(th, np.uint64(j), out=t64)
-            np.bitwise_and(t64, np.uint64(1), out=t64)
-            bj[:] = t64  # 0/1 cast into the reused int32 buffer
-            s = np.add.reduceat(bj, off_ne)
-            # sign(sum of ±1 contribs) >= 0  <=>  2*popcount_sum >= doc_len
-            packed |= (2 * s >= lengths_ne).astype(np.uint64) << np.uint64(j)
+        for p in range(8):
+            col[:] = b8[:, p]  # little-endian: byte p = bits 8p..8p+7
+            for k in range(8):
+                j = 8 * p + k
+                np.right_shift(col, np.uint8(k), out=bit)
+                np.bitwise_and(bit, np.uint8(1), out=bit)
+                s = np.add.reduceat(bit, off_ne, dtype=np.int64)
+                # sign(sum of ±1 contribs) >= 0 <=> 2*popcount >= doc_len
+                packed |= ((2 * s >= lengths_ne).astype(np.uint64)
+                           << np.uint64(j))
     out[nonempty] = packed
     return out
 

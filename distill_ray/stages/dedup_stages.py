@@ -518,6 +518,20 @@ _BAND_SCHEMA = pa.schema(
 _BAND_SCHEMA_NARROW = pa.schema(
     [("band_key", pa.int32()), ("rh", pa.int64()), ("bucket", pa.int32())]
 )
+# Loc-addressed narrow band row (broadcast raw exchange): instead of the
+# 8-byte rh, each band row carries its row's ADDRESS in the broadcast
+# lookup — (shard id, index within the shard's rh-sorted rows). The band
+# kernel then resolves rh / simhash / emb by DIRECT indexing: profiling
+# put 8.1 of the band kernel's 15.0 aggregate seconds (2M x 32) in the
+# per-worker merged-index argsort + per-bucket searchsorted that loc
+# addressing deletes outright — and the row shrinks 12 -> 10 B.
+# sid is int16: block-sharded broadcast lookups only exist under the
+# broadcast row limit (~8M rows / a few hundred blocks); the endpoint
+# mode used beyond that has no broadcast shards at all.
+_BAND_SCHEMA_LOC = pa.schema(
+    [("band_key", pa.int32()), ("sid", pa.int16()), ("rix", pa.uint32()),
+     ("bucket", pa.int32())]
+)
 
 
 def band_keys32(t: pa.Table) -> np.ndarray:
@@ -624,22 +638,35 @@ def make_expand_bands_numeric(n_buckets: int, include_simhash: bool = True,
 
     schema = _BAND_SCHEMA if include_simhash else _BAND_SCHEMA_NARROW
 
-    def expand_bands_numeric(t: pa.Table) -> pa.Table:
+    def expand_bands_numeric(t: pa.Table, loc_sid: int | None = None
+                             ) -> pa.Table:
         import pyarrow.compute as pc
 
+        out_schema = _BAND_SCHEMA_LOC if loc_sid is not None else schema
         if "n_tokens" not in t.column_names:  # empty no-column block
-            return schema.empty_table()
+            return out_schema.empty_table()
         t = t.filter(pc.greater(t["n_tokens"], 0))
         if t.num_rows == 0:
-            return schema.empty_table()
+            return out_schema.empty_table()
         key_mat = band_keys32(t)
         n_bands = key_mat.shape[1]
         if "rh" in t.column_names:
             rh0 = t["rh"].to_numpy()
         else:
             rh0 = rid_hash64(t["rid"].to_pandas().to_numpy())
-        rh = np.repeat(rh0, n_bands)
         keys = key_mat.reshape(-1)  # row-major: row i's bands are consecutive
+        if loc_sid is not None:
+            # loc addressing: this block IS broadcast shard `loc_sid`
+            # (build_broadcast_artifacts runs one _scan_shard per fused
+            # block, same to_arrow_refs order as the expand stage), and
+            # that shard holds the SAME filtered rows sorted by rh — so a
+            # row's shard index is its rh rank within this block.
+            pos0 = np.empty(len(rh0), dtype=np.uint32)
+            pos0[np.argsort(rh0, kind="mergesort")] = np.arange(
+                len(rh0), dtype=np.uint32)
+            rh = np.repeat(pos0, n_bands)  # `rh` slot holds rix below
+        else:
+            rh = np.repeat(rh0, n_bands)
         if include_simhash:
             sim = np.repeat(t["simhash"].to_numpy(), n_bands)
         if pairable_ref is not None:
@@ -658,8 +685,13 @@ def make_expand_bands_numeric(n_buckets: int, include_simhash: bool = True,
             if include_simhash:
                 sim = sim[mask]
             if not len(keys):
-                return schema.empty_table()
+                return out_schema.empty_table()
         bucket = (keys.view(np.uint32) % np.uint32(n_buckets)).astype(np.int32)
+        if loc_sid is not None:
+            sid = np.full(len(keys), loc_sid, dtype=np.int16)
+            return pa.Table.from_arrays(
+                [pa.array(keys), pa.array(sid), pa.array(rh),
+                 pa.array(bucket)], schema=_BAND_SCHEMA_LOC)
         arrays = [pa.array(keys), pa.array(rh)]
         if include_simhash:
             arrays.append(pa.array(sim))
@@ -841,20 +873,46 @@ class BandPairNumericBucket:
         gate = self.cfg.simhash_hamming_max
         empty = (NARROW_PAIR_SCHEMA if self.narrow else PAIRX_SCHEMA).empty_table()
         keys = g["band_key"].to_numpy()
-        rh = g["rh"].to_numpy()
-        order = np.lexsort((rh, keys))
-        keys = keys[order]
-        rh = rh[order]
         shards = None
-        if "simhash" in g.column_names:
-            sim = g["simhash"].to_numpy()[order].view(np.uint64)
-        else:
+        sid_o = rix_o = None
+        if "sid" in g.column_names:
+            # loc-addressed rows (_BAND_SCHEMA_LOC): resolve rh/simhash by
+            # DIRECT flat indexing and embeddings by per-shard takes — no
+            # merged-index argsort, no per-bucket searchsorted (together
+            # 8.1 of this kernel's 15.0 aggregate seconds at 2M x 32).
+            # The in-group sort below still orders by the RESOLVED rh, so
+            # emissions (incl. hot-band chunking) are bit-identical to the
+            # rh-row path — asserted by the raw/sort parity tests.
             import ray
 
-            shard_refs, shift = self.sim_lookup
+            shard_refs, _shift = self.sim_lookup
             shards = ray.get(list(shard_refs))
-            sim = gather_from_shards(shards, rh, shift, 2,
-                                     scratch=True).view(np.uint64)
+            base, cat_rh, cat_sim = _flat_shard_cache(shards)
+            sid0 = g["sid"].to_numpy().astype(np.int64)
+            rix0 = g["rix"].to_numpy().astype(np.int64)
+            flat = base[sid0] + rix0
+            rh = cat_rh[flat]
+            order = np.lexsort((rh, keys))
+            keys = keys[order]
+            rh = rh[order]
+            sim = cat_sim[flat[order]].view(np.uint64)
+            if self.verify_threshold is not None:
+                sid_o = sid0[order]
+                rix_o = rix0[order]
+        else:
+            rh = g["rh"].to_numpy()
+            order = np.lexsort((rh, keys))
+            keys = keys[order]
+            rh = rh[order]
+            if "simhash" in g.column_names:
+                sim = g["simhash"].to_numpy()[order].view(np.uint64)
+            else:
+                import ray
+
+                shard_refs, shift = self.sim_lookup
+                shards = ray.get(list(shard_refs))
+                sim = gather_from_shards(shards, rh, shift, 2,
+                                         scratch=True).view(np.uint64)
         embs = norms = None
         if self.verify_threshold is not None:
             if shards is None:
@@ -864,7 +922,11 @@ class BandPairNumericBucket:
                 shards = ray.get(list(shard_refs))
             # per-ROW gather (once per bucket), indexed per pair below —
             # per-pair shard gathers would re-search ~30-50x per row
-            embs = gather_from_shards(shards, rh, shift, 1, scratch=True)
+            if sid_o is not None:
+                embs = _gather_embs_direct(shards, sid_o, rix_o,
+                                           scratch=True)
+            else:
+                embs = gather_from_shards(shards, rh, shift, 1, scratch=True)
             norms = _gather_buf("norms", len(rh), (), np.float64)
             np.einsum("ij,ij->i", embs, embs, out=norms,
                       dtype=np.float64, casting="unsafe")
@@ -1593,6 +1655,68 @@ def _merged_shard_index(shards):
         rix = np.empty(0, dtype=np.int64)
     out = (merged, sid, rix)
     _MERGED_IDX_CACHE["v"] = (fp, out)
+    return out
+
+
+def _flat_shard_cache(shards):
+    """Per-worker concatenated (base offsets, rh, simhash) arrays over the
+    block shards, for DIRECT (sid, rix) addressing — the loc-row band
+    exchange's lookup. vs _merged_shard_index: no argsort (just concats),
+    16 B/row instead of 20, and lookups are plain fancy indexing instead
+    of a binary search per key. Cached per worker with the same
+    shard-fingerprint key."""
+    fp = tuple(
+        (len(s[0]), int(s[0][0]) if len(s[0]) else 0,
+         int(s[0][-1]) if len(s[0]) else 0)
+        for s in shards
+    )
+    hit = _MERGED_IDX_CACHE.get("flat")
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    lens = np.array([len(s[0]) for s in shards], dtype=np.int64)
+    base = np.zeros(len(shards), dtype=np.int64)
+    if len(lens) > 1:
+        np.cumsum(lens[:-1], out=base[1:])
+    cat_rh = (np.concatenate([s[0] for s in shards])
+              if len(shards) else np.empty(0, np.int64))
+    cat_sim = (np.concatenate([s[2] for s in shards])
+               if len(shards) else np.empty(0, np.int64))
+    out = (base, cat_rh, cat_sim)
+    _MERGED_IDX_CACHE["flat"] = (fp, out)
+    return out
+
+
+def _gather_embs_direct(shards, sid: np.ndarray, rix: np.ndarray,
+                        scratch: bool = False) -> np.ndarray:
+    """(sid, rix) -> embedding rows by per-shard contiguous takes (one
+    stable counting sort by shard, no key search)."""
+    n = len(sid)
+    dim = 0
+    for s in shards:
+        if len(s[0]):
+            dim = s[1].shape[1]
+            break
+    if scratch:
+        out = _gather_buf("out", n, (dim,), np.float32)
+    else:
+        out = np.empty((n, dim), dtype=np.float32)
+    if n == 0:
+        return out
+    order = np.argsort(sid, kind="stable")
+    sid_s = sid[order]
+    rix_s = rix[order]
+    bounds = np.searchsorted(sid_s, np.arange(len(shards) + 1))
+    for s in range(len(shards)):
+        lo, hi = int(bounds[s]), int(bounds[s + 1])
+        if hi <= lo:
+            continue
+        vals = shards[s][1]
+        if scratch:
+            tmp = _gather_buf("tmp", hi - lo, (dim,), vals.dtype)
+            np.take(vals, rix_s[lo:hi], axis=0, out=tmp)
+            out[order[lo:hi]] = tmp
+        else:
+            out[order[lo:hi]] = vals[rix_s[lo:hi]]
     return out
 
 

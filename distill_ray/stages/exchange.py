@@ -61,6 +61,12 @@ from distill_ray.stages.dedup_stages import (
 )
 
 _BAND_PART_SCHEMA = pa.schema([("band_key", pa.int32()), ("rh", pa.int64())])
+# loc-addressed variant (see dedup_stages._BAND_SCHEMA_LOC): 10 B/row
+# instead of 12, and the reduce-side kernel resolves rh/sim/emb by direct
+# indexing instead of merged-index binary searches
+_BAND_PART_LOC_SCHEMA = pa.schema(
+    [("band_key", pa.int32()), ("sid", pa.int16()), ("rix", pa.uint32())]
+)
 _PAIR_PART_SCHEMA = pa.schema([("k", pa.int64()), ("o", pa.int64())])
 
 
@@ -109,25 +115,34 @@ def _partition_arrow(t: pa.Table, part: np.ndarray, n_parts: int,
 
 
 @ray.remote
-def _expand_partition(block, expand_fn, n_parts: int):
+def _expand_partition(block, expand_fn, n_parts: int, loc_sid: int = -1):
     """Stage 1: expand one fused block into band rows, hash-partitioned by
-    band_key % n_parts. expand_fn carries the pairable-key prune ref."""
+    band_key % n_parts. expand_fn carries the pairable-key prune ref.
+    loc_sid >= 0 switches to loc-addressed rows: this block's broadcast
+    shard id rides in place of rh (same to_arrow_refs enumeration as
+    build_broadcast_artifacts, so block i IS shard i)."""
     # raw block refs pass through as-is: an empty sort/groupby partition
     # materializes as an empty PANDAS block with no columns
+    loc = loc_sid >= 0
+    empty = (_BAND_PART_LOC_SCHEMA if loc else _BAND_PART_SCHEMA).empty_table()
     block = as_arrow_block(block)
     if block is None:
-        empty = _BAND_PART_SCHEMA.empty_table()
         return tuple(empty for _ in range(n_parts))
-    t = expand_fn(block)
+    t = expand_fn(block, loc_sid=loc_sid) if loc else expand_fn(block)
     if t.num_rows == 0:
-        empty = _BAND_PART_SCHEMA.empty_table()
         return tuple(empty for _ in range(n_parts))
     keys = t["band_key"].to_numpy()
-    rh = t["rh"].to_numpy()
     part = (keys.view(np.uint32) % np.uint32(n_parts)).astype(np.int64)
+    if loc:
+        return tuple(
+            _partition_tables(
+                {"band_key": keys, "sid": t["sid"].to_numpy(),
+                 "rix": t["rix"].to_numpy()},
+                part, n_parts, _BAND_PART_LOC_SCHEMA)
+        )
     return tuple(
-        _partition_tables({"band_key": keys, "rh": rh}, part, n_parts,
-                          _BAND_PART_SCHEMA)
+        _partition_tables({"band_key": keys, "rh": t["rh"].to_numpy()},
+                          part, n_parts, _BAND_PART_SCHEMA)
     )
 
 
@@ -192,10 +207,21 @@ def raw_band_pair_edges(
     if not blocks:
         return rd.from_arrow(EDGE_SCHEMA.empty_table())
 
+    # loc-addressed band rows (default): block i of this enumeration is
+    # broadcast shard i (build_broadcast_artifacts scans the same
+    # to_arrow_refs order), so each band row can carry its (shard, row)
+    # address instead of rh and the kernel resolves everything by direct
+    # indexing. int16 sid bounds the mode at 32k blocks — far above any
+    # broadcast-eligible run; guarded anyway. DISTILL_RAY_BAND_LOC=0
+    # restores rh rows for A/B.
+    import os as _os
+
+    use_loc = (_os.environ.get("DISTILL_RAY_BAND_LOC", "1") != "0"
+               and len(blocks) < 32_000)
     band_parts = [
         _expand_partition.options(num_returns=n_parts).remote(
-            b, expand_fn, n_parts)
-        for b in blocks
+            b, expand_fn, n_parts, sid if use_loc else -1)
+        for sid, b in enumerate(blocks)
     ]
     if n_parts == 1:  # options(num_returns=1) returns a bare ref
         band_parts = [[r] for r in band_parts]

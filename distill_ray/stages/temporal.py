@@ -43,6 +43,20 @@ def _ts_us(col) -> np.ndarray:
     return arr.astype(np.int64)
 
 
+
+def _with_bucket(col: str, n_buckets: int, name: str):
+    """Arrow-native bucket-column map (shared by every temporal op): one
+    append_column on the zero-copy Arrow block instead of a full
+    arrow -> pandas -> arrow round trip per block (round-4 polish item)."""
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if col not in t.column_names:
+            return t
+        k = t[col].to_numpy(zero_copy_only=False)
+        return t.append_column(name, pa.array(_bucket_of(k, n_buckets)))
+
+    return add_bucket
+
+
 # --- session windows --------------------------------------------------------
 
 SESSION_SCHEMA = pa.schema(
@@ -69,11 +83,6 @@ def sessionize(
     Equivalent SQL: lag + interval comparison + running sum of breaks +
     groupby — see SESSIONIZE_EVENTS_SQL in pipelines/queries_aux.py."""
     gap_us = np.int64(round(gap_s * 1e6))
-
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["sbucket"] = _bucket_of(df[key_col].to_numpy(), n_buckets)
-        return df
 
     def session_bucket(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
@@ -106,7 +115,8 @@ def sessionize(
         )
 
     return (
-        events.map_batches(add_bucket, batch_format="pandas")
+        events.map_batches(_with_bucket(key_col, n_buckets, "sbucket"),
+                           batch_format="pyarrow")
         .groupby("sbucket")
         .map_groups(session_bucket, batch_format="pyarrow")
     )
@@ -262,11 +272,6 @@ def rolling_window(
         [(id_col, pa.int64()), ("cnt_w", pa.int64()), ("sum_w", pa.float64())]
     )
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["wbucket"] = _bucket_of(df[key_col].to_numpy(), n_buckets)
-        return df
-
     def window_bucket(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
             return out_schema.empty_table()
@@ -297,7 +302,8 @@ def rolling_window(
         )
 
     return (
-        events.map_batches(add_bucket, batch_format="pandas")
+        events.map_batches(_with_bucket(key_col, n_buckets, "wbucket"),
+                           batch_format="pyarrow")
         .groupby("wbucket")
         .map_groups(window_bucket, batch_format="pyarrow")
     )
@@ -323,11 +329,6 @@ def running_totals(
          ("run_n", pa.int64())]
     )
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["rbucket"] = _bucket_of(df[key_col].to_numpy(), n_buckets)
-        return df
-
     def run_bucket(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
             return out_schema.empty_table()
@@ -349,7 +350,8 @@ def running_totals(
         )
 
     return (
-        events.map_batches(add_bucket, batch_format="pandas")
+        events.map_batches(_with_bucket(key_col, n_buckets, "rbucket"),
+                           batch_format="pyarrow")
         .groupby("rbucket")
         .map_groups(run_bucket, batch_format="pyarrow")
     )
@@ -374,11 +376,6 @@ def lag_events(
          ("gap_s", pa.float64())]
     )
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["lbucket"] = _bucket_of(df[key_col].to_numpy(), n_buckets)
-        return df
-
     def lag_bucket(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
             return out_schema.empty_table()
@@ -400,7 +397,8 @@ def lag_events(
         )
 
     return (
-        events.map_batches(add_bucket, batch_format="pandas")
+        events.map_batches(_with_bucket(key_col, n_buckets, "lbucket"),
+                           batch_format="pyarrow")
         .groupby("lbucket")
         .map_groups(lag_bucket, batch_format="pyarrow")
     )
@@ -440,11 +438,6 @@ def rolling_dup_events(
                             ("win_cnt", pa.int64()),
                             ("is_window_dup", pa.bool_())])
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["wbucket"] = _bucket_of(df[user_col].to_numpy(), n_buckets)
-        return df
-
     def dup_bucket(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
             return out_schema.empty_table()
@@ -473,7 +466,8 @@ def rolling_dup_events(
             schema=out_schema)
 
     return (
-        events.map_batches(add_bucket, batch_format="pandas")
+        events.map_batches(_with_bucket(user_col, n_buckets, "wbucket"),
+                           batch_format="pyarrow")
         .groupby("wbucket")
         .map_groups(dup_bucket, batch_format="pyarrow")
     )
@@ -505,11 +499,6 @@ def windowed_dup_events(
                             ("is_window_dup", pa.bool_())])
     window_us = np.int64(round(window_s * 1e6))
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["wbucket"] = _bucket_of(df[user_col].to_numpy(), n_buckets)
-        return df
-
     def dup_bucket(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
             return out_schema.empty_table()
@@ -536,7 +525,8 @@ def windowed_dup_events(
                                     schema=out_schema)
 
     return (
-        events.map_batches(add_bucket, batch_format="pandas")
+        events.map_batches(_with_bucket(user_col, n_buckets, "wbucket"),
+                           batch_format="pyarrow")
         .groupby("wbucket")
         .map_groups(dup_bucket, batch_format="pyarrow")
     )

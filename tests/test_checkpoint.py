@@ -89,3 +89,75 @@ def test_manifest_detects_corruption(tmp_path, ray_session):
     with open(victim, "wb") as f:
         f.write(b"corrupt")
     assert not cm.has("stage1")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_recomputes_edges_via_raw_exchange(tmp_path):
+    """Kill BEFORE the edges checkpoint exists: the resume must reload the
+    signatures checkpoint (a lazy parquet re-read) and feed it through the
+    EAGER raw-task exchanges (the round-4 defaults) — proving
+    to_arrow_refs over a checkpoint-loaded dataset and the raw reducers
+    compose — with output identical to a clean run."""
+    import ray.data as rd
+
+    from distill_ray.pipelines.dedup import run_dedup
+
+    df = generate_transcripts(n_convs=80, turns_per_conv=6, seed=29)
+    cfg = DedupConfig()
+    clean = _sorted(run_dedup(rd.from_pandas(df), cfg).assignments.to_pandas())
+
+    root = str(tmp_path / "run")
+    ckpt = CheckpointManager(root, cfg.config_hash())
+    with pytest.raises(Exception, match="signatures"):
+        run_dedup(rd.from_pandas(df), cfg, ckpt=ckpt, stop_after="signatures")
+    assert ckpt.has("signatures") and not ckpt.has("edges")
+
+    ckpt2 = CheckpointManager(root, cfg.config_hash())
+    res = run_dedup(rd.from_pandas(df), cfg, ckpt=ckpt2)
+    assert res.stats["timings"].get("signatures_resumed") is True
+    assert "edges_resumed" not in res.stats["timings"]  # recomputed, raw path
+    pd.testing.assert_frame_equal(
+        clean, _sorted(res.assignments.to_pandas()))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_endpoint_mode_raw_exchange(tmp_path):
+    """Same kill/resume cycle under forced ENDPOINT verify (the
+    nothing-broadcast 100-TB path, raw exchange by default): both the
+    edges-checkpointed resume and the signatures-only resume must
+    reproduce the clean endpoint run exactly."""
+    import ray.data as rd
+
+    from distill_ray.pipelines.dedup import run_dedup
+
+    df = generate_transcripts(n_convs=80, turns_per_conv=6, seed=31)
+    cfg = DedupConfig()
+    clean = _sorted(
+        run_dedup(rd.from_pandas(df), cfg, verify_mode="endpoint")
+        .assignments.to_pandas())
+
+    # kill after edges; resume reuses signatures + edges
+    root = str(tmp_path / "ep1")
+    ckpt = CheckpointManager(root, cfg.config_hash())
+    with pytest.raises(Exception, match="edges"):
+        run_dedup(rd.from_pandas(df), cfg, verify_mode="endpoint",
+                  ckpt=ckpt, stop_after="edges")
+    res = run_dedup(rd.from_pandas(df), cfg, verify_mode="endpoint",
+                    ckpt=CheckpointManager(root, cfg.config_hash()))
+    assert res.stats["timings"].get("edges_resumed") is True
+    pd.testing.assert_frame_equal(
+        clean, _sorted(res.assignments.to_pandas()))
+
+    # kill after signatures; resume recomputes edges through the raw
+    # endpoint chain from the checkpoint-loaded signature table
+    root2 = str(tmp_path / "ep2")
+    ckpt = CheckpointManager(root2, cfg.config_hash())
+    with pytest.raises(Exception, match="signatures"):
+        run_dedup(rd.from_pandas(df), cfg, verify_mode="endpoint",
+                  ckpt=ckpt, stop_after="signatures")
+    res2 = run_dedup(rd.from_pandas(df), cfg, verify_mode="endpoint",
+                     ckpt=CheckpointManager(root2, cfg.config_hash()))
+    assert res2.stats["timings"].get("signatures_resumed") is True
+    assert "edges_resumed" not in res2.stats["timings"]
+    pd.testing.assert_frame_equal(
+        clean, _sorted(res2.assignments.to_pandas()))

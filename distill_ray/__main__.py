@@ -49,6 +49,12 @@ def main(argv=None):
     p.add_argument("--threshold", type=float, default=0.15)
     p.add_argument("--span-k", type=int, default=50)
     p.add_argument("--now", default="2026-01-01", help="summarizer clock (date)")
+    p.add_argument("--trace-out", default="",
+                   help="write tracing spans (state/tracing.py) to this "
+                        "JSONL file; continues an inbound trace when "
+                        "--traceparent is given")
+    p.add_argument("--traceparent", default="",
+                   help="W3C traceparent header to continue a trace from")
     args = p.parse_args(argv)
 
     if args.verb == "status":
@@ -154,18 +160,48 @@ def _run_verb(args, p, cfg, ds) -> dict:
     if args.verb == "dedup":
         from distill_ray.pipelines.dedup import run_dedup
         from distill_ray.state.manifest import CheckpointManager
+        from distill_ray.state.tracing import Config as TraceConfig, Provider
 
+        tracer = Provider(TraceConfig(
+            enabled=bool(args.trace_out), exporter="jsonl",
+            path=args.trace_out))
         ckpt = (
             CheckpointManager(args.checkpoint_dir, cfg.config_hash())
             if args.checkpoint_dir
             else None
         )
-        res = run_dedup(ds, cfg, ckpt=ckpt, collect_stats=True)
-        res.assignments.write_parquet(args.output)
-        if args.state_dir:
-            from distill_ray.pipelines.incremental import save_dedup_state
+        import time as _t
 
-            save_dedup_state(res.signatures, res.assignments, args.state_dir)
+        t0 = _t.time()
+        with tracer.start_request("dedup",
+                                  traceparent=args.traceparent or None
+                                  ) as root:
+            with tracer.start_clustering(ds.count(), cfg.threshold,
+                                         parent=root) as span:
+                res = run_dedup(ds, cfg, ckpt=ckpt, collect_stats=True)
+                n_clusters = 0
+                if tracer.cfg.enabled:
+                    # every cluster has exactly one representative row
+                    import pyarrow as pa
+                    import pyarrow.compute as pc
+
+                    n_clusters = int(res.assignments.map_batches(
+                        lambda t: pa.table({"n": [int(
+                            pc.sum(pc.cast(t["is_representative"],
+                                           pa.int64())).as_py() or 0)]}),
+                        batch_format="pyarrow").to_pandas()["n"].sum())
+                span.record_result(
+                    input_count=ds.count(),
+                    output_count=res.assignments.count(),
+                    cluster_count=n_clusters,
+                    latency_ms=int((_t.time() - t0) * 1000))
+            res.assignments.write_parquet(args.output)
+            if args.state_dir:
+                from distill_ray.pipelines.incremental import save_dedup_state
+
+                save_dedup_state(res.signatures, res.assignments,
+                                 args.state_dir)
+        tracer.shutdown()
         stats = res.stats
     elif args.verb == "spans":
         from distill_ray.stages.dedup_stages import prep_batch

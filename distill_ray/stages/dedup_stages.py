@@ -1544,7 +1544,13 @@ def build_broadcast_artifacts(sig_ds, num_ranges: int = 16):
         _merge_range.remote(*[ko[r] for ko in key_outs]) for r in range(R)
     ])
     shard_refs = [
-        _scan_shard.options(num_cpus=4).remote(ref) for ref in tbl_refs
+        # cap the per-task reservation at the cluster size: a num_cpus=4
+        # task can NEVER schedule on a 2-CPU cluster (measured as a hard
+        # CLI deadlock at --num-cpus 2 — caught by the round-5 CLI test)
+        _scan_shard.options(
+            num_cpus=min(4, max(1, int(ray.cluster_resources().get(
+                "CPU", 4))))).remote(ref)
+        for ref in tbl_refs
     ]
     return (shard_refs, None), pairable_ref
 

@@ -1,0 +1,259 @@
+"""Lightweight tracing spans for pipeline stages — the batch analog of
+the reference's OpenTelemetry provider (`pkg/telemetry/telemetry.go`).
+
+Semantics mirrored from the reference (WHAT, not HOW — there is no OTLP
+collector or network in this deployment, so spans export to JSONL or
+stdout instead of gRPC):
+
+- `Config(enabled, exporter, sample_rate, service_name)` —
+  telemetry.go:26-45 (`otlp` is not available here; `jsonl` writes one
+  span per line to a file, `stdout` prints, `none` records in memory
+  only). Disabled config yields a no-op provider (telemetry.go:67-69).
+- Stage-span helpers with the reference's attribute names
+  (telemetry.go:155-222): request/embedding/clustering/selection/mmr/
+  compress/cache.lookup/retrieval, each `distill.<stage>` with
+  `distill.<stage>.<attr>` attributes.
+- `record_result` (telemetry.go:224-238): input/output/cluster counts,
+  latency_ms, and the derived reduction_ratio when input_count > 0.
+- `record_error`: marks the span failed and stores the message.
+- W3C Trace Context propagation (telemetry.go:130-136): traceparent
+  header parse/format so a span tree can continue across process
+  boundaries (e.g. the file-shaped serve verb).
+- Probabilistic head sampling by trace: a trace is kept iff
+  `hash(trace_id) / 2^64 < sample_rate` — every span of one trace
+  shares the decision, like the reference's ParentBased(ratio) sampler.
+
+A span is a plain dict on export: trace_id, span_id, parent_span_id,
+name, start_us, end_us, duration_us, attributes, status, service.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Config:
+    enabled: bool = False
+    exporter: str = "none"       # jsonl | stdout | none
+    path: str = ""               # jsonl exporter target
+    sample_rate: float = 1.0
+    service_name: str = "distill-ray"
+
+
+_TRACEPARENT_VERSION = "00"
+
+
+def format_traceparent(trace_id: str, span_id: str) -> str:
+    """W3C traceparent header for an in-flight span (sampled flag 01)."""
+    return f"{_TRACEPARENT_VERSION}-{trace_id}-{span_id}-01"
+
+
+def parse_traceparent(header: str) -> tuple[str, str] | None:
+    """(trace_id, parent_span_id) from a W3C traceparent, else None."""
+    parts = header.strip().split("-")
+    if len(parts) != 4 or len(parts[1]) != 32 or len(parts[2]) != 16:
+        return None
+    if parts[1] == "0" * 32 or parts[2] == "0" * 16:
+        return None
+    return parts[1], parts[2]
+
+
+class Span:
+    """One timed stage. Use as a context manager; exceptions mark the
+    span failed (reference RecordError) and re-raise."""
+
+    def __init__(self, provider: "Provider", name: str, trace_id: str,
+                 parent_span_id: str | None, attributes: dict,
+                 sampled: bool):
+        self._p = provider
+        self.name = name
+        self.trace_id = trace_id
+        self.span_id = os.urandom(8).hex()
+        self.parent_span_id = parent_span_id
+        self.attributes = dict(attributes)
+        self.sampled = sampled
+        self.status = "ok"
+        self.start_us = int(time.time() * 1e6)
+        self.end_us: int | None = None
+
+    # -- reference span helpers ------------------------------------------
+
+    def set_attributes(self, **attrs) -> None:
+        self.attributes.update(attrs)
+
+    def record_result(self, input_count: int, output_count: int,
+                      cluster_count: int, latency_ms: int) -> None:
+        """telemetry.go RecordResult: result attributes + the derived
+        reduction ratio when input_count > 0."""
+        self.attributes.update({
+            "distill.result.input_count": int(input_count),
+            "distill.result.output_count": int(output_count),
+            "distill.result.cluster_count": int(cluster_count),
+            "distill.result.latency_ms": int(latency_ms),
+        })
+        if input_count > 0:
+            self.attributes["distill.result.reduction_ratio"] = (
+                1.0 - output_count / input_count)
+
+    def record_error(self, err: BaseException | str) -> None:
+        self.status = "error"
+        self.attributes["error"] = True
+        self.attributes["error.message"] = str(err)
+
+    def end(self) -> None:
+        if self.end_us is None:
+            self.end_us = int(time.time() * 1e6)
+            self._p._finish(self)
+
+    def traceparent(self) -> str:
+        return format_traceparent(self.trace_id, self.span_id)
+
+    def to_dict(self) -> dict:
+        return {
+            "trace_id": self.trace_id,
+            "span_id": self.span_id,
+            "parent_span_id": self.parent_span_id,
+            "name": self.name,
+            "service": self._p.cfg.service_name,
+            "start_us": self.start_us,
+            "end_us": self.end_us,
+            "duration_us": (None if self.end_us is None
+                            else self.end_us - self.start_us),
+            "status": self.status,
+            "attributes": self.attributes,
+        }
+
+    def __enter__(self) -> "Span":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc is not None:
+            self.record_error(exc)
+        self.end()
+        return False
+
+
+class _NoopSpan(Span):
+    def __init__(self):  # noqa: super-init-not-called — deliberately inert
+        self.name = "noop"
+        self.trace_id = "0" * 32
+        self.span_id = "0" * 16
+        self.parent_span_id = None
+        self.attributes = {}
+        self.sampled = False
+        self.status = "ok"
+        self.start_us = 0
+        self.end_us = 0
+
+    def end(self) -> None:
+        pass
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        return False
+
+
+class Provider:
+    """Span factory + exporter. `Provider(Config(enabled=False))` is a
+    no-op provider exactly like the reference's disabled Init path."""
+
+    def __init__(self, cfg: Config | None = None):
+        self.cfg = cfg or Config()
+        self.finished: list[dict] = []  # in-memory record (all exporters)
+        self._fh = None
+        if (self.cfg.enabled and self.cfg.exporter == "jsonl"
+                and self.cfg.path):
+            self._fh = open(self.cfg.path, "a")
+
+    # -- core ------------------------------------------------------------
+
+    def start_span(self, name: str, parent: Span | None = None,
+                   traceparent: str | None = None, **attributes) -> Span:
+        if not self.cfg.enabled:
+            return _NoopSpan()
+        if parent is not None:
+            trace_id, parent_id, sampled = (
+                parent.trace_id, parent.span_id, parent.sampled)
+        elif traceparent is not None and parse_traceparent(traceparent):
+            trace_id, parent_id = parse_traceparent(traceparent)
+            sampled = self._sample(trace_id)
+        else:
+            trace_id = os.urandom(16).hex()
+            parent_id = None
+            sampled = self._sample(trace_id)
+        return Span(self, name, trace_id, parent_id, attributes, sampled)
+
+    def _sample(self, trace_id: str) -> bool:
+        if self.cfg.sample_rate >= 1.0:
+            return True
+        if self.cfg.sample_rate <= 0.0:
+            return False
+        return (int(trace_id[:16], 16) / 2**64) < self.cfg.sample_rate
+
+    def _finish(self, span: Span) -> None:
+        if not span.sampled:
+            return
+        rec = span.to_dict()
+        self.finished.append(rec)
+        if self._fh is not None:
+            self._fh.write(json.dumps(rec, sort_keys=True) + "\n")
+            self._fh.flush()
+        elif self.cfg.exporter == "stdout":
+            print(json.dumps(rec, sort_keys=True))
+
+    def shutdown(self) -> None:
+        """Flush + close (telemetry.go Shutdown)."""
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+
+    # -- reference stage-span helpers (telemetry.go:155-222) -------------
+
+    def start_request(self, endpoint: str, traceparent: str | None = None,
+                      ) -> Span:
+        return self.start_span("distill.request", traceparent=traceparent,
+                               **{"distill.endpoint": endpoint})
+
+    def start_embedding(self, chunk_count: int, parent=None) -> Span:
+        return self.start_span(
+            "distill.embedding", parent,
+            **{"distill.embedding.chunk_count": int(chunk_count)})
+
+    def start_clustering(self, input_count: int, threshold: float,
+                         parent=None) -> Span:
+        return self.start_span(
+            "distill.clustering", parent,
+            **{"distill.clustering.input_count": int(input_count),
+               "distill.clustering.threshold": float(threshold)})
+
+    def start_selection(self, cluster_count: int, parent=None) -> Span:
+        return self.start_span(
+            "distill.selection", parent,
+            **{"distill.selection.cluster_count": int(cluster_count)})
+
+    def start_mmr(self, input_count: int, lam: float, parent=None) -> Span:
+        return self.start_span(
+            "distill.mmr", parent,
+            **{"distill.mmr.input_count": int(input_count),
+               "distill.mmr.lambda": float(lam)})
+
+    def start_compress(self, chunk_count: int, mode: str,
+                       parent=None) -> Span:
+        return self.start_span(
+            "distill.compress", parent,
+            **{"distill.compress.chunk_count": int(chunk_count),
+               "distill.compress.mode": mode})
+
+    def start_cache_lookup(self, key: str, parent=None) -> Span:
+        return self.start_span("distill.cache.lookup", parent,
+                               **{"distill.cache.key": key})
+
+    def start_retrieval(self, top_k: int, backend: str,
+                        parent=None) -> Span:
+        return self.start_span(
+            "distill.retrieval", parent,
+            **{"distill.retrieval.top_k": int(top_k),
+               "distill.retrieval.backend": backend})

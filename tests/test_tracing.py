@@ -1,0 +1,143 @@
+"""Tracing spans (state/tracing.py) — batch analog of the reference's
+pkg/telemetry provider: span tree, attributes, result/error recording,
+W3C traceparent propagation, sampling, JSONL export, no-op when off."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from distill_ray.state.tracing import (
+    Config, Provider, format_traceparent, parse_traceparent)
+
+
+def test_span_tree_and_attributes():
+    p = Provider(Config(enabled=True))
+    with p.start_request("dedupe") as root:
+        with p.start_embedding(128, parent=root) as emb:
+            assert emb.trace_id == root.trace_id
+            assert emb.parent_span_id == root.span_id
+        with p.start_clustering(100, 0.15, parent=root) as cl:
+            cl.record_result(input_count=100, output_count=60,
+                             cluster_count=20, latency_ms=12)
+    assert [s["name"] for s in p.finished] == [
+        "distill.embedding", "distill.clustering", "distill.request"]
+    cl_rec = p.finished[1]
+    assert cl_rec["attributes"]["distill.clustering.threshold"] == 0.15
+    assert cl_rec["attributes"]["distill.result.reduction_ratio"] == (
+        pytest.approx(0.4))
+    assert all(s["status"] == "ok" for s in p.finished)
+    assert all(s["duration_us"] >= 0 for s in p.finished)
+
+
+def test_error_recording_and_reraise():
+    p = Provider(Config(enabled=True))
+    with pytest.raises(ValueError):
+        with p.start_compress(10, "extractive"):
+            raise ValueError("boom")
+    rec = p.finished[0]
+    assert rec["status"] == "error"
+    assert rec["attributes"]["error"] is True
+    assert "boom" in rec["attributes"]["error.message"]
+
+
+def test_traceparent_round_trip_across_processes():
+    p = Provider(Config(enabled=True))
+    root = p.start_request("serve")
+    header = root.traceparent()
+    tid, sid = parse_traceparent(header)
+    assert (tid, sid) == (root.trace_id, root.span_id)
+    # "remote" provider continues the same trace
+    q = Provider(Config(enabled=True))
+    child = q.start_request("serve-worker", traceparent=header)
+    assert child.trace_id == root.trace_id
+    assert child.parent_span_id == root.span_id
+    assert parse_traceparent("garbage") is None
+    assert parse_traceparent(format_traceparent("0" * 32, "0" * 16)) is None
+
+
+def test_sampling_is_per_trace_and_probabilistic():
+    p = Provider(Config(enabled=True, sample_rate=0.5))
+    kept = 0
+    for _ in range(400):
+        with p.start_request("x") as s:
+            child_sampled = p.start_embedding(1, parent=s)
+            assert child_sampled.sampled == s.sampled  # shared decision
+            child_sampled.end()
+            kept += bool(s.sampled)
+    assert 120 < kept < 280  # ~200 expected
+    assert all(True for _ in p.finished)
+    none_kept = Provider(Config(enabled=True, sample_rate=0.0))
+    with none_kept.start_request("x"):
+        pass
+    assert none_kept.finished == []
+
+
+def test_disabled_provider_is_noop():
+    p = Provider(Config(enabled=False))
+    with p.start_request("x") as s:
+        with p.start_mmr(5, 0.5, parent=s):
+            pass
+    assert p.finished == []
+
+
+def test_jsonl_export(tmp_path):
+    path = str(tmp_path / "spans.jsonl")
+    p = Provider(Config(enabled=True, exporter="jsonl", path=path))
+    with p.start_retrieval(8, "vector_store"):
+        pass
+    with p.start_cache_lookup("prefix:abc"):
+        pass
+    p.shutdown()
+    recs = [json.loads(l) for l in open(path)]
+    assert [r["name"] for r in recs] == [
+        "distill.retrieval", "distill.cache.lookup"]
+    assert recs[0]["attributes"]["distill.retrieval.backend"] == (
+        "vector_store")
+    assert recs[0]["service"] == "distill-ray"
+
+
+def test_cli_dedup_emits_trace(tmp_path):
+    """`python -m distill_ray dedup --trace-out` writes a request ->
+    clustering span tree with the reference's result attributes, and
+    --traceparent continues an inbound trace."""
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    df = pd.DataFrame({
+        "conv_id": [f"c{i:03d}" for i in range(40)],
+        "turn_idx": [0] * 40,
+        # token-disjoint texts: no near-dup edges, so exactly one cluster
+        # per distinct text survives
+        "text": [f"alpha{i} beta{i} gamma{i} delta{i}"
+                 for i in range(20)] * 2,
+    })
+    src = str(tmp_path / "in.parquet")
+    df.to_parquet(src)
+    trace = str(tmp_path / "spans.jsonl")
+    parent = format_traceparent("ab" * 16, "cd" * 8)
+    out = subprocess.run(
+        [sys.executable, "-m", "distill_ray", "dedup",
+         "--input", src, "--output", str(tmp_path / "out"),
+         "--job-dir", str(tmp_path / "jobs"),
+         "--num-cpus", "2", "--trace-out", trace,
+         "--traceparent", parent],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    recs = [json.loads(l) for l in open(trace)]
+    by_name = {r["name"]: r for r in recs}
+    assert set(by_name) == {"distill.request", "distill.clustering"}
+    root = by_name["distill.request"]
+    assert root["trace_id"] == "ab" * 16          # continued the trace
+    assert root["parent_span_id"] == "cd" * 8
+    cl = by_name["distill.clustering"]
+    assert cl["parent_span_id"] == root["span_id"]
+    attrs = cl["attributes"]
+    assert attrs["distill.result.input_count"] == 40
+    assert attrs["distill.result.output_count"] == 40
+    assert attrs["distill.result.cluster_count"] == 20  # 20 exact-dup pairs
+    assert attrs["distill.result.reduction_ratio"] == 0.0

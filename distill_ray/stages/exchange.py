@@ -273,6 +273,109 @@ def _hash_partition_block(block, n_parts: int):
     return tuple(_partition_arrow(block, part, n_parts, block.schema))
 
 
+# --- P2 dup-hash prune -------------------------------------------------------
+#
+# The P2 exchange's bytes are the normalized-text strings — the widest
+# rows of the whole pipeline — yet co-location is only NEEDED for rows
+# whose text hash occurs >= 2 times globally (the dup groups plus the
+# negligible 64-bit collision pairs). Measured on the bench corpus,
+# 87.3% of rows carry a globally-UNIQUE text hash: they are winners by
+# definition and can run the fused dedup+sketch kernel IN PLACE on their
+# map block, shipping nothing. Only the ~13% dup-group rows enter the
+# text exchange. Same semi-join-prune shape as build_pairable_keys, one
+# extra narrow pass (8 B/row hashes; per-block uniques capped at 2,
+# range-merged) before the exchange.
+
+
+@ray.remote
+def _h_counts_block(block, R: int, shift: int):
+    """One hashed block -> R range partitions of (unique h, count<=2)."""
+    block = as_arrow_block(block)
+    empty = (np.empty(0, np.int64), np.empty(0, np.uint8))
+    if block is None:
+        return tuple(empty for _ in range(R))
+    u, c = np.unique(block["h"].to_numpy(), return_counts=True)
+    w = np.minimum(c, 2).astype(np.uint8)
+    # range-partition by the hash's UNSIGNED high bits: re-sort the
+    # uniques by the uint64 view so each range is one contiguous slice
+    order = np.argsort(u.view(np.uint64), kind="stable")
+    u = u[order]
+    w = w[order]
+    bounds = np.searchsorted(
+        u.view(np.uint64),
+        (np.arange(1, R, dtype=np.uint64) << np.uint64(shift)))
+    kb = np.r_[0, bounds, len(u)]
+    return tuple(
+        (u[kb[r]:kb[r + 1]], w[kb[r]:kb[r + 1]]) for r in range(R)
+    )
+
+
+@ray.remote
+def _merge_h_range(*parts):
+    ks = np.concatenate([p[0] for p in parts])
+    if not len(ks):
+        return np.empty(0, np.int64)
+    ws = np.concatenate([p[1] for p in parts])
+    u, inv = np.unique(ks, return_inverse=True)
+    tot = np.bincount(inv, weights=ws, minlength=len(u))
+    return u[tot >= 2.0]
+
+
+@ray.remote
+def _concat_sorted_i64(*parts):
+    keep = [p for p in parts if len(p)]
+    if not keep:
+        return np.empty(0, np.int64)
+    out = np.concatenate(keep)
+    # range parts are disjoint but ordered by the uint64 view; lookups
+    # searchsorted on int64, so re-sort once here
+    out.sort()
+    return out
+
+
+def _dup_hash_set(blocks, R: int = 16):
+    """ObjectRef of the sorted int64 array of text hashes with global
+    count >= 2 across the hashed blocks."""
+    shift = 64 - (R - 1).bit_length()
+    assert 1 << (64 - shift) == R, "R must be a power of two"
+    outs = [
+        _h_counts_block.options(num_returns=R).remote(b, R, shift)
+        for b in blocks
+    ]
+    if R == 1:
+        outs = [[r] for r in outs]
+    return _concat_sorted_i64.remote(*[
+        _merge_h_range.remote(*[o[r] for o in outs]) for r in range(R)
+    ])
+
+
+@ray.remote
+def _hash_partition_block_pruned(block, n_parts: int, dupset, kernel):
+    """Stage 1 (P2, pruned): rows whose h is in the (sorted, broadcast)
+    dup set ship partitioned by h % P as before; every other row is a
+    guaranteed winner and runs the fused dedup+sketch kernel HERE —
+    returned as this block's finished fused table (return n_parts)."""
+    block = as_arrow_block(block)
+    if block is None:
+        empty = _HASHED_SCHEMA.empty_table()
+        return tuple([empty] * n_parts + [kernel(empty)])
+    h = block["h"].to_numpy()
+    if len(dupset):
+        pos = np.minimum(np.searchsorted(dupset, h), len(dupset) - 1)
+        is_dup = dupset[pos] == h
+    else:
+        is_dup = np.zeros(len(h), dtype=bool)
+    if is_dup.any():
+        dup_rows = block.filter(pa.array(is_dup))
+        part = (dup_rows["h"].to_numpy().view(np.uint64)
+                % np.uint64(n_parts)).astype(np.int64)
+        shipped = _partition_arrow(dup_rows, part, n_parts, block.schema)
+    else:
+        shipped = [block.slice(0, 0)] * n_parts
+    uniq = block.filter(pa.array(~is_dup)) if is_dup.any() else block
+    return tuple(shipped + [kernel(uniq)])
+
+
 @ray.remote
 def _dedup_sketch_partition(kernel, *parts):
     """Stage 2 (P2+P5): fused first-wins exact dedup + signature sketch
@@ -289,10 +392,36 @@ def raw_dedup_sketch(hashed: rd.Dataset, kernel, n_parts: int) -> rd.Dataset:
     materialized (add_text_hash_arrow output). Returns the fused
     signature Dataset — identical rows to the sort path's groupby("bucket")
     since the kernel groups by full text within its partition and every
-    text hash is wholly contained in one partition."""
+    text hash is wholly contained in one partition.
+
+    With the dup-hash prune (default; DISTILL_RAY_P2_PRUNE=0 reverts):
+    only rows whose text hash occurs >= 2 times globally enter the
+    exchange (~13% on the bench corpus); every globally-unique row is a
+    winner by construction and is dedup+sketched in place on its map
+    block. The fused ROW SET is identical either way (pinned by the
+    raw/sort signature-equality parity test) — only block layout
+    differs."""
+    import os as _os
+
     blocks = hashed.to_arrow_refs()
     if not blocks:
         return rd.from_arrow(kernel(_HASHED_SCHEMA.empty_table()))
+    nb = len(blocks)
+    if _os.environ.get("DISTILL_RAY_P2_PRUNE", "1") != "0":
+        dupset_ref = _dup_hash_set(blocks)
+        stage1 = [
+            _hash_partition_block_pruned.options(
+                num_returns=n_parts + 1).remote(b, n_parts, dupset_ref,
+                                                kernel)
+            for b in blocks
+        ]
+        fused_refs = [
+            _dedup_sketch_partition.remote(
+                kernel, *[stage1[b][p] for b in range(nb)])
+            for p in range(n_parts)
+        ]
+        fused_refs += [stage1[b][n_parts] for b in range(nb)]
+        return rd.from_arrow_refs(fused_refs)
     parts = [
         _hash_partition_block.options(num_returns=n_parts).remote(b, n_parts)
         for b in blocks
@@ -301,7 +430,7 @@ def raw_dedup_sketch(hashed: rd.Dataset, kernel, n_parts: int) -> rd.Dataset:
         parts = [[r] for r in parts]
     fused_refs = [
         _dedup_sketch_partition.remote(
-            kernel, *[parts[b][p] for b in range(len(blocks))])
+            kernel, *[parts[b][p] for b in range(nb)])
         for p in range(n_parts)
     ]
     return rd.from_arrow_refs(fused_refs)

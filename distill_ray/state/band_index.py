@@ -481,6 +481,77 @@ class BandIndex:
                 self.asn_segs[s] = [
                     _merge_segments_rh.remote(*self.asn_segs[s])]
 
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, out_dir: str) -> None:
+        """Persist the index as per-shard parquet (segments compacted into
+        one sorted file per shard per structure). A deployment saves the
+        index at state-save time so a cluster restart cold-starts with
+        `BandIndex.load` — a parallel read of pre-sorted shards — instead
+        of the O(state) `from_state` rebuild."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        self.compact()
+        for kind, segs in (("postings", self.posting_segs),
+                           ("signatures", self.sig_segs),
+                           ("assignments", self.asn_segs)):
+            d = os.path.join(out_dir, kind)
+            os.makedirs(d, exist_ok=True)
+            for s in range(self.S):
+                if not segs[s]:
+                    continue
+                t = ray.get(segs[s][0])
+                pq.write_table(t, os.path.join(d, f"shard-{s:05d}.parquet"))
+        with open(os.path.join(out_dir, "meta.json"), "w") as f:
+            import json
+
+            json.dump({"n_shards": self.S, "n_rows": self.n_rows,
+                       "n_assignments": self.n_assignments,
+                       "config_hash": self.cfg.config_hash()}, f)
+
+    @classmethod
+    def load(cls, in_dir: str, cfg: DedupConfig | None = None
+             ) -> "BandIndex":
+        """Rehydrate a saved index: one read task per shard file, no
+        re-sort (files are written sorted). Raises if the config hash
+        differs from the saving config — a changed shingle/band config
+        invalidates every posting."""
+        import json
+        import os
+
+        with open(os.path.join(in_dir, "meta.json")) as f:
+            meta = json.load(f)
+        cfg = cfg or DedupConfig()
+        if meta["config_hash"] != cfg.config_hash():
+            raise ValueError(
+                "band index was saved under a different DedupConfig "
+                f"({meta['config_hash']} != {cfg.config_hash()}) — "
+                "rebuild with BandIndex.from_state")
+        idx = cls(cfg, meta["n_shards"])
+        idx.n_rows = meta["n_rows"]
+        idx.n_assignments = meta["n_assignments"]
+
+        @ray.remote
+        def read_shard(path: str):
+            import pyarrow.parquet as pq
+
+            return pq.read_table(path)
+
+        for kind, segs in (("postings", idx.posting_segs),
+                           ("signatures", idx.sig_segs),
+                           ("assignments", idx.asn_segs)):
+            d = os.path.join(in_dir, kind)
+            if not os.path.isdir(d):
+                continue
+            for name in sorted(os.listdir(d)):
+                if not name.endswith(".parquet"):
+                    continue
+                s = int(name.split("-")[1].split(".")[0])
+                segs[s].append(read_shard.remote(os.path.join(d, name)))
+        return idx
+
     # -- queries (all O(query x log state)) ----------------------------------
 
     def count_keys(self, keys_u32_sorted: np.ndarray) -> np.ndarray:

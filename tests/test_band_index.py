@@ -207,3 +207,33 @@ def test_helpers_unit():
         if len(sl):
             assert ((sl.view(np.uint64) >> np.uint64(61)) == s).all()
             assert (np.diff(sl) >= 0).all()  # still int64-sorted
+
+
+def test_index_save_load_round_trip(ray_session, tmp_path):
+    """save() -> load() rehydrates an equivalent index: identical append
+    results, config-hash mismatch rejected, counters preserved."""
+    rng = np.random.default_rng(53)
+    old = _frame([_text(rng) for _ in range(100)], "o")
+    new = _frame(
+        [_perturb(rng, old["text"].iloc[i]) for i in range(10)]
+        + [_text(rng) for _ in range(5)], "n")
+    cfg = DedupConfig()
+    res = run_dedup(rd.from_pandas(old), cfg)
+    state_dir = str(tmp_path / "s")
+    save_dedup_state(res.signatures, res.assignments, state_dir)
+
+    idx = BandIndex.from_state(state_dir, cfg, n_shards=4)
+    a = run_dedup_incremental_indexed(rd.from_pandas(new), idx, cfg)
+
+    out = str(tmp_path / "bi")
+    idx.save(out)
+    idx2 = BandIndex.load(out, cfg)
+    assert (idx2.n_rows, idx2.n_assignments) == (idx.n_rows,
+                                                 idx.n_assignments)
+    b = run_dedup_incremental_indexed(rd.from_pandas(new), idx2, cfg)
+    pd.testing.assert_frame_equal(_sorted(a.assignments),
+                                  _sorted(b.assignments))
+    assert b.stats["n_edges_new"] == a.stats["n_edges_new"]
+
+    with pytest.raises(ValueError, match="different DedupConfig"):
+        BandIndex.load(out, DedupConfig(threshold=0.05))

@@ -43,6 +43,16 @@ local disk with in-memory fence pointers (classic LSM), or halve
 lsh_bands for the append index only (NOT done here — it would change the
 frontier and break bit-parity with the full pipeline).
 
+Fault tolerance: segments are IMMUTABLE plasma objects produced by
+deterministic tasks, so Ray's lineage reconstruction re-runs the build
+task if a node holding a segment dies mid-append; across process
+restarts the index rehydrates from `save()`'s per-shard sorted parquet
+(`load()`, no re-sort) or rebuilds with `from_state` — the persisted
+dedup state remains the source of truth, the index is always a derived,
+reconstructable artifact. A daily-append service calls `save()` after
+`update()` (or on a cadence) so a cold start never pays the full
+rebuild.
+
 Correctness contract: `run_dedup_incremental_indexed`
 (pipelines/incremental.py) feeds the extracted rows through the SAME
 reducer kernels as the state-scan endpoint chain, so its edge set — and

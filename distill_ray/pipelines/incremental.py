@@ -120,7 +120,9 @@ def save_incremental_state(prev_state_dir: str, inc: IncrementalResult,
 
 def _sketch_new(new_transcripts: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
     """P1 + fused P2+P5 over the new batch only (same kernels as
-    run_dedup: pipelines/dedup.py P2+P5)."""
+    run_dedup: pipelines/dedup.py P2+P5). Uses the same raw-task hash
+    exchange (with the dup-hash prune) as the flagship's P2 by default;
+    DISTILL_RAY_P2_EXCHANGE=sort restores the sort groupby."""
     from distill_ray.pipelines.dedup import _named
 
     B = cfg.shuffle_buckets
@@ -128,6 +130,13 @@ def _sketch_new(new_transcripts: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
                                        batch_size=cfg.batch_size)
     hashed = prep.map_batches(make_add_text_hash_arrow(B),
                               batch_format="pandas")
+    if os.environ.get("DISTILL_RAY_P2_EXCHANGE", "raw") == "raw":
+        from distill_ray.stages.exchange import raw_dedup_sketch
+
+        P = max(int(ray.cluster_resources().get("CPU", 8)), 16)
+        return raw_dedup_sketch(
+            hashed.materialize(),
+            make_exact_dedup_sketch_bucket(cfg), P).materialize()
     return (
         hashed.groupby("bucket")
         .map_groups(_named(make_exact_dedup_sketch_bucket(cfg),

@@ -126,7 +126,14 @@ def _slice_sorted_rh(rh_sorted: np.ndarray, log2s: int) -> list[np.ndarray]:
 
 
 def _ranges_to_indices(lo: np.ndarray, cnt: np.ndarray) -> np.ndarray:
-    """Vectorized [lo_i, lo_i + cnt_i) range expansion -> flat index array."""
+    """Vectorized [lo_i, lo_i + cnt_i) range expansion -> flat index array.
+    Zero-count ranges are dropped up front: the cumsum trick writes one
+    seed per range START, and an empty range has no start slot — two
+    ranges sharing a start offset would clobber each other (caught by the
+    hypothesis property test)."""
+    nz = cnt > 0
+    if not nz.all():
+        lo, cnt = lo[nz], cnt[nz]
     total = int(cnt.sum())
     if total == 0:
         return np.empty(0, dtype=np.int64)

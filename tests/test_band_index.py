@@ -237,3 +237,60 @@ def test_index_save_load_round_trip(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match="different DedupConfig"):
         BandIndex.load(out, DedupConfig(threshold=0.05))
+
+
+def test_slicer_and_counter_properties():
+    """Hypothesis: for ANY key sets, the shard slicers partition exactly
+    and _ranges_to_indices expands exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        keys=st.lists(st.integers(min_value=0, max_value=2**32 - 1),
+                      max_size=200),
+        log2s=st.integers(min_value=1, max_value=6),
+    )
+    def check_u32(keys, log2s):
+        arr = np.unique(np.array(keys, dtype=np.uint32))
+        slices = _slice_sorted_u32(arr, log2s)
+        assert len(slices) == 1 << log2s
+        np.testing.assert_array_equal(
+            np.concatenate(slices) if slices else arr, arr)
+        for s, sl in enumerate(slices):
+            if len(sl):
+                assert ((sl.astype(np.uint64)
+                         >> np.uint64(32 - log2s)) == s).all()
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        keys=st.lists(st.integers(min_value=-2**63, max_value=2**63 - 1),
+                      max_size=200),
+        log2s=st.integers(min_value=1, max_value=6),
+    )
+    def check_rh(keys, log2s):
+        arr = np.unique(np.array(keys, dtype=np.int64))
+        slices = _slice_sorted_rh(arr, log2s)
+        assert sum(len(s) for s in slices) == len(arr)
+        for s, sl in enumerate(slices):
+            if len(sl):
+                assert ((sl.view(np.uint64)
+                         >> np.uint64(64 - log2s)) == s).all()
+                assert (np.diff(sl) >= 0).all()
+
+    @settings(max_examples=50, deadline=None)
+    @given(spans=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=1000),
+                  st.integers(min_value=0, max_value=20)), max_size=30))
+    def check_ranges(spans):
+        lo = np.array([s[0] for s in spans], dtype=np.int64)
+        cnt = np.array([s[1] for s in spans], dtype=np.int64)
+        got = _ranges_to_indices(lo, cnt)
+        want = np.concatenate(
+            [np.arange(l, l + c) for l, c in spans]) if spans else \
+            np.empty(0, np.int64)
+        np.testing.assert_array_equal(got, want)
+
+    check_u32()
+    check_rh()
+    check_ranges()

@@ -134,3 +134,37 @@ def test_lag_property(ray_session, ev):
            ORDER BY event_id""",
     ).df()
     pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+@st.composite
+def typed_event_frames(draw):
+    base = draw(event_frames())
+    types = draw(st.lists(st.sampled_from(["a", "b", "c"]),
+                          min_size=len(base), max_size=len(base)))
+    base["event_type"] = types
+    return base
+
+
+@given(ev=typed_event_frames(), win=st.integers(min_value=1, max_value=45))
+@_slow
+def test_rolling_dup_property(ray_session, ev, win):
+    """rolling_dup_events == DuckDB COUNT over the (user, type) RANGE
+    frame, for any stream / window combination."""
+    from distill_ray.stages.temporal import rolling_dup_events
+
+    got = (
+        rolling_dup_events(rd.from_pandas(ev), window_s=float(win),
+                           n_buckets=4)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    ref = duckdb.query_df(
+        ev, "events",
+        f"""SELECT event_id, count(*) OVER w AS win_cnt,
+                   count(*) OVER w >= 2 AS is_window_dup
+            FROM events WINDOW w AS (
+              PARTITION BY user_id, event_type ORDER BY ts
+              RANGE BETWEEN INTERVAL {win} SECONDS PRECEDING
+                AND CURRENT ROW)
+            ORDER BY event_id""",
+    ).df()
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)

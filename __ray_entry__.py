@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "verbatim_spans": qo.q_verbatim_spans,
         "cluster_transcripts": qo.q_cluster_transcripts,
         "incremental_dedup_docs": qo.q_incremental_dedup_docs,
+        "incremental_dedup_indexed_docs": qo.q_incremental_dedup_indexed_docs,
         "summarize_transcripts": qo.q_summarize_transcripts,
         "session_budget": qo.q_session_budget,
         "pipeline_chain": qo.q_pipeline_chain,

@@ -1439,6 +1439,45 @@ def q_incremental_dedup_docs(sf_dir: str) -> pd.DataFrame:
     return out[["rid", "cluster_id", "is_new_cluster", "is_representative"]]
 
 
+def q_incremental_dedup_indexed_docs(sf_dir: str) -> pd.DataFrame:
+    """The SAME append as q_incremental_dedup_docs through the resident
+    band index (state/band_index.py) — the state-size-independent path.
+    SELF-VERIFYING: asserts byte-identical assignments to the state-scan
+    path before returning (the parity the md5 probes pin at 2M/20M
+    state). Rows-only by contract (iterative two-phase pipeline)."""
+    import tempfile
+
+    from distill_ray.pipelines.dedup import run_dedup
+    from distill_ray.pipelines.incremental import (
+        run_dedup_incremental, run_dedup_incremental_indexed,
+        save_dedup_state)
+    from distill_ray.state.band_index import BandIndex
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+
+    def frame(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"conv_id": "d" + df["doc_id"].astype(str),
+             "turn_idx": np.zeros(len(df), dtype=np.int32),
+             "text": df["text"]}
+        )
+
+    old = frame(docs[docs["doc_id"] % 2 == 0])
+    new = frame(docs[docs["doc_id"] % 2 == 1])
+    res = run_dedup(rd.from_pandas(old))
+    cols = ["rid", "cluster_id", "is_new_cluster", "is_representative"]
+    with tempfile.TemporaryDirectory(prefix="inc_state_") as state_dir:
+        save_dedup_state(res.signatures, res.assignments, state_dir)
+        index = BandIndex.from_state(state_dir)
+        inc = run_dedup_incremental_indexed(rd.from_pandas(new), index)
+        scan = run_dedup_incremental(rd.from_pandas(new), state_dir)
+    out = inc.assignments.sort_values("rid").reset_index(drop=True)[cols]
+    ref = scan.assignments.sort_values("rid").reset_index(drop=True)[cols]
+    pd.testing.assert_frame_equal(out, ref)  # indexed == state-scan
+    return out
+
+
 def q_cluster_transcripts(sf_dir: str) -> pd.DataFrame:
     """The flagship near-dup pipeline over derived multi-turn transcripts
     (the entry() pipeline, parameterized by sf_dir); rows-only."""

@@ -31,7 +31,8 @@ import sys
 def main(argv=None):
     p = argparse.ArgumentParser(prog="distill_ray")
     p.add_argument("verb", choices=["dedup", "spans", "summarize", "pipeline",
-                                    "incremental", "serve", "status"])
+                                    "incremental", "serve", "status", "api",
+                                    "mcp"])
     p.add_argument("--input", default="", help="input transcripts parquet")
     p.add_argument("--output", default="", help="output directory")
     p.add_argument("--job-dir", default="",
@@ -55,7 +56,38 @@ def main(argv=None):
                         "--traceparent is given")
     p.add_argument("--traceparent", default="",
                    help="W3C traceparent header to continue a trace from")
+    p.add_argument("--host", default="127.0.0.1", help="api: bind host")
+    p.add_argument("--port", type=int, default=8080, help="api: bind port")
+    p.add_argument("--api-key", action="append", default=[],
+                   help="api: accepted Bearer token (repeatable; none = "
+                        "no auth, like the reference without keys)")
     args = p.parse_args(argv)
+
+    if args.verb == "mcp":
+        # MCP stdio server (cmd/mcp.go analog) — newline-delimited
+        # JSON-RPC on stdin/stdout, no Ray, no network. --state-dir
+        # doubles as the vector-store dir enabling retrieve_deduplicated.
+        from distill_ray.mcp import MCPStdioServer
+
+        MCPStdioServer(store_dir=args.state_dir or None).run()
+        return
+
+    if args.verb == "api":
+        # live loopback HTTP server (cmd/api.go analog) — no Ray session:
+        # the per-request kernel chain is pure numpy at request scale
+        from distill_ray.api import DistillAPI
+
+        api = DistillAPI(api_keys=set(args.api_key),
+                         trace_path=args.trace_out)
+        srv = api.make_server(args.host, args.port)
+        host, port = srv.server_address[:2]
+        print(json.dumps({"verb": "api", "listening": f"{host}:{port}"}),
+              flush=True)
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            srv.shutdown()
+        return
 
     if args.verb == "status":
         # pure manifest read — no Ray session

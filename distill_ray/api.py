@@ -1,0 +1,234 @@
+"""Live HTTP API — the reference's service surface on loopback
+(`/root/reference/cmd/api.go:231-330,425-587,590-795`), stdlib-only.
+
+Endpoints (exact reference routes and wire shapes):
+  POST /v1/dedupe         — DedupeRequest JSON in, {"chunks","stats"} out
+                            (api.go:70-128); per-request kernel chain via
+                            pipelines.serve.process_chunks
+  POST /v1/dedupe/stream  — Server-Sent Events: `progress` events at the
+                            real stage boundaries (embedding/clustering/
+                            selection/mmr — sse.go:16-20,69-121) then one
+                            `complete` event with chunks+stats; `error`
+                            events on failure
+  GET  /health            — {"status": "ok"} (api.go:797-800)
+  GET  /metrics           — Prometheus text exposition of the A7 registry
+                            (api.go:278-280; per-request RecordRequest +
+                            RecordDedup fold, api.go:288-296)
+  GET  /                  — route map (api.go handleRoot)
+
+Auth: optional Bearer keys on the /v1/dedupe routes (api.go:430-445 —
+missing or invalid Authorization -> 401). Tracing: every dedupe request
+opens a `distill.request` span, continuing an inbound W3C `traceparent`
+header (state/tracing.py); the span tree mirrors the reference's
+StartRequest/StartClustering helpers.
+
+Options parity: `options.preserve_cache_prefix` gates the M19 prefix
+freeze exactly as api.go:461-467 — when false, cache_control markers are
+ignored (stripped before the kernel chain, which otherwise always
+honors them, matching the file-shaped serve verb's batch semantics).
+
+Deployment note: requests are reference-regime sized (N=20-50 chunks,
+FAQ.md:161) and the kernel chain is pure numpy — the server needs no Ray
+session, so `python -m distill_ray api` starts in milliseconds and a
+fleet of these processes scales horizontally behind any TCP balancer;
+the 100-TB batch surface stays with the Dataset pipelines.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from distill_ray.state.metrics import MetricsRegistry
+from distill_ray.state.tracing import Config as TraceConfig, Provider
+
+_STAGES = ("embedding", "clustering", "selection", "compress", "mmr")
+
+
+def _strip_markers(chunks: list) -> list:
+    out = []
+    for c in chunks:
+        if isinstance(c, dict) and c.get("cache_control"):
+            c = {k: v for k, v in c.items() if k != "cache_control"}
+        out.append(c)
+    return out
+
+
+class DistillAPI:
+    """Server state + handler factory. `make_server(port=0)` binds an
+    ephemeral port (inspect `.server_address`); `serve_in_thread()` is
+    the test/dev convenience."""
+
+    def __init__(self, api_keys: set[str] | None = None,
+                 trace_path: str = ""):
+        self.api_keys = set(api_keys or ())
+        self.metrics = MetricsRegistry()
+        self.tracer = Provider(TraceConfig(
+            enabled=bool(trace_path), exporter="jsonl", path=trace_path))
+
+    # -- request plumbing ----------------------------------------------------
+
+    def _authorized(self, handler) -> bool:
+        if not self.api_keys:
+            return True
+        auth = handler.headers.get("Authorization", "")
+        token = auth[7:] if auth.startswith("Bearer ") else ""
+        return bool(auth) and token in self.api_keys
+
+    def _parse_request(self, handler):
+        n = int(handler.headers.get("Content-Length", 0) or 0)
+        body = handler.rfile.read(n) if n else b""
+        req = json.loads(body.decode("utf-8"))
+        chunks = req.get("chunks") or []
+        if not isinstance(chunks, list) or not chunks:
+            raise ValueError("At least one chunk is required")
+        opts = req.get("options") or {}
+        if not opts.get("preserve_cache_prefix"):
+            chunks = _strip_markers(chunks)
+        return {
+            "chunks": chunks,
+            "threshold": float(req.get("threshold") or 0.15),
+            "lam": float(req.get("lambda") or 0.5),
+            "target_k": int(req.get("target_k") or 0),
+        }
+
+    def _run(self, parsed: dict, progress=None) -> dict:
+        from distill_ray.pipelines.serve import process_chunks
+
+        return process_chunks(
+            parsed["chunks"], threshold=parsed["threshold"],
+            target_k=parsed["target_k"], lam=parsed["lam"],
+            progress=progress)
+
+    # -- server --------------------------------------------------------------
+
+    def make_server(self, host: str = "127.0.0.1",
+                    port: int = 0) -> ThreadingHTTPServer:
+        api = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet
+                pass
+
+            def _json(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _text(self, code: int, text: str,
+                      ctype: str = "text/plain") -> None:
+                body = text.encode()
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/health":
+                    self._json(200, {"status": "ok"})
+                elif self.path == "/metrics":
+                    self._text(200, api.metrics.prometheus_text())
+                elif self.path == "/":
+                    self._json(200, {
+                        "service": "distill-ray",
+                        "endpoints": {
+                            "dedupe": "POST /v1/dedupe",
+                            "dedupe_stream": "POST /v1/dedupe/stream",
+                            "health": "GET /health",
+                            "metrics": "GET /metrics",
+                        },
+                    })
+                else:
+                    self._json(404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path not in ("/v1/dedupe", "/v1/dedupe/stream"):
+                    self._json(404, {"error": "not found"})
+                    return
+                if not api._authorized(self):
+                    self._json(401, {"error": "Authorization required"})
+                    api.metrics.record_request(self.path, 401, 0.0)
+                    return
+                span = api.tracer.start_request(
+                    self.path,
+                    traceparent=self.headers.get("traceparent"))
+                try:
+                    parsed = api._parse_request(self)
+                except (ValueError, KeyError, TypeError,
+                        json.JSONDecodeError) as exc:
+                    span.record_error(exc)
+                    span.end()
+                    self._json(400, {"error": str(exc)})
+                    api.metrics.record_request(self.path, 400, 0.0)
+                    return
+                if self.path == "/v1/dedupe":
+                    self._dedupe(parsed, span)
+                else:
+                    self._dedupe_stream(parsed, span)
+                span.end()
+
+            def _record(self, resp: dict) -> None:
+                s = resp["stats"]
+                api.metrics.record_request(self.path, 200,
+                                           s["latency_ms"] / 1000.0)
+                api.metrics.record_dedup(self.path, s["input_count"],
+                                         s["output_count"],
+                                         s["cluster_count"])
+
+            def _dedupe(self, parsed: dict, span) -> None:
+                resp = api._run(parsed)
+                s = resp["stats"]
+                span.record_result(s["input_count"], s["output_count"],
+                                   s["cluster_count"],
+                                   int(s["latency_ms"]))
+                self._record(resp)
+                self._json(200, resp)
+
+            def _dedupe_stream(self, parsed: dict, span) -> None:
+                # SSE wire format per sse.go sendEvent:
+                #   event: <type>\ndata: <json>\n\n
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.send_header("Connection", "close")
+                self.end_headers()
+
+                def send(event: str, data: dict) -> None:
+                    self.wfile.write(
+                        f"event: {event}\ndata: {json.dumps(data)}\n\n"
+                        .encode())
+                    self.wfile.flush()
+
+                try:
+                    resp = api._run(
+                        parsed,
+                        progress=lambda stage, frac: send(
+                            "progress",
+                            {"stage": stage, "progress": frac}))
+                except Exception as exc:  # mirrors SendError
+                    span.record_error(exc)
+                    send("error", {"error": str(exc),
+                                   "stage": "clustering"})
+                    return
+                s = resp["stats"]
+                span.record_result(s["input_count"], s["output_count"],
+                                   s["cluster_count"],
+                                   int(s["latency_ms"]))
+                self._record(resp)
+                send("complete", {"chunks": resp["chunks"],
+                                  "stats": resp["stats"]})
+
+        return ThreadingHTTPServer((host, port), Handler)
+
+    def serve_in_thread(self, host: str = "127.0.0.1", port: int = 0):
+        """(server, thread) with the server already accepting — caller
+        shuts down with server.shutdown(); used by tests and the CLI."""
+        srv = self.make_server(host, port)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        return srv, t

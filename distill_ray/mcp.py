@@ -1,0 +1,294 @@
+"""MCP (Model Context Protocol) stdio server — the cmd/mcp.go analog.
+
+JSON-RPC 2.0 over newline-delimited stdio (the MCP stdio transport; the
+reference uses mark3labs/mcp-go's stdio server, cmd/mcp.go:100-150).
+Implements the protocol surface a client needs — `initialize`,
+`notifications/initialized`, `tools/list`, `tools/call` — and the
+reference's core tools with its argument names and result shapes:
+
+  deduplicate_chunks   (cmd/mcp.go:309-337): chunks -> process_chunks
+                       (threshold 0.15, target_k 8, lambda 0.5 defaults
+                       per the tool schema) -> {"chunks","stats"}
+  analyze_redundancy   (cmd/mcp.go:373-387, handler :803-905): cluster
+                       WITHOUT selecting; per-cluster details
+                       (member_ids, member_texts truncated at 100 chars,
+                       is_redundant = size > 1), summary
+                       (total/cluster_count/redundant_chunks/
+                       redundancy_pct/unique_concepts/threshold_used)
+                       and the recommendation string
+  retrieve_deduplicated(cmd/mcp.go:341-369; registered only when a
+                       vector store is configured): embed the query
+                       (deterministic embedder standing in for the
+                       provider), over-fetch top `over_fetch_k` from the
+                       LocalVectorStore, dedup to `target_k`
+
+The reference's memory/session MCP tools are opt-in wrappers over the
+same stores its HTTP API exposes; here the batch analogs live in
+kernels/memory.py, kernels/session.py and state/manifest.py, exercised
+by their own queries — the MCP surface carries the always-on tools.
+
+Tool errors return MCP tool-result errors (isError=true text content),
+not protocol errors, matching mcp.NewToolResultError usage.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+_PROTOCOL_VERSION = "2024-11-05"
+
+
+def _tool_result(payload: dict) -> dict:
+    return {"content": [{"type": "text",
+                         "text": json.dumps(payload, sort_keys=True)}]}
+
+
+def _tool_error(msg: str) -> dict:
+    return {"content": [{"type": "text", "text": msg}], "isError": True}
+
+
+class MCPStdioServer:
+    def __init__(self, store_dir: str | None = None, embed_dim: int = 64):
+        self.store_dir = store_dir
+        self.embed_dim = embed_dim
+
+    # -- tools ---------------------------------------------------------------
+
+    def tools(self) -> list[dict]:
+        chunks_schema = {
+            "type": "array",
+            "description": ("Array of chunk objects. Each chunk must have "
+                            "'text' (string); optional 'embedding' (array "
+                            "of floats — generated deterministically when "
+                            "absent), 'id', 'score', 'metadata'."),
+        }
+        out = [
+            {
+                "name": "deduplicate_chunks",
+                "description": (
+                    "Remove redundant information from RAG chunks before "
+                    "sending to LLM. 30-40% of RAG context is typically "
+                    "redundant; returns deduplicated chunks with "
+                    "diversity optimization."),
+                "inputSchema": {
+                    "type": "object",
+                    "properties": {
+                        "chunks": chunks_schema,
+                        "target_k": {"type": "number",
+                                     "description": "default 8"},
+                        "threshold": {"type": "number",
+                                      "description": "default 0.15"},
+                        "lambda": {"type": "number",
+                                   "description": "default 0.5"},
+                    },
+                    "required": ["chunks"],
+                },
+            },
+            {
+                "name": "analyze_redundancy",
+                "description": (
+                    "Analyze chunk redundancy WITHOUT removing anything: "
+                    "cluster details, redundancy percentage and a "
+                    "recommendation."),
+                "inputSchema": {
+                    "type": "object",
+                    "properties": {
+                        "chunks": chunks_schema,
+                        "threshold": {"type": "number",
+                                      "description": "default 0.15"},
+                    },
+                    "required": ["chunks"],
+                },
+            },
+        ]
+        if self.store_dir:
+            out.append({
+                "name": "retrieve_deduplicated",
+                "description": (
+                    "Query the vector store with automatic deduplication: "
+                    "over-fetches, clusters, selects representatives, "
+                    "applies MMR."),
+                "inputSchema": {
+                    "type": "object",
+                    "properties": {
+                        "query": {"type": "string"},
+                        "namespace": {"type": "string"},
+                        "target_k": {"type": "number",
+                                     "description": "default 8"},
+                        "over_fetch_k": {"type": "number",
+                                         "description": "default 50"},
+                    },
+                    "required": ["query"],
+                },
+            })
+        return out
+
+    def _call(self, name: str, args: dict) -> dict:
+        if name == "deduplicate_chunks":
+            return self._deduplicate(args)
+        if name == "analyze_redundancy":
+            return self._analyze(args)
+        if name == "retrieve_deduplicated" and self.store_dir:
+            return self._retrieve(args)
+        return _tool_error(f"unknown tool: {name}")
+
+    def _deduplicate(self, args: dict) -> dict:
+        from distill_ray.pipelines.serve import process_chunks
+
+        chunks = args.get("chunks")
+        if not chunks:
+            return _tool_error("chunks parameter is required")
+        resp = process_chunks(
+            chunks,
+            threshold=float(args.get("threshold") or 0.15),
+            target_k=int(args.get("target_k") or 8),
+            lam=float(args.get("lambda") or 0.5),
+            embed_dim=self.embed_dim,
+        )
+        return _tool_result(resp)
+
+    def _analyze(self, args: dict) -> dict:
+        import numpy as np
+        import pandas as pd
+
+        from distill_ray.kernels.embed import embed_texts
+        from distill_ray.oracle.cluster import agglomerative_cluster
+
+        chunks = args.get("chunks")
+        if not chunks:
+            return _tool_error("chunks parameter is required")
+        threshold = float(args.get("threshold") or 0.15)
+        ids = [str(c.get("id") or f"chunk_{i}")
+               for i, c in enumerate(chunks)]
+        texts = [str(c.get("text", "")) for c in chunks]
+        embs = []
+        need = [i for i, c in enumerate(chunks) if not c.get("embedding")]
+        mat = (embed_texts(pd.Series([texts[i] for i in need]),
+                           dim=self.embed_dim) if need else None)
+        row = 0
+        for i, c in enumerate(chunks):
+            if c.get("embedding"):
+                embs.append(np.asarray(c["embedding"], dtype=np.float32))
+            else:
+                embs.append(mat[row])
+                row += 1
+        res = agglomerative_cluster(embs, threshold=threshold)
+
+        details = []
+        redundant = 0
+        for cid, members in enumerate(res.members):
+            if len(members) > 1:
+                redundant += len(members) - 1
+            details.append({
+                "cluster_id": cid,
+                "size": len(members),
+                "member_ids": [ids[m] for m in members],
+                "member_texts": [
+                    t if len(t) <= 100 else t[:100] + "..."
+                    for t in (texts[m] for m in members)
+                ],
+                "is_redundant": len(members) > 1,
+            })
+        n = len(chunks)
+        n_clusters = len(res.members)
+        return _tool_result({
+            "summary": {
+                "total_chunks": n,
+                "cluster_count": n_clusters,
+                "redundant_chunks": redundant,
+                "redundancy_pct": 100.0 * redundant / n,
+                "unique_concepts": n_clusters,
+                "threshold_used": threshold,
+            },
+            "clusters": details,
+            "recommendation": (
+                f"Found {n_clusters} clusters from {n} chunks. "
+                f"{100.0 * redundant / n:.1f}% redundancy detected. "
+                "Consider using deduplicate_chunks to reduce to "
+                f"{n_clusters} unique chunks."),
+        })
+
+    def _retrieve(self, args: dict) -> dict:
+        import pandas as pd
+
+        from distill_ray.kernels.embed import embed_texts
+        from distill_ray.pipelines.serve import process_chunks
+        from distill_ray.sources.vector_store import LocalVectorStore
+
+        query = args.get("query")
+        if not query:
+            return _tool_error("query parameter is required")
+        target_k = int(args.get("target_k") or 8)
+        over_fetch_k = int(args.get("over_fetch_k") or 50)
+        store = LocalVectorStore(self.store_dir)
+        qv = embed_texts(pd.Series([str(query)]), dim=self.embed_dim)[0]
+        hits = store.query(qv, top_k=over_fetch_k,
+                           namespace=args.get("namespace") or None)
+        chunks = [
+            {"id": str(r["id"]), "text": str(r.get("text", "")),
+             "score": float(r["score"])}
+            for r in hits.to_dict("records")
+        ]
+        if not chunks:
+            return _tool_result({"chunks": [], "stats": {
+                "input_count": 0, "output_count": 0, "cluster_count": 0}})
+        resp = process_chunks(chunks, target_k=target_k,
+                              embed_dim=self.embed_dim)
+        return _tool_result(resp)
+
+    # -- JSON-RPC ------------------------------------------------------------
+
+    def handle(self, msg: dict) -> dict | None:
+        """One JSON-RPC message -> response dict (None for notifications)."""
+        method = msg.get("method", "")
+        mid = msg.get("id")
+        if method.startswith("notifications/"):
+            return None
+
+        def ok(result) -> dict:
+            return {"jsonrpc": "2.0", "id": mid, "result": result}
+
+        def err(code: int, message: str) -> dict:
+            return {"jsonrpc": "2.0", "id": mid,
+                    "error": {"code": code, "message": message}}
+
+        if method == "initialize":
+            return ok({
+                "protocolVersion": _PROTOCOL_VERSION,
+                "serverInfo": {"name": "distill-ray", "version": "1.0.0"},
+                "capabilities": {"tools": {}},
+            })
+        if method == "tools/list":
+            return ok({"tools": self.tools()})
+        if method == "tools/call":
+            params = msg.get("params") or {}
+            try:
+                return ok(self._call(params.get("name", ""),
+                                     params.get("arguments") or {}))
+            except Exception as exc:  # tool failure -> tool error result
+                return ok(_tool_error(str(exc)))
+        if method == "ping":
+            return ok({})
+        return err(-32601, f"method not found: {method}")
+
+    def run(self, stdin=None, stdout=None) -> None:
+        """Newline-delimited JSON-RPC loop (the MCP stdio transport)."""
+        stdin = stdin or sys.stdin
+        stdout = stdout or sys.stdout
+        for line in stdin:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                msg = json.loads(line)
+            except json.JSONDecodeError:
+                resp = {"jsonrpc": "2.0", "id": None,
+                        "error": {"code": -32700, "message": "parse error"}}
+                stdout.write(json.dumps(resp) + "\n")
+                stdout.flush()
+                continue
+            resp = self.handle(msg)
+            if resp is not None:
+                stdout.write(json.dumps(resp) + "\n")
+                stdout.flush()

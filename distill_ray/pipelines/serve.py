@@ -40,6 +40,7 @@ def process_chunks(
     lam: float = 0.5,
     select_strategy: str = "score",
     embed_dim: int = 64,
+    progress=None,
 ) -> dict:
     """ProcessChunks semantics (broker.go:262-301 + the /v1/dedupe handler
     path): cluster -> select representatives -> MMR if target_k exceeded.
@@ -48,6 +49,10 @@ def process_chunks(
     "score": float?, "metadata": {...}?, "cache_control": bool?}.
     Returns {"chunks": [...], "stats": {...}} with reference-shaped stats
     (reduction_pct, cluster_count, prefix_hash — api.go:558-576).
+
+    `progress(stage, fraction)` is called at real stage boundaries
+    (embedding/clustering/selection/mmr, matching the reference's SSE
+    stage enum, sse.go:16-20) — the /v1/dedupe/stream handler's hook.
     """
     from distill_ray.kernels.cache import partition_for_cache_aware_dedup
     from distill_ray.kernels.embed import embed_texts
@@ -73,21 +78,30 @@ def process_chunks(
     sub = [chunks[i] for i in suffix_idx]
     sub_texts = [texts[i] for i in suffix_idx]
 
+    def _mark(stage, frac):
+        if progress is not None:
+            progress(stage, frac)
+
     # embed missing embeddings once per request (api.go:469-494; the
     # deterministic embedder stands in for the provider EmbedBatch)
     need = [i for i, c in enumerate(sub) if not c.get("embedding")]
     if need:
+        _mark("embedding", 0.0)
         mat = embed_texts(pd.Series([sub_texts[i] for i in need]),
                           dim=embed_dim)
         for row, i in enumerate(need):
             sub[i] = dict(sub[i])
             sub[i]["embedding"] = mat[row].tolist()
+        _mark("embedding", 1.0)
 
     embs = [np.asarray(c.get("embedding", []), dtype=np.float32)
             for c in sub]
     scores = [float(c.get("score", 0.0)) for c in sub]
 
+    _mark("clustering", 0.0)
     res = agglomerative_cluster(embs, threshold=threshold)
+    _mark("clustering", 1.0)
+    _mark("selection", 0.0)
     rep_rows: list[int] = []
     for cid, members in enumerate(res.members):
         rep = select_representative(
@@ -95,11 +109,14 @@ def process_chunks(
             strategy=select_strategy)
         rep_rows.append(rep)
 
+    _mark("selection", 1.0)
     if target_k > 0 and len(rep_rows) > target_k:
+        _mark("mmr", 0.0)
         order = mmr_rerank([scores[r] for r in rep_rows],
                            [embs[r] for r in rep_rows],
                            lam=lam, target_k=target_k)
         rep_rows = [rep_rows[i] for i in order]
+        _mark("mmr", 1.0)
 
     out_chunks = [
         {**{k: v for k, v in chunks[i].items()}, "cluster_id": -1}

@@ -1,0 +1,197 @@
+"""Live HTTP API (distill_ray/api.py) — the cmd/api.go analog on
+loopback: /v1/dedupe request/response parity with process_chunks, SSE
+stage events on /v1/dedupe/stream, health, Prometheus metrics, Bearer
+auth, preserve_cache_prefix gating, traceparent continuation. No Ray —
+the per-request chain is pure numpy."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from distill_ray.api import DistillAPI
+
+
+def _post(url: str, payload: dict, headers: dict | None = None):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json", **(headers or {})},
+        method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return r.status, r.read()
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.status, r.read()
+
+
+CHUNKS = [
+    {"id": "a", "text": "alpha beta gamma delta", "score": 0.9},
+    {"id": "b", "text": "alpha beta gamma delta", "score": 0.5},  # dup of a
+    {"id": "c", "text": "totally different content here", "score": 0.7},
+]
+
+
+@pytest.fixture()
+def server():
+    api = DistillAPI()
+    srv, _ = api.serve_in_thread()
+    host, port = srv.server_address[:2]
+    yield api, f"http://{host}:{port}"
+    srv.shutdown()
+
+
+def test_dedupe_endpoint_matches_kernel(server):
+    from distill_ray.pipelines.serve import process_chunks
+
+    api, base = server
+    status, body = _post(f"{base}/v1/dedupe", {"chunks": CHUNKS})
+    assert status == 200
+    resp = json.loads(body)
+    want = process_chunks(CHUNKS)
+    assert [c["id"] for c in resp["chunks"]] == [
+        c["id"] for c in want["chunks"]]
+    for k in ("input_count", "output_count", "cluster_count",
+              "reduction_pct"):
+        assert resp["stats"][k] == want["stats"][k]
+    assert resp["stats"]["input_count"] == 3
+    assert resp["stats"]["output_count"] == 2  # the exact dup collapsed
+
+    # per-request metrics folded like the reference middleware
+    text = api.metrics.prometheus_text()
+    assert "distill_requests_total" in text
+    status, body = _get(f"{base}/metrics")
+    assert status == 200 and b"distill_requests_total" in body
+
+
+def test_stream_endpoint_emits_stage_events(server):
+    _, base = server
+    status, body = _post(f"{base}/v1/dedupe/stream", {"chunks": CHUNKS})
+    assert status == 200
+    events = []
+    for block in body.decode().strip().split("\n\n"):
+        lines = dict(l.split(": ", 1) for l in block.splitlines())
+        events.append((lines["event"], json.loads(lines["data"])))
+    names = [e[0] for e in events]
+    assert names[-1] == "complete"
+    prog = [e[1]["stage"] for e in events if e[0] == "progress"]
+    # embedding + clustering + selection boundaries, in reference order
+    assert prog[:2] == ["embedding", "embedding"]
+    assert "clustering" in prog and "selection" in prog
+    final = events[-1][1]
+    assert final["stats"]["output_count"] == 2
+    assert [c["id"] for c in final["chunks"]] == ["a", "c"]
+
+
+def test_bad_requests_and_health(server):
+    _, base = server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{base}/v1/dedupe", {"chunks": []})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{base}/nope", {"chunks": CHUNKS})
+    assert e.value.code == 404
+    status, body = _get(f"{base}/health")
+    assert status == 200 and json.loads(body) == {"status": "ok"}
+    status, body = _get(f"{base}/")
+    assert "dedupe" in json.loads(body)["endpoints"]
+
+
+def test_bearer_auth():
+    api = DistillAPI(api_keys={"sk-test-123"})
+    srv, _ = api.serve_in_thread()
+    host, port = srv.server_address[:2]
+    base = f"http://{host}:{port}"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(f"{base}/v1/dedupe", {"chunks": CHUNKS})
+        assert e.value.code == 401
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(f"{base}/v1/dedupe", {"chunks": CHUNKS},
+                  {"Authorization": "Bearer wrong"})
+        assert e.value.code == 401
+        status, _ = _post(f"{base}/v1/dedupe", {"chunks": CHUNKS},
+                          {"Authorization": "Bearer sk-test-123"})
+        assert status == 200
+        # health stays open (reference keeps /health unauthenticated)
+        assert _get(f"{base}/health")[0] == 200
+    finally:
+        srv.shutdown()
+
+
+def test_preserve_cache_prefix_option(server):
+    """api.go:461-467: markers only freeze the prefix when the option is
+    set; without it they are ignored and dups collapse normally."""
+    _, base = server
+    chunks = [
+        {"id": "p1", "text": "system prompt", "cache_control": "ephemeral"},
+        {"id": "x", "text": "alpha beta gamma delta"},
+        {"id": "y", "text": "alpha beta gamma delta"},
+    ]
+    _, body = _post(f"{base}/v1/dedupe",
+                    {"chunks": chunks,
+                     "options": {"preserve_cache_prefix": True}})
+    frozen = json.loads(body)
+    assert frozen["chunks"][0]["id"] == "p1"
+    assert frozen["chunks"][0]["cluster_id"] == -1  # frozen, not deduped
+    assert frozen["stats"]["prefix_hash"] != ""
+    _, body = _post(f"{base}/v1/dedupe", {"chunks": chunks})
+    plain = json.loads(body)
+    assert all(c["cluster_id"] != -1 for c in plain["chunks"])
+
+
+def test_traceparent_continues_trace(tmp_path):
+    trace = str(tmp_path / "spans.jsonl")
+    api = DistillAPI(trace_path=trace)
+    srv, _ = api.serve_in_thread()
+    host, port = srv.server_address[:2]
+    try:
+        _post(f"http://{host}:{port}/v1/dedupe", {"chunks": CHUNKS},
+              {"traceparent": f"00-{'ab' * 16}-{'cd' * 8}-01"})
+    finally:
+        srv.shutdown()
+    api.tracer.shutdown()
+    recs = [json.loads(l) for l in open(trace)]
+    assert recs[0]["name"] == "distill.request"
+    assert recs[0]["trace_id"] == "ab" * 16
+    assert recs[0]["parent_span_id"] == "cd" * 8
+    assert recs[0]["attributes"]["distill.result.output_count"] == 2
+
+
+def test_cli_api_verb_binds_and_serves(tmp_path):
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "distill_ray", "api",
+         "--port", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd="/root/repo")
+    try:
+        line = proc.stdout.readline()
+        assert json.loads(line)["listening"].endswith(str(port))
+        deadline = time.time() + 20
+        while True:
+            try:
+                status, body = _post(
+                    f"http://127.0.0.1:{port}/v1/dedupe",
+                    {"chunks": CHUNKS})
+                break
+            except (urllib.error.URLError, ConnectionError):
+                if time.time() > deadline:
+                    raise
+                time.sleep(0.2)
+        assert status == 200
+        assert json.loads(body)["stats"]["output_count"] == 2
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)

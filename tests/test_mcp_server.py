@@ -1,0 +1,158 @@
+"""MCP stdio server (distill_ray/mcp.py) — the cmd/mcp.go analog:
+initialize/tools-list/tools-call protocol flow, the three reference
+tools with their result shapes, tool-level errors, and a subprocess
+stdio round trip. No Ray, no network."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+
+from distill_ray.mcp import MCPStdioServer
+
+CHUNKS = [
+    {"id": "a", "text": "alpha beta gamma delta", "score": 0.9},
+    {"id": "b", "text": "alpha beta gamma delta", "score": 0.5},
+    {"id": "c", "text": "totally different content here", "score": 0.7},
+]
+
+
+def _call(srv, method, params=None, mid=1):
+    return srv.handle({"jsonrpc": "2.0", "id": mid, "method": method,
+                       "params": params or {}})
+
+
+def _tool_payload(resp):
+    assert "error" not in resp, resp
+    result = resp["result"]
+    assert not result.get("isError"), result
+    return json.loads(result["content"][0]["text"])
+
+
+def test_protocol_flow_and_tool_list():
+    srv = MCPStdioServer()
+    init = _call(srv, "initialize")
+    assert init["result"]["serverInfo"]["name"] == "distill-ray"
+    assert "tools" in init["result"]["capabilities"]
+    assert srv.handle({"jsonrpc": "2.0",
+                       "method": "notifications/initialized"}) is None
+    tools = _call(srv, "tools/list")["result"]["tools"]
+    names = {t["name"] for t in tools}
+    # retrieve_deduplicated requires a store (mcp.go registers it only
+    # with a broker configured)
+    assert names == {"deduplicate_chunks", "analyze_redundancy"}
+    assert all("inputSchema" in t for t in tools)
+    err = _call(srv, "no/such/method")
+    assert err["error"]["code"] == -32601
+
+
+def test_deduplicate_chunks_tool():
+    from distill_ray.pipelines.serve import process_chunks
+
+    srv = MCPStdioServer()
+    out = _tool_payload(_call(srv, "tools/call", {
+        "name": "deduplicate_chunks", "arguments": {"chunks": CHUNKS}}))
+    want = process_chunks(CHUNKS, target_k=8)  # tool default target_k=8
+    assert [c["id"] for c in out["chunks"]] == [
+        c["id"] for c in want["chunks"]]
+    assert out["stats"]["output_count"] == 2
+
+
+def test_analyze_redundancy_tool_shape():
+    srv = MCPStdioServer()
+    out = _tool_payload(_call(srv, "tools/call", {
+        "name": "analyze_redundancy",
+        "arguments": {"chunks": CHUNKS + [
+            {"id": "d", "text": "x" * 150}]}}))
+    s = out["summary"]
+    assert s["total_chunks"] == 4
+    assert s["cluster_count"] == 3 and s["unique_concepts"] == 3
+    assert s["redundant_chunks"] == 1
+    assert s["redundancy_pct"] == 25.0
+    assert s["threshold_used"] == 0.15
+    dup = [c for c in out["clusters"] if c["is_redundant"]]
+    assert len(dup) == 1 and set(dup[0]["member_ids"]) == {"a", "b"}
+    long = [t for c in out["clusters"] for t in c["member_texts"]
+            if t.endswith("...")]
+    assert long == ["x" * 100 + "..."]  # reference 100-char truncation
+    assert "deduplicate_chunks" in out["recommendation"]
+
+
+def test_tool_errors_are_tool_results():
+    srv = MCPStdioServer()
+    resp = _call(srv, "tools/call", {"name": "deduplicate_chunks",
+                                     "arguments": {}})
+    assert resp["result"]["isError"] is True
+    resp = _call(srv, "tools/call", {"name": "nope", "arguments": {}})
+    assert resp["result"]["isError"] is True
+
+
+def test_retrieve_deduplicated_over_vector_store(tmp_path):
+    from distill_ray.kernels.embed import embed_texts
+    from distill_ray.sources.vector_store import LocalVectorStore
+
+    texts = ["alpha beta gamma", "alpha beta gamma",  # dup pair
+             "delta epsilon zeta", "iota kappa lambda words"]
+    store = LocalVectorStore(str(tmp_path))
+    store.upsert_batch(
+        [f"v{i}" for i in range(len(texts))],
+        embed_texts(pd.Series(texts)),
+        metadata=[{"text": t} for t in texts])
+
+    srv = MCPStdioServer(store_dir=str(tmp_path))
+    tools = {t["name"] for t in
+             _call(srv, "tools/list")["result"]["tools"]}
+    assert "retrieve_deduplicated" in tools
+    out = _tool_payload(_call(srv, "tools/call", {
+        "name": "retrieve_deduplicated",
+        "arguments": {"query": "alpha beta gamma", "target_k": 3}}))
+    ids = [c["id"] for c in out["chunks"]]
+    # the dup pair collapses to one representative
+    assert len(set(ids) & {"v0", "v1"}) == 1
+    assert out["stats"]["input_count"] == 4
+    assert out["stats"]["output_count"] == 3
+
+
+def test_stdio_round_trip():
+    import io
+
+    srv = MCPStdioServer()
+    msgs = [
+        {"jsonrpc": "2.0", "id": 1, "method": "initialize"},
+        {"jsonrpc": "2.0", "method": "notifications/initialized"},
+        {"jsonrpc": "2.0", "id": 2, "method": "tools/call",
+         "params": {"name": "deduplicate_chunks",
+                    "arguments": {"chunks": CHUNKS}}},
+        "not json at all",
+    ]
+    stdin = io.StringIO("\n".join(
+        m if isinstance(m, str) else json.dumps(m) for m in msgs) + "\n")
+    stdout = io.StringIO()
+    srv.run(stdin, stdout)
+    out = [json.loads(l) for l in stdout.getvalue().splitlines()]
+    assert out[0]["id"] == 1 and "serverInfo" in out[0]["result"]
+    assert out[1]["id"] == 2
+    payload = json.loads(out[1]["result"]["content"][0]["text"])
+    assert payload["stats"]["output_count"] == 2
+    assert out[2]["error"]["code"] == -32700  # parse error
+
+
+def test_cli_mcp_verb_subprocess():
+    import subprocess
+    import sys
+
+    lines = "\n".join(json.dumps(m) for m in [
+        {"jsonrpc": "2.0", "id": 1, "method": "initialize"},
+        {"jsonrpc": "2.0", "id": 2, "method": "tools/list"},
+    ]) + "\n"
+    out = subprocess.run(
+        [sys.executable, "-m", "distill_ray", "mcp"],
+        input=lines, capture_output=True, text=True, timeout=120,
+        cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-1000:]
+    resps = [json.loads(l) for l in out.stdout.splitlines()]
+    assert resps[0]["result"]["protocolVersion"]
+    assert {t["name"] for t in resps[1]["result"]["tools"]} == {
+        "deduplicate_chunks", "analyze_redundancy"}

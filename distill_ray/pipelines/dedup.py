@@ -315,7 +315,8 @@ def run_dedup(
         # it. Only safe to BROADCAST the pairable set under the broadcast
         # row limit (same precondition as this verify mode); the endpoint
         # path keeps the unpruned exchange.
-        lookup_ref, pairable_ref = build_broadcast_artifacts(fused)
+        lookup_ref, pairable_ref, lookup_blocks = \
+            build_broadcast_artifacts(fused)
 
         def _bounded(ds: rd.Dataset) -> rd.Dataset:
             """Coalesce before a wide op ONLY when the (materialized, so
@@ -378,7 +379,7 @@ def run_dedup(
 
             edges = raw_band_pair_edges(
                 fused, cfg, P, lookup_ref, pairable_ref,
-                inband_verify=inband_verify,
+                inband_verify=inband_verify, blocks=lookup_blocks,
             )
             _mark("p6_band_pairs")  # fused stages; the split lives in p6_p7
             edges = edges.materialize()

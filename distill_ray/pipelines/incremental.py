@@ -477,7 +477,8 @@ def run_dedup_incremental(
     #      pairs + multiset collapse + >= min_band_collisions + exact
     #      cosine verify — same kernels as run_dedup's two modes
     if verify_mode == "broadcast":
-        lookup_ref, pairable_ref = build_broadcast_artifacts(combined)
+        lookup_ref, pairable_ref, lookup_blocks = \
+            build_broadcast_artifacts(combined)
         pairable = ray.get(pairable_ref)
         frontier = np.intersect1d(pairable, new_keys.astype(np.uint32),
                                   assume_unique=True)
@@ -493,7 +494,7 @@ def run_dedup_incremental(
             total_cpus = int(ray.cluster_resources().get("CPU", 8))
             edges = raw_band_pair_edges(
                 combined, cfg, max(total_cpus, 16), lookup_ref,
-                frontier_ref, inband_verify=True,
+                frontier_ref, inband_verify=True, blocks=lookup_blocks,
             ).to_pandas()
         else:
             raw_pairs = (

@@ -1427,9 +1427,15 @@ def build_broadcast_artifacts(sig_ds, num_ranges: int = 16):
     5.6 s at 8-way vs 8.1 s at 32-way concurrency — more workers contend
     on the serialized fault path), so the shard scan runs at num_cpus=4.
 
-    Returns ((shard_refs, None), pairable_ref) — the None shift tags the
-    block-sharded layout for gather_from_shards. Parity with the legacy
-    build_embedding_lookup/build_pairable_keys pair is asserted in
+    Returns ((shard_refs, None), pairable_ref, tbl_refs) — the None shift
+    tags the block-sharded layout for gather_from_shards, and tbl_refs is
+    the EXACT block list the shards were scanned from: the loc-addressed
+    band exchange must enumerate THESE refs (shard i == block i), never
+    re-call to_arrow_refs — on a lazy dataset (e.g. a checkpoint re-read)
+    a second call re-executes the read and dynamic block splitting can
+    produce DIFFERENT block boundaries (caught as an intermittent
+    out-of-range rix in the full-suite resume test). Parity with the
+    legacy build_embedding_lookup/build_pairable_keys pair is asserted in
     tests/test_dedup_pipeline.py."""
     import ray
 
@@ -1552,7 +1558,7 @@ def build_broadcast_artifacts(sig_ds, num_ranges: int = 16):
                 "CPU", 4))))).remote(ref)
         for ref in tbl_refs
     ]
-    return (shard_refs, None), pairable_ref
+    return (shard_refs, None), pairable_ref, tbl_refs
 
 
 # Reusable per-process output/temp buffers for gather_from_shards

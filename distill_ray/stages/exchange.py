@@ -187,10 +187,18 @@ def raw_band_pair_edges(
     lookup_ref,
     pairable_ref,
     inband_verify: bool,
+    blocks=None,
 ) -> rd.Dataset:
     """The P6+P7 broadcast-verify phase as a raw-task hash exchange.
-    `fused` must be materialized (block refs are taken directly). Returns
-    the verified edge Dataset — same edge set as the sort path."""
+    Returns the verified edge Dataset — same edge set as the sort path.
+
+    `blocks` MUST be the tbl_refs returned by build_broadcast_artifacts
+    when the loc-row mode is active: the loc address (shard i, row j)
+    only resolves against the lookup if the expand stage enumerates the
+    EXACT block list the shards were scanned from — a fresh
+    to_arrow_refs() on a lazy dataset re-executes the read with possibly
+    different block boundaries. Without `blocks` the loc mode is
+    disabled and rows carry rh (safe for any enumeration)."""
     kernel = BandPairNumericBucket(
         cfg, narrow=True, sim_lookup=lookup_ref,
         verify_threshold=(cfg.threshold if inband_verify else None),
@@ -203,20 +211,23 @@ def raw_band_pair_edges(
         cfg.shuffle_buckets, include_simhash=False, pairable_ref=pairable_ref
     )
 
-    blocks = fused.to_arrow_refs()
+    loc_eligible = blocks is not None
+    if blocks is None:
+        blocks = fused.to_arrow_refs()
     if not blocks:
         return rd.from_arrow(EDGE_SCHEMA.empty_table())
 
-    # loc-addressed band rows (default): block i of this enumeration is
-    # broadcast shard i (build_broadcast_artifacts scans the same
-    # to_arrow_refs order), so each band row can carry its (shard, row)
+    # loc-addressed band rows (default): block i of the PASSED-IN
+    # enumeration is broadcast shard i (build_broadcast_artifacts scanned
+    # exactly these refs), so each band row can carry its (shard, row)
     # address instead of rh and the kernel resolves everything by direct
     # indexing. int16 sid bounds the mode at 32k blocks — far above any
     # broadcast-eligible run; guarded anyway. DISTILL_RAY_BAND_LOC=0
     # restores rh rows for A/B.
     import os as _os
 
-    use_loc = (_os.environ.get("DISTILL_RAY_BAND_LOC", "1") != "0"
+    use_loc = (loc_eligible
+               and _os.environ.get("DISTILL_RAY_BAND_LOC", "1") != "0"
                and len(blocks) < 32_000)
     band_parts = [
         _expand_partition.options(num_returns=n_parts).remote(

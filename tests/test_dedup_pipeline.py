@@ -362,7 +362,7 @@ def test_build_broadcast_artifacts_parity(ray_session):
     sig = _sketch_impl(df, cfg, _cached_seeds(cfg.num_perm))
     ds = rd.from_arrow(sig).repartition(4).materialize()
 
-    (new_shards, new_shift), new_pk_ref = build_broadcast_artifacts(
+    (new_shards, new_shift), new_pk_ref, _blocks = build_broadcast_artifacts(
         ds, num_ranges=4)
     assert new_shift is None  # block-sharded layout
     old_shards, old_shift = build_embedding_lookup(ds, num_shards=8)
